@@ -1,0 +1,59 @@
+"""Configuration / flag layer.
+
+The reference has NO config system — every knob is a compile-time constant
+mutated via ImGui (SURVEY.md §5; reference: CudaRayTracer/src/Cuda/
+CudaLayer.h:66-67,123-127,143-144; Core/Window.h:15).  This dataclass + CLI
+layer is the designed-from-scratch replacement; defaults reproduce the
+reference's constants (36 spp, depth 12, seed 1984, 1280x720 window).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    width: int = 1280
+    height: int = 720
+    spp: int = 36  # reference m_SamplesPerPixel (CudaLayer.h:123)
+    max_depth: int = 12  # reference m_MaxDepth (CudaLayer.h:124)
+    seed: int = 1984  # reference curand seed (Kernel.cu:163,175)
+    t_min: float = 0.001  # reference radiance loop t_min (Kernel.cu:40)
+    scene: str = "default"  # default | rtow_final | cornell
+    camera_model: str = "two_plane"  # two_plane (reference parity) | look_at
+    accel: str = "bvh"  # brute | bvh | pallas
+    block: int = 64  # primitives per intersection block (brute force)
+    progressive: bool = True  # 1-spp accumulation vs full-spp re-render
+    debug_nans: bool = False  # TPU analog of the reference Debug build -g -G
+
+
+def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    d = RenderConfig()
+    parser.add_argument("--width", type=int, default=d.width)
+    parser.add_argument("--height", type=int, default=d.height)
+    parser.add_argument("--spp", type=int, default=d.spp)
+    parser.add_argument("--max-depth", dest="max_depth", type=int, default=d.max_depth)
+    parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--t-min", dest="t_min", type=float, default=d.t_min)
+    parser.add_argument("--scene", choices=["default", "rtow_final", "cornell"], default=d.scene)
+    parser.add_argument("--camera-model", dest="camera_model", choices=["two_plane", "look_at"], default=d.camera_model)
+    parser.add_argument("--accel", choices=["brute", "bvh", "pallas"], default=d.accel)
+    parser.add_argument("--block", type=int, default=d.block)
+    parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
+    parser.add_argument("--debug-nans", dest="debug_nans", action="store_true", default=d.debug_nans)
+    return parser
+
+
+def from_args(args: argparse.Namespace) -> RenderConfig:
+    fields = {f.name for f in dataclasses.fields(RenderConfig)}
+    return RenderConfig(**{k: v for k, v in vars(args).items() if k in fields})
+
+
+def apply_debug_flags(cfg: RenderConfig):
+    """Debug-build analog (reference RT_DEBUG + cuda -g -G)."""
+    if cfg.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)

@@ -1,0 +1,352 @@
+"""Scene representation: flat SoA device tensors + host-side CRUD.
+
+TPU-native re-architecture of the reference's scene storage and editing:
+
+  * The reference builds a pointer-union object graph inside one
+    ``cudaMallocManaged`` slab with placement-new
+    (reference: CudaRayTracer/src/Cuda/CudaLayer.cpp:103-362) and edits it in
+    place from the UI, reusing freed slots via an inactive free-list
+    (CudaLayer.h:110, AddHittable CudaLayer.cpp:918-1370, DeleteHittable
+    1372-1387, ClearScene 1565-1572).
+  * Here the scene is a set of fixed-capacity padded struct-of-arrays device
+    tensors (``SceneData``) plus a host-side mutable mirror (``Scene``).
+    Fixed capacity + an ``active`` mask means scene edits NEVER change array
+    shapes, so the jitted render function never recompiles; an edit is a
+    cheap host mutation + re-upload of kilobyte-sized arrays.
+  * Image textures live in a fixed-slot uint8 atlas (analog of the managed
+    image allocations in ImageAllocation, CudaLayer.cpp:874-916).
+  * Scene save/load (JSON + npz atlas) is an improvement over the reference,
+    which cannot persist scenes (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import intersect, materials, textures
+from ..ops.sky import DEFAULT_BACKGROUND_END, DEFAULT_BACKGROUND_START
+
+# Re-export type ids at the scene level for convenience.
+SPHERE = intersect.SPHERE
+XY_RECT = intersect.XY_RECT
+XZ_RECT = intersect.XZ_RECT
+YZ_RECT = intersect.YZ_RECT
+LAMBERTIAN = materials.LAMBERTIAN
+METAL = materials.METAL
+DIELECTRIC = materials.DIELECTRIC
+DIFFUSE_LIGHT = materials.DIFFUSE_LIGHT
+CONSTANT = textures.CONSTANT
+CHECKER = textures.CHECKER
+IMAGE = textures.IMAGE
+
+PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect"}
+MAT_NAMES = {LAMBERTIAN: "lambertian", METAL: "metal", DIELECTRIC: "dielectric", DIFFUSE_LIGHT: "diffuse_light"}
+TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image"}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Device-side scene: every field is a jax array; the whole thing is a pytree."""
+
+    prim_type: jax.Array  # i32[N]
+    active: jax.Array  # bool[N]
+    center: jax.Array  # f32[N,3]
+    size: jax.Array  # f32[N,2]  (sphere: radius in col 0; rect: width,height)
+    mat_type: jax.Array  # i32[N]
+    fuzz: jax.Array  # f32[N]
+    ior: jax.Array  # f32[N]
+    light: jax.Array  # f32[N]
+    tex_type: jax.Array  # i32[N]
+    albedo: jax.Array  # f32[N,3]   constant color / checker odd color
+    albedo2: jax.Array  # f32[N,3]  checker even color
+    tex_id: jax.Array  # i32[N]    atlas slot or -1
+    atlas: jax.Array  # uint8[S,AH,AW,3]
+    tex_hw: jax.Array  # i32[S,2]
+    background_start: jax.Array  # f32[3]
+    background_end: jax.Array  # f32[3]
+
+    @property
+    def capacity(self) -> int:
+        return self.prim_type.shape[0]
+
+
+_PRIM_FIELDS = [
+    ("prim_type", np.int32, ()),
+    ("active", np.bool_, ()),
+    ("center", np.float32, (3,)),
+    ("size", np.float32, (2,)),
+    ("mat_type", np.int32, ()),
+    ("fuzz", np.float32, ()),
+    ("ior", np.float32, ()),
+    ("light", np.float32, ()),
+    ("tex_type", np.int32, ()),
+    ("albedo", np.float32, (3,)),
+    ("albedo2", np.float32, (3,)),
+    ("tex_id", np.int32, ()),
+]
+
+
+class Scene:
+    """Host-side mutable scene with reference-style CRUD semantics.
+
+    Every mutation bumps ``version`` — the progressive accumulator watches it
+    to reset accumulation, the way the reference re-renders after every edit.
+    """
+
+    def __init__(
+        self,
+        capacity: int = 512,
+        atlas_slots: int = 4,
+        atlas_size: int = 512,
+        background_start=DEFAULT_BACKGROUND_START,
+        background_end=DEFAULT_BACKGROUND_END,
+    ):
+        self.capacity = int(capacity)
+        for name, dt, extra in _PRIM_FIELDS:
+            setattr(self, name, np.zeros((self.capacity,) + extra, dtype=dt))
+        # Avoid divide-by-zero on inactive slots.
+        self.size[:] = 1.0
+        self.ior[:] = 1.0
+        self.tex_id[:] = -1
+        self.atlas = np.zeros((atlas_slots, atlas_size, atlas_size, 3), np.uint8)
+        self.tex_hw = np.zeros((atlas_slots, 2), np.int32)
+        self._atlas_used = [False] * atlas_slots
+        self.background_start = np.asarray(background_start, np.float32)
+        self.background_end = np.asarray(background_end, np.float32)
+        # free-list mirrors the reference's m_InactiveHittables (CudaLayer.h:110)
+        self._free = list(range(self.capacity - 1, -1, -1))
+        self.version = 0
+
+    # ------------------------------------------------------------- counts
+    @property
+    def num_active(self) -> int:
+        return int(self.active.sum())
+
+    def active_indices(self) -> np.ndarray:
+        return np.nonzero(self.active)[0]
+
+    # ------------------------------------------------------------- CRUD
+    def _alloc_slot(self) -> int:
+        if not self._free:
+            self._grow()
+        return self._free.pop()
+
+    def _grow(self):
+        """Double capacity (analog of the reference's slab growth,
+        CudaLayer.cpp:1123-1150).  Changes array shapes, so the next render
+        recompiles — growth is rare and explicit."""
+        old = self.capacity
+        new = old * 2
+        for name, dt, extra in _PRIM_FIELDS:
+            arr = getattr(self, name)
+            grown = np.zeros((new,) + arr.shape[1:], dtype=arr.dtype)
+            grown[:old] = arr
+            setattr(self, name, grown)
+        self.size[old:] = 1.0
+        self.ior[old:] = 1.0
+        self.tex_id[old:] = -1
+        self._free = list(range(new - 1, old - 1, -1)) + self._free
+        self.capacity = new
+        self.version += 1
+
+    def _add(
+        self,
+        ptype: int,
+        center,
+        size,
+        mat_type: int = LAMBERTIAN,
+        albedo=(1.0, 1.0, 1.0),
+        albedo2=(1.0, 1.0, 1.0),
+        tex_type: int = CONSTANT,
+        fuzz: float = 0.0,
+        ior: float = 1.5,
+        light: float = 2.0,
+        tex_id: int = -1,
+    ) -> int:
+        i = self._alloc_slot()
+        self.prim_type[i] = ptype
+        self.center[i] = np.asarray(center, np.float32)
+        self.size[i] = np.asarray(size, np.float32)
+        self.mat_type[i] = mat_type
+        self.fuzz[i] = min(float(fuzz), 1.0)  # reference clamps fuzz to <=1 (Material.cuh:71)
+        self.ior[i] = ior
+        self.light[i] = light
+        self.tex_type[i] = tex_type
+        self.albedo[i] = np.asarray(albedo, np.float32)
+        self.albedo2[i] = np.asarray(albedo2, np.float32)
+        self.tex_id[i] = tex_id
+        self.active[i] = True
+        self.version += 1
+        return i
+
+    def add_sphere(self, center, radius: float, **mat) -> int:
+        return self._add(SPHERE, center, (radius, radius), **mat)
+
+    def add_xy_rect(self, center, width: float, height: float, **mat) -> int:
+        return self._add(XY_RECT, center, (width, height), **mat)
+
+    def add_xz_rect(self, center, width: float, height: float, **mat) -> int:
+        return self._add(XZ_RECT, center, (width, height), **mat)
+
+    def add_yz_rect(self, center, width: float, height: float, **mat) -> int:
+        return self._add(YZ_RECT, center, (width, height), **mat)
+
+    def delete(self, i: int):
+        """Deactivate a slot and recycle it (DeleteHittable, CudaLayer.cpp:1372-1387)."""
+        if not self.active[i]:
+            raise ValueError(f"slot {i} is not active")
+        self.active[i] = False
+        self._free.append(int(i))
+        self.version += 1
+
+    def clear(self, keep: Optional[list[int]] = None):
+        """Deactivate all primitives except ``keep`` (ClearScene keeps the
+        ground, CudaLayer.cpp:1565-1572)."""
+        keep = set(keep or [])
+        for i in self.active_indices():
+            if int(i) not in keep:
+                self.active[i] = False
+                self._free.append(int(i))
+        self.version += 1
+
+    def update(self, i: int, **fields):
+        """Edit any per-primitive field in place (the UI drag paths,
+        CudaLayer.cpp:484-563, 719-872)."""
+        for k, val in fields.items():
+            arr = getattr(self, k, None)
+            if arr is None or not isinstance(arr, np.ndarray) or arr.shape[0] != self.capacity:
+                raise KeyError(f"unknown primitive field {k!r}")
+            arr[i] = val
+        self.version += 1
+
+    # ------------------------------------------------------------- textures
+    def load_image_texture(self, image) -> int:
+        """Upload an RGB image (HxWx3 uint8 array, PIL image, or path) into a
+        free atlas slot; returns the slot id for use as ``tex_id``.
+
+        Analog of ImageAllocation (CudaLayer.cpp:874-916) + stb loading
+        (Utils/RawStbImage.h:12-22).
+        """
+        arr = _as_rgb_u8(image)
+        slots, ah, aw, _ = self.atlas.shape
+        h, w = arr.shape[:2]
+        if h > ah or w > aw:
+            # Downscale with PIL to fit the fixed atlas tile.
+            from PIL import Image as PILImage
+
+            im = PILImage.fromarray(arr)
+            scale = min(ah / h, aw / w)
+            im = im.resize((max(1, int(w * scale)), max(1, int(h * scale))))
+            arr = np.asarray(im, np.uint8)
+            h, w = arr.shape[:2]
+        for s in range(slots):
+            if not self._atlas_used[s]:
+                self.atlas[s, :h, :w] = arr
+                self.tex_hw[s] = (h, w)
+                self._atlas_used[s] = True
+                self.version += 1
+                return s
+        raise RuntimeError("texture atlas is full")
+
+    def free_image_texture(self, slot: int):
+        """Release an atlas slot (DeleteImageAllocation, CudaLayer.cpp:1389-1563)."""
+        self._atlas_used[slot] = False
+        self.tex_hw[slot] = (0, 0)
+        self.version += 1
+
+    # ------------------------------------------------------------- device
+    def device(self) -> SceneData:
+        """Snapshot the host mirror into a device pytree."""
+        kw = {name: jnp.asarray(getattr(self, name)) for name, _, _ in _PRIM_FIELDS}
+        return SceneData(
+            atlas=jnp.asarray(self.atlas),
+            tex_hw=jnp.asarray(self.tex_hw),
+            background_start=jnp.asarray(self.background_start),
+            background_end=jnp.asarray(self.background_end),
+            **kw,
+        )
+
+    # ------------------------------------------------------------- persistence
+    def save(self, path: str):
+        """Serialize to JSON (+ sidecar .npz for the atlas when used)."""
+        doc = {
+            "capacity": self.capacity,
+            "background_start": self.background_start.tolist(),
+            "background_end": self.background_end.tolist(),
+            "primitives": [],
+        }
+        for i in self.active_indices():
+            doc["primitives"].append(
+                {
+                    "prim_type": int(self.prim_type[i]),
+                    "center": self.center[i].tolist(),
+                    "size": self.size[i].tolist(),
+                    "mat_type": int(self.mat_type[i]),
+                    "fuzz": float(self.fuzz[i]),
+                    "ior": float(self.ior[i]),
+                    "light": float(self.light[i]),
+                    "tex_type": int(self.tex_type[i]),
+                    "albedo": self.albedo[i].tolist(),
+                    "albedo2": self.albedo2[i].tolist(),
+                    "tex_id": int(self.tex_id[i]),
+                }
+            )
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+        if any(self._atlas_used):
+            np.savez_compressed(path + ".atlas.npz", atlas=self.atlas, tex_hw=self.tex_hw)
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "Scene":
+        with open(path) as f:
+            doc = json.load(f)
+        scene = cls(
+            capacity=doc.get("capacity", 512),
+            background_start=doc["background_start"],
+            background_end=doc["background_end"],
+            **kwargs,
+        )
+        for p in doc["primitives"]:
+            scene._add(
+                p["prim_type"],
+                p["center"],
+                p["size"],
+                mat_type=p["mat_type"],
+                fuzz=p["fuzz"],
+                ior=p["ior"],
+                light=p["light"],
+                tex_type=p["tex_type"],
+                albedo=p["albedo"],
+                albedo2=p["albedo2"],
+                tex_id=p["tex_id"],
+            )
+        try:
+            side = np.load(path + ".atlas.npz")
+            scene.atlas = side["atlas"]
+            scene.tex_hw = side["tex_hw"]
+            scene._atlas_used = [bool(h) for h, _ in scene.tex_hw]
+        except FileNotFoundError:
+            pass
+        return scene
+
+
+def _as_rgb_u8(image) -> np.ndarray:
+    if isinstance(image, str):
+        from PIL import Image as PILImage
+
+        image = PILImage.open(image).convert("RGB")
+    if hasattr(image, "mode"):  # PIL image
+        image = np.asarray(image.convert("RGB"), np.uint8)
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 RGB image, got {arr.shape}")
+    return arr

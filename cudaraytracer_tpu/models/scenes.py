@@ -1,0 +1,144 @@
+"""Built-in scene generators.
+
+  * ``default_scene`` mirrors the reference's GenerateWorld
+    (reference: CudaRayTracer/src/Cuda/CudaLayer.cpp:103-256): a 1000x1000
+    checkered ground XZ rect at y=-0.5 plus a 4x4 grid of random spheres
+    whose material is chosen by host rand() thresholds (<0.5 lambertian,
+    <0.8 metal, <0.9 dielectric, else diffuse light).
+  * ``rtow_final_scene`` is the classic "Ray Tracing in One Weekend" final
+    scene (~488 spheres) used by the benchmark configs (BASELINE.json
+    configs[1-2]): it is the headline workload for this framework.
+  * ``cornell_like_scene`` exercises all three rect orientations + an
+    emissive area light (the reference supports building such scenes
+    interactively via its Add-Hittable UI, CudaLayer.cpp:918-1370).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .camera import make_camera_params
+from .scene import (
+    CHECKER,
+    DIELECTRIC,
+    DIFFUSE_LIGHT,
+    LAMBERTIAN,
+    METAL,
+    Scene,
+)
+
+
+def default_scene(seed: int = 7, capacity: int = 64) -> Scene:
+    """The reference's startup world (CudaLayer.cpp:103-256)."""
+    rnd = np.random.RandomState(seed).random_sample
+    scene = Scene(capacity=capacity)
+    scene.add_xz_rect(
+        (0.0, -0.5, 0.0), 1000.0, 1000.0,
+        mat_type=LAMBERTIAN, tex_type=CHECKER,
+        albedo=(0.2, 0.3, 0.1), albedo2=(0.9, 0.9, 0.9),
+    )
+    for a in range(-2, 2):
+        for b in range(-2, 2):
+            choose = rnd()
+            center = (a + rnd(), 0.2, b + rnd())
+            if choose < 0.5:
+                scene.add_sphere(
+                    center, 0.2, mat_type=LAMBERTIAN,
+                    albedo=(rnd() * rnd(), rnd() * rnd(), rnd() * rnd()),
+                )
+            elif choose < 0.80:
+                scene.add_sphere(
+                    center, 0.2, mat_type=METAL,
+                    albedo=(0.5 * (1 + rnd()), 0.5 * (1 + rnd()), 0.5 * (1 + rnd())),
+                    fuzz=0.5 * rnd(),
+                )
+            elif choose < 0.90:
+                scene.add_sphere(center, 0.3, mat_type=DIELECTRIC, ior=1.5)
+            else:
+                scene.add_sphere(
+                    center, 0.5, mat_type=DIFFUSE_LIGHT,
+                    albedo=(1.0, 1.0, 1.0), light=3.0,
+                )
+    return scene
+
+
+def default_scene_camera(**kw):
+    """Camera matching the reference startup (CudaLayer.cpp:43, Camera.h)."""
+    return make_camera_params(origin=(0.0, 2.0, 12.0), **kw)
+
+
+def rtow_final_scene(seed: int = 1984, capacity: int = 512, checker_ground: bool = True) -> Scene:
+    """RTOW book-1 final scene: ~488 spheres (the benchmark headline scene)."""
+    rnd = np.random.RandomState(seed).random_sample
+    scene = Scene(capacity=capacity)
+    if checker_ground:
+        scene.add_sphere(
+            (0.0, -1000.0, 0.0), 1000.0, mat_type=LAMBERTIAN, tex_type=CHECKER,
+            albedo=(0.2, 0.3, 0.1), albedo2=(0.9, 0.9, 0.9),
+        )
+    else:
+        scene.add_sphere((0.0, -1000.0, 0.0), 1000.0, mat_type=LAMBERTIAN, albedo=(0.5, 0.5, 0.5))
+    for a in range(-11, 11):
+        for b in range(-11, 11):
+            choose = rnd()
+            center = np.array([a + 0.9 * rnd(), 0.2, b + 0.9 * rnd()])
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose < 0.8:
+                albedo = (rnd() * rnd(), rnd() * rnd(), rnd() * rnd())
+                scene.add_sphere(center, 0.2, mat_type=LAMBERTIAN, albedo=albedo)
+            elif choose < 0.95:
+                albedo = (0.5 * (1 + rnd()), 0.5 * (1 + rnd()), 0.5 * (1 + rnd()))
+                scene.add_sphere(center, 0.2, mat_type=METAL, albedo=albedo, fuzz=0.5 * rnd())
+            else:
+                scene.add_sphere(center, 0.2, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((0.0, 1.0, 0.0), 1.0, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((-4.0, 1.0, 0.0), 1.0, mat_type=LAMBERTIAN, albedo=(0.4, 0.2, 0.1))
+    scene.add_sphere((4.0, 1.0, 0.0), 1.0, mat_type=METAL, albedo=(0.7, 0.6, 0.5), fuzz=0.0)
+    return scene
+
+
+def rtow_final_camera(aperture: float = 0.1, **kw):
+    """Classic RTOW final-scene camera: lookfrom (13,2,3) at origin, vfov 20."""
+    lookfrom = np.array([13.0, 2.0, 3.0])
+    lookat = np.array([0.0, 0.0, 0.0])
+    forward = lookat - lookfrom
+    forward = forward / np.linalg.norm(forward)
+    return make_camera_params(
+        origin=tuple(lookfrom), forward=tuple(forward),
+        fov_deg=20.0, aperture=aperture, focus_dist=10.0, **kw,
+    )
+
+
+def cornell_like_scene(capacity: int = 64) -> Scene:
+    """A box room from xy/xz/yz rects + an emissive ceiling light + spheres.
+
+    Exercises every rect orientation, SetFaceNormal flipping, and emissive
+    termination (the 'Next Week'-style config, BASELINE.json configs[3]).
+    """
+    scene = Scene(capacity=capacity, background_start=(0.0, 0.0, 0.0), background_end=(0.0, 0.0, 0.0))
+    s = 5.0
+    scene.add_yz_rect((-s / 2, s / 2, 0.0), s, s, mat_type=LAMBERTIAN, albedo=(0.65, 0.05, 0.05))
+    scene.add_yz_rect((s / 2, s / 2, 0.0), s, s, mat_type=LAMBERTIAN, albedo=(0.12, 0.45, 0.15))
+    scene.add_xz_rect((0.0, 0.0, 0.0), s, s, mat_type=LAMBERTIAN, albedo=(0.73, 0.73, 0.73))
+    scene.add_xz_rect((0.0, s, 0.0), s, s, mat_type=LAMBERTIAN, albedo=(0.73, 0.73, 0.73))
+    scene.add_xy_rect((0.0, s / 2, -s / 2), s, s, mat_type=LAMBERTIAN, albedo=(0.73, 0.73, 0.73))
+    scene.add_xz_rect((0.0, s - 0.01, 0.0), 1.5, 1.5, mat_type=DIFFUSE_LIGHT, albedo=(1.0, 1.0, 1.0), light=7.0)
+    scene.add_sphere((-1.0, 0.8, -0.5), 0.8, mat_type=METAL, albedo=(0.8, 0.85, 0.88), fuzz=0.05)
+    scene.add_sphere((1.2, 0.6, 0.8), 0.6, mat_type=DIELECTRIC, ior=1.5)
+    return scene
+
+
+def cornell_like_camera(**kw):
+    return make_camera_params(
+        origin=(0.0, 2.5, 9.0), forward=(0.0, 0.0, -1.0), fov_deg=40.0, **kw
+    )
+
+
+SCENES = {
+    "default": (default_scene, default_scene_camera),
+    "rtow_final": (rtow_final_scene, rtow_final_camera),
+    "cornell": (cornell_like_scene, cornell_like_camera),
+}

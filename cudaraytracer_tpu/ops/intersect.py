@@ -1,0 +1,294 @@
+"""Vectorized ray-primitive intersection.
+
+TPU-native re-architecture of the reference's per-thread tagged-union hit
+dispatch (reference: CudaRayTracer/src/Hittables/Hittable.cuh:80-294 for the
+Sphere/XYRect/XZRect/YZRect `Hit` methods and Hittable.cuh:470-485 for the
+`PerformHit` type switch).  Key design differences:
+
+  * Scene is flat SoA (struct-of-arrays), not a pointer graph: primitives are
+    described by ``prim_type[N]``, ``center[N,3]``, ``size[N,2]``,
+    ``active[N]`` arrays resident in HBM/VMEM.
+  * All rays x a block of primitives are tested at once.  The sphere
+    quadratic's cross terms are expressed as two ``[R,3] @ [3,B]`` matmuls
+    (ray-origin·center and ray-dir·center), which XLA maps onto the MXU;
+    everything else is ``[R,B]`` elementwise work on the VPU.  No ``[R,B,3]``
+    intermediate is ever materialized.
+  * The closest-hit reduction runs as a ``lax.scan`` over primitive blocks so
+    peak memory is ``O(R * block)`` regardless of scene size.
+  * A second cheap pass reconstructs the full hit record (normal, uv,
+    front_face) only for each ray's winning primitive, instead of carrying it
+    through the reduction.
+
+Primitive type encoding (matches the reference HittableType enum order,
+Hittable.cuh:30-38, minus the BVH/list entries which are containers here):
+    0 = sphere   (size[:,0] = radius)
+    1 = xy rect  (size = (width, height), plane z = center.z, normal +z)
+    2 = xz rect  (size = (width, height), plane y = center.y, normal +y)
+    3 = yz rect  (size = (width, height), plane x = center.x, normal +x)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..utils.vec import PI, dot
+
+# Primitive type ids.
+SPHERE = 0
+XY_RECT = 1
+XZ_RECT = 2
+YZ_RECT = 3
+
+# Per-type axis tables (index 0 = sphere placeholder).
+# k = plane axis, a/b = in-plane axes mapped to (u, v).
+# XYRect: plane z, u<-x (width),  v<-y (height)   (Hittable.cuh:139-165)
+# XZRect: plane y, u<-x (width),  v<-z (height)   (Hittable.cuh:195-221)
+# YZRect: plane x, u<-y (height), v<-z (width)    (Hittable.cuh:251-277)
+_K_AXIS = jnp.array([0, 2, 1, 0], dtype=jnp.int32)
+_A_AXIS = jnp.array([0, 0, 0, 1], dtype=jnp.int32)
+_B_AXIS = jnp.array([0, 1, 2, 2], dtype=jnp.int32)
+# Extent along the a/b axes expressed as which column of size[N,2] to use:
+# for xy/xz rects a=width(0) b=height(1); for yz rects a=height(1) b=width(0).
+_A_EXT_COL = jnp.array([0, 0, 0, 1], dtype=jnp.int32)
+_B_EXT_COL = jnp.array([0, 1, 1, 0], dtype=jnp.int32)
+
+BIG = jnp.float32(3.4e38)  # FLT_MAX stand-in (Kernel.cu uses FLT_MAX)
+
+
+class HitRecord(NamedTuple):
+    """SoA hit record over a ray batch (reference HitRecord, Hittable.cuh:14-28)."""
+
+    hit: jnp.ndarray  # bool[R]
+    t: jnp.ndarray  # f32[R]
+    prim: jnp.ndarray  # i32[R] winning primitive index (valid where hit)
+    point: jnp.ndarray  # f32[R,3]
+    normal: jnp.ndarray  # f32[R,3]
+    front_face: jnp.ndarray  # bool[R]
+    u: jnp.ndarray  # f32[R]
+    v: jnp.ndarray  # f32[R]
+
+
+def _sphere_block_t(org, dirn, a_quad, center_b, radius_b, t_min, t_max):
+    """Candidate hit distance for all rays x a block of spheres.
+
+    org,dirn: [R,3]; center_b: [B,3]; radius_b: [B].
+    Returns (hit[R,B], t[R,B]).  The quadratic follows Sphere::Hit
+    (Hittable.cuh:80-110): b = oc·d, c = oc·oc - r^2, disc = b^2 - a c,
+    roots (-b ∓ sqrt(disc))/a, nearer root preferred.
+
+    oc·d and oc·oc are expanded so the ray-center cross terms become
+    [R,3]@[3,B] matmuls (MXU-friendly), avoiding an [R,B,3] tensor:
+        oc·d  = o·d - c·d
+        oc·oc = o·o - 2 o·c + c·c
+    """
+    ct = center_b.T  # [3,B]
+    o_dot_c = jnp.dot(org, ct, preferred_element_type=jnp.float32)  # [R,B]
+    d_dot_c = jnp.dot(dirn, ct, preferred_element_type=jnp.float32)  # [R,B]
+    o_dot_d = dot(org, dirn)[:, None]  # [R,1]
+    o_dot_o = dot(org, org)[:, None]  # [R,1]
+    c_dot_c = jnp.sum(center_b * center_b, axis=-1)[None, :]  # [1,B]
+
+    b = o_dot_d - d_dot_c  # [R,B]
+    c = o_dot_o - 2.0 * o_dot_c + c_dot_c - (radius_b * radius_b)[None, :]
+    a = a_quad[:, None]  # [R,1]
+
+    disc = b * b - a * c
+    has_root = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    t0_ok = (t0 < t_max) & (t0 > t_min)
+    t1_ok = (t1 < t_max) & (t1 > t_min)
+    t = jnp.where(t0_ok, t0, t1)
+    hit = has_root & (t0_ok | t1_ok)
+    return hit, t
+
+
+def _rect_block_t(org, dirn, ptype_b, center_b, size_b, t_min, t_max):
+    """Candidate hit distance for all rays x a block of axis-aligned rects.
+
+    Handles xy/xz/yz uniformly via per-primitive axis-index gathers
+    (semantics of XYRect/XZRect/YZRect::Hit, Hittable.cuh:128-294).
+    Sphere-typed entries produce garbage here; the caller masks them out.
+    Returns (hit[R,B], t[R,B]).
+    """
+    k_ax = _K_AXIS[ptype_b]  # [B]
+    a_ax = _A_AXIS[ptype_b]
+    b_ax = _B_AXIS[ptype_b]
+    half_a = 0.5 * jnp.take_along_axis(size_b, _A_EXT_COL[ptype_b][:, None], axis=1)[:, 0]
+    half_b = 0.5 * jnp.take_along_axis(size_b, _B_EXT_COL[ptype_b][:, None], axis=1)[:, 0]
+
+    barange = jnp.arange(center_b.shape[0])
+    c_k = center_b[barange, k_ax]  # [B]
+    c_a = center_b[barange, a_ax]
+    c_b = center_b[barange, b_ax]
+
+    o_k = org[:, k_ax]  # [R,B] gather of a column per prim
+    d_k = dirn[:, k_ax]
+    t = (c_k[None, :] - o_k) / d_k  # [R,B]
+
+    p_a = org[:, a_ax] + t * dirn[:, a_ax]
+    p_b = org[:, b_ax] + t * dirn[:, b_ax]
+
+    in_a = jnp.abs(p_a - c_a[None, :]) <= half_a[None, :]
+    in_b = jnp.abs(p_b - c_b[None, :]) <= half_b[None, :]
+    hit = (t > t_min) & (t < t_max) & in_a & in_b
+    return hit, t
+
+
+def hit_scene(
+    org: jnp.ndarray,
+    dirn: jnp.ndarray,
+    prim_type: jnp.ndarray,
+    center: jnp.ndarray,
+    size: jnp.ndarray,
+    active: jnp.ndarray,
+    t_min: float = 0.001,
+    t_max=None,
+    block: int = 64,
+):
+    """Closest-hit over every active primitive for a ray batch.
+
+    Brute-force analog of HittableList::Hit (Hittable.cuh:532-581), scanned in
+    blocks of ``block`` primitives.  Returns (hit[R], t[R], idx[R]).
+    """
+    org = jnp.asarray(org)
+    dirn = jnp.asarray(dirn)
+    prim_type = jnp.asarray(prim_type)
+    center = jnp.asarray(center)
+    size = jnp.asarray(size)
+    active = jnp.asarray(active)
+    n = prim_type.shape[0]
+    r = org.shape[0]
+    if t_max is None:
+        t_max = BIG
+    t_max = jnp.asarray(t_max, jnp.float32)
+
+    pad = (-n) % block
+    if pad:
+        prim_type = jnp.pad(prim_type, (0, pad))
+        center = jnp.pad(center, ((0, pad), (0, 0)))
+        size = jnp.pad(size, ((0, pad), (0, 0)), constant_values=1.0)
+        active = jnp.pad(active, (0, pad))
+    n_pad = n + pad
+    nblocks = n_pad // block
+
+    a_quad = dot(dirn, dirn)  # [R]
+
+    pt_blocks = prim_type.reshape(nblocks, block)
+    c_blocks = center.reshape(nblocks, block, 3)
+    s_blocks = size.reshape(nblocks, block, 2)
+    act_blocks = active.reshape(nblocks, block)
+
+    def body(carry, blk):
+        best_t, best_idx = carry
+        ptype_b, center_b, size_b, act_b, base = blk
+
+        is_sphere = ptype_b == SPHERE
+        sph_hit, sph_t = _sphere_block_t(
+            org, dirn, a_quad, center_b, size_b[:, 0], t_min, t_max
+        )
+        rect_hit, rect_t = _rect_block_t(
+            org, dirn, ptype_b, center_b, size_b, t_min, t_max
+        )
+        hit = jnp.where(is_sphere[None, :], sph_hit, rect_hit)
+        t = jnp.where(is_sphere[None, :], sph_t, rect_t)
+        hit = hit & act_b[None, :]
+        t = jnp.where(hit, t, BIG)
+
+        blk_t = jnp.min(t, axis=1)  # [R]
+        blk_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + base
+
+        closer = blk_t < best_t
+        best_t = jnp.where(closer, blk_t, best_t)
+        best_idx = jnp.where(closer, blk_arg, best_idx)
+        return (best_t, best_idx), None
+
+    init = (
+        jnp.full((r,), BIG, jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+    )
+    bases = jnp.arange(nblocks, dtype=jnp.int32) * block
+    (best_t, best_idx), _ = lax.scan(
+        body, init, (pt_blocks, c_blocks, s_blocks, act_blocks, bases)
+    )
+    # A hit must also beat the caller's t_max budget.
+    hit = (best_idx >= 0) & (best_t < t_max)
+    return hit, best_t, best_idx
+
+
+def make_hit_record(
+    org: jnp.ndarray,
+    dirn: jnp.ndarray,
+    hit: jnp.ndarray,
+    t: jnp.ndarray,
+    idx: jnp.ndarray,
+    prim_type: jnp.ndarray,
+    center: jnp.ndarray,
+    size: jnp.ndarray,
+) -> HitRecord:
+    """Reconstruct normal / uv / front_face for each ray's winning primitive.
+
+    Sphere branch follows Sphere::Hit + GetSphereUV (Hittable.cuh:90-125):
+    the sphere normal is the raw outward (p - c)/r WITHOUT face flipping;
+    the dielectric handles inside hits by sign tests, exactly as the
+    reference does.  Rect branches apply SetFaceNormal (Hittable.cuh:20-27).
+    """
+    org = jnp.asarray(org)
+    dirn = jnp.asarray(dirn)
+    prim_type = jnp.asarray(prim_type)
+    center = jnp.asarray(center)
+    size = jnp.asarray(size)
+    safe_idx = jnp.maximum(jnp.asarray(idx), 0)
+    ptype = prim_type[safe_idx]  # [R]
+    c = center[safe_idx]  # [R,3]
+    sz = size[safe_idx]  # [R,2]
+
+    point = org + t[:, None] * dirn  # [R,3]
+
+    # --- sphere branch ---
+    radius = sz[:, 0]
+    sph_normal = (point - c) / radius[:, None]
+    theta = jnp.arccos(jnp.clip(-sph_normal[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-sph_normal[:, 2], sph_normal[:, 0]) + PI
+    sph_u = phi / (2.0 * PI)
+    sph_v = theta / PI
+    sph_front = dot(dirn, sph_normal) < 0.0
+
+    # --- rect branch (vectorized across the 3 rect types) ---
+    k_ax = _K_AXIS[ptype]
+    a_ax = _A_AXIS[ptype]
+    b_ax = _B_AXIS[ptype]
+    rarange = jnp.arange(org.shape[0])
+    ext_a = sz[rarange, _A_EXT_COL[ptype]]
+    ext_b = sz[rarange, _B_EXT_COL[ptype]]
+    p_a = point[rarange, a_ax]
+    p_b = point[rarange, b_ax]
+    c_a = c[rarange, a_ax]
+    c_b = c[rarange, b_ax]
+    rect_u = (p_a - (c_a - 0.5 * ext_a)) / jnp.maximum(ext_a, 1e-12)
+    rect_v = (p_b - (c_b - 0.5 * ext_b)) / jnp.maximum(ext_b, 1e-12)
+    outward = jax.nn.one_hot(k_ax, 3, dtype=org.dtype)  # [R,3]
+    rect_front = dot(dirn, outward) < 0.0
+    rect_normal = jnp.where(rect_front[:, None], outward, -outward)
+
+    is_sphere = ptype == SPHERE
+    normal = jnp.where(is_sphere[:, None], sph_normal, rect_normal)
+    front = jnp.where(is_sphere, sph_front, rect_front)
+    u = jnp.where(is_sphere, sph_u, rect_u)
+    v = jnp.where(is_sphere, sph_v, rect_v)
+
+    return HitRecord(
+        hit=hit,
+        t=t,
+        prim=idx,
+        point=point,
+        normal=normal,
+        front_face=front,
+        u=u,
+        v=v,
+    )

@@ -1,0 +1,63 @@
+"""Texture evaluation over a ray batch.
+
+TPU-native analog of the reference's Texture tagged union with
+Constant/Checker/Image variants (reference:
+CudaRayTracer/src/Hittables/Texture.cuh:7-109).  Instead of pointer-union
+dispatch per CUDA thread, textures are SoA fields of the primitive table and
+all three variants are evaluated branch-free with masked selects (they are
+each a handful of VPU ops); image lookups gather from a fixed-capacity
+uint8 texture atlas resident on device.
+
+Texture type encoding (TextureType enum order, Texture.cuh:7-12):
+    0 = constant   (albedo)
+    1 = checker    (albedo = odd color, albedo2 = even color)
+    2 = image      (tex_id selects an atlas slot; albedo used as fallback)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+CONSTANT = 0
+CHECKER = 1
+IMAGE = 2
+
+# Reference returns cyan when an image texture has no data (Texture.cuh:88-89).
+_MISSING_IMAGE_COLOR = (0.0, 1.0, 1.0)
+
+
+def sample_texture(
+    tex_type: jnp.ndarray,  # i32[R] (already gathered per-ray)
+    albedo: jnp.ndarray,  # f32[R,3] constant color / checker odd color
+    albedo2: jnp.ndarray,  # f32[R,3] checker even color
+    tex_id: jnp.ndarray,  # i32[R] atlas slot, -1 = no image data
+    u: jnp.ndarray,  # f32[R]
+    v: jnp.ndarray,  # f32[R]
+    p: jnp.ndarray,  # f32[R,3] hit point (checker is solid/3D)
+    atlas: jnp.ndarray,  # uint8[S,AH,AW,3] image atlas
+    tex_hw: jnp.ndarray,  # i32[S,2] valid (height,width) per slot
+) -> jnp.ndarray:
+    """Albedo color for each ray's hit, f32[R,3]."""
+    # --- checker (Texture.cuh:58-67): sin(10x)sin(10y)sin(10z) sign picks odd/even
+    sines = jnp.sin(10.0 * p[:, 0]) * jnp.sin(10.0 * p[:, 1]) * jnp.sin(10.0 * p[:, 2])
+    checker = jnp.where((sines < 0.0)[:, None], albedo, albedo2)
+
+    # --- image (Texture.cuh:81-105): clamp u, flip v, nearest-neighbor lookup
+    slot = jnp.maximum(tex_id, 0)
+    hw = tex_hw[slot]  # [R,2]
+    h = hw[:, 0]
+    w = hw[:, 1]
+    uu = jnp.clip(u, 0.0, 1.0)
+    vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+    i = jnp.minimum((uu * w.astype(u.dtype)).astype(jnp.int32), w - 1)
+    j = jnp.minimum((vv * h.astype(u.dtype)).astype(jnp.int32), h - 1)
+    i = jnp.maximum(i, 0)
+    j = jnp.maximum(j, 0)
+    texel = atlas[slot, j, i].astype(jnp.float32) * (1.0 / 255.0)  # [R,3]
+    missing = jnp.asarray(_MISSING_IMAGE_COLOR, jnp.float32)
+    image = jnp.where((tex_id >= 0)[:, None], texel, missing[None, :])
+
+    out = albedo
+    out = jnp.where((tex_type == CHECKER)[:, None], checker, out)
+    out = jnp.where((tex_type == IMAGE)[:, None], image, out)
+    return out
