@@ -88,15 +88,20 @@ def make_camera_params(
 
 
 def generate_rays_two_plane(
-    cam: CameraParams, width: int, height: int, key: jax.Array
+    cam: CameraParams, width: int, height: int, key: jax.Array,
+    y0=0, tile_h: int | None = None,
 ):
     """Jittered primary rays, reference two-plane model (Kernel.cu:130-148).
 
-    Returns (org[R,3], dir[R,3]) with R = width*height, row-major pixels.
+    Returns (org[R,3], dir[R,3]) with R = width*tile_h, row-major pixels.
+    ``y0``/``tile_h`` select a horizontal band of the image (for multi-chip
+    row sharding); coordinates stay in the full-image frame.
     """
+    if tile_h is None:
+        tile_h = height
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
-    y = jnp.arange(height, dtype=jnp.float32)[:, None]
-    xi = jax.random.uniform(key, (2, height, width))
+    y = (jnp.arange(tile_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
+    xi = jax.random.uniform(key, (2, tile_h, width))
     # u,v both divided by WIDTH, v measured downward from the image center
     # (Kernel.cu:139-140).
     u = ((x - width / 2.0) + xi[0]) / width  # [H,W]
@@ -107,18 +112,21 @@ def generate_rays_two_plane(
     start = cam.near * dist + cam.origin + cam.fov * cam.forward
     second = cam.far * dist + (1.0 / cam.fov * 10.0) * cam.forward + cam.origin
     dirn = normalize(second - start)
-    r = width * height
+    r = width * tile_h
     return start.reshape(r, 3), dirn.reshape(r, 3)
 
 
 def generate_rays_look_at(
-    cam: CameraParams, width: int, height: int, key: jax.Array
+    cam: CameraParams, width: int, height: int, key: jax.Array,
+    y0=0, tile_h: int | None = None,
 ):
     """Jittered primary rays, standard RTOW thin-lens camera.
 
     forward/up/fov/aperture/focus_dist are read from ``cam``; fov is the
     vertical field of view.  Supports defocus blur when aperture > 0.
     """
+    if tile_h is None:
+        tile_h = height
     kj, ka = jax.random.split(key)
     aspect = width / height
     half_h = jnp.tan(cam.fov / 2.0)
@@ -133,8 +141,8 @@ def generate_rays_look_at(
     v_axis = cross(w, u_axis)
 
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
-    y = jnp.arange(height, dtype=jnp.float32)[:, None]
-    xi = jax.random.uniform(kj, (2, height, width))
+    y = (jnp.arange(tile_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
+    xi = jax.random.uniform(kj, (2, tile_h, width))
     s = (x + xi[0]) / width  # [H,W] in [0,1)
     t = (height - 1.0 - y + xi[1]) / height  # image row 0 = top of screen
 
@@ -147,14 +155,14 @@ def generate_rays_look_at(
     horizontal = 2.0 * half_w * cam.focus_dist * u_axis
     vertical = 2.0 * half_h * cam.focus_dist * v_axis
 
-    lens = (cam.aperture / 2.0) * rngu.in_unit_disk(ka, (height, width))  # [H,W,3]
+    lens = (cam.aperture / 2.0) * rngu.in_unit_disk(ka, (tile_h, width))  # [H,W,3]
     offset = lens[..., 0:1] * u_axis + lens[..., 1:2] * v_axis
 
     org = cam.origin + offset
     target = lower_left + s[..., None] * horizontal + t[..., None] * vertical
     dirn = target - org
-    r = width * height
-    org = jnp.broadcast_to(org, (height, width, 3))
+    r = width * tile_h
+    org = jnp.broadcast_to(org, (tile_h, width, 3))
     return org.reshape(r, 3), dirn.reshape(r, 3)
 
 

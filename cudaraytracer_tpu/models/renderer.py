@@ -45,8 +45,10 @@ def trace(
     t_min: float = 0.001,
     block: int = 64,
     hit_fn: Callable | None = None,
-) -> jnp.ndarray:
-    """Trace a ray wavefront to completion; returns radiance f32[R,3].
+    with_stats: bool = False,
+):
+    """Trace a ray wavefront to completion; returns radiance f32[R,3]
+    (plus the number of rays traced — primary + bounces — if with_stats).
 
     Faithful to color() (Kernel.cu:30-80): miss -> sky gradient * throughput;
     diffuse light -> emitted * throughput, terminate; scatter failure ->
@@ -63,11 +65,12 @@ def trace(
             )
 
     def cond(carry):
-        _, _, _, _, alive, bounce = carry
+        _, _, _, _, alive, bounce, _ = carry
         return (bounce < max_depth) & jnp.any(alive)
 
     def body(carry):
-        org, dirn, throughput, radiance, alive, bounce = carry
+        org, dirn, throughput, radiance, alive, bounce, nrays = carry
+        nrays = nrays + jnp.sum(alive, dtype=jnp.float32)
         bkey = rngu.bounce_key(key, bounce)
         k_sphere, k_uniform = jax.random.split(bkey)
 
@@ -107,17 +110,20 @@ def trace(
         dirn = jnp.where(cont[:, None], sc.direction, dirn)
         throughput = jnp.where(cont[:, None], throughput * sc.attenuation, throughput)
 
-        return org, dirn, throughput, radiance, cont, bounce + 1
+        return org, dirn, throughput, radiance, cont, bounce + 1, nrays
 
     init = (
         org,
         dirn,
-        jnp.ones((r, 3), jnp.float32),
-        jnp.zeros((r, 3), jnp.float32),
-        jnp.ones((r,), bool),
+        jnp.ones_like(org),
+        jnp.zeros_like(org),
+        jnp.full_like(org[:, 0], True, dtype=bool),
         jnp.int32(0),
+        jnp.zeros_like(org[0, 0]),
     )
-    *_, radiance, _, _ = lax.while_loop(cond, body, init)
+    _, _, _, radiance, _, _, nrays = lax.while_loop(cond, body, init)
+    if with_stats:
+        return radiance, nrays
     return radiance
 
 
@@ -134,27 +140,43 @@ def render_radiance(
     t_min: float = 0.001,
     block: int = 64,
     hit_fn: Callable | None = None,
-) -> jnp.ndarray:
-    """Sum of ``spp`` radiance samples, f32[H,W,3] (divide by spp to display).
+    y0=0,
+    tile_h: int | None = None,
+    sample_offset=0,
+    with_stats: bool = False,
+):
+    """Sum of ``spp`` radiance samples, f32[tile_h,W,3] (divide by spp to display).
 
     The sample loop is the analog of the spp loop in the megakernel
     (Kernel.cu:137-148) but sequential over full-frame wavefronts; spp is a
-    traced scalar so the UI slider costs no recompile.
+    traced scalar so the UI slider costs no recompile.  ``y0``/``tile_h``
+    render a horizontal band (multi-chip row sharding); ``sample_offset``
+    shifts the sample counter so sample-sharded chips draw disjoint streams.
     """
+    if tile_h is None:
+        tile_h = height
     raygen = RAY_GENERATORS[camera_model]
     spp = jnp.asarray(spp, jnp.int32)
 
-    def sample_body(s, acc):
-        skey = rngu.frame_key(key, s)
+    def sample_body(s, carry):
+        acc, total = carry
+        skey = rngu.frame_key(key, s + sample_offset)
+        # fold the row band in so tiles draw independent jitter streams
+        skey = jax.random.fold_in(skey, jnp.asarray(y0, jnp.int32))
         k_pix, k_trace = jax.random.split(skey)
-        org, dirn = raygen(cam, width, height, k_pix)
-        rad = trace(
+        org, dirn = raygen(cam, width, height, k_pix, y0=y0, tile_h=tile_h)
+        rad, nrays = trace(
             scene, org, dirn, k_trace, max_depth,
-            t_min=t_min, block=block, hit_fn=hit_fn,
+            t_min=t_min, block=block, hit_fn=hit_fn, with_stats=True,
         )
-        return acc + rad.reshape(height, width, 3)
+        return acc + rad.reshape(tile_h, width, 3), total + nrays
 
-    acc = lax.fori_loop(0, spp, sample_body, jnp.zeros((height, width, 3), jnp.float32))
+    acc, total = lax.fori_loop(
+        0, spp, sample_body,
+        (jnp.zeros((tile_h, width, 3), jnp.float32), jnp.float32(0.0)),
+    )
+    if with_stats:
+        return acc, total
     return acc
 
 
@@ -173,32 +195,38 @@ class Renderer:
         camera_model: str = "two_plane",
         t_min: float = 0.001,
         block: int = 64,
-        hit_fn_factory: Callable | None = None,
+        accel: str = "brute",
     ):
         self.width = int(width)
         self.height = int(height)
         self.camera_model = camera_model
         self.t_min = t_min
         self.block = block
-        self._hit_fn_factory = hit_fn_factory
+        self.accel = accel
 
-        @functools.partial(jax.jit, donate_argnums=())
-        def _render(scene, cam, key, spp, max_depth):
-            hit_fn = None
-            if self._hit_fn_factory is not None:
-                hit_fn = self._hit_fn_factory(scene)
+        def _make_hit_fn(scene, bvh):
+            if bvh is None:
+                return None
+            from .bvh import make_bvh_hit_fn
+
+            return make_bvh_hit_fn(bvh, scene, t_min=self.t_min)
+
+        @functools.partial(jax.jit, static_argnames=("with_stats",))
+        def _render(scene, bvh, cam, key, spp, max_depth, with_stats=False):
             return render_radiance(
                 scene, cam, key, spp, max_depth,
                 width=self.width, height=self.height,
                 camera_model=self.camera_model,
-                t_min=self.t_min, block=self.block, hit_fn=hit_fn,
+                t_min=self.t_min, block=self.block,
+                hit_fn=_make_hit_fn(scene, bvh),
+                with_stats=with_stats,
             )
 
         self._render = _render
 
         @jax.jit
-        def _accumulate(scene, cam, key, max_depth, accum):
-            rad = self._render(scene, cam, key, 1, max_depth)
+        def _accumulate(scene, bvh, cam, key, max_depth, accum):
+            rad = _render(scene, bvh, cam, key, 1, max_depth)
             return accum + rad
 
         self._accumulate = _accumulate
@@ -206,19 +234,24 @@ class Renderer:
         self._tonemap = jax.jit(tonemap)
 
     # ------------------------------------------------------------- API
-    def render(self, scene, cam, key, spp=36, max_depth=12):
-        """Radiance sum over spp samples, f32[H,W,3] (device array)."""
-        return self._render(scene, cam, key, spp, max_depth)
+    def render(self, scene, cam, key, spp=36, max_depth=12, bvh=None, with_stats=False):
+        """Radiance sum over spp samples, f32[H,W,3] (device array).
 
-    def render_rgba8(self, scene, cam, key, spp=36, max_depth=12):
+        Pass ``bvh`` (models.bvh.BVHData) to use accelerated traversal; it
+        is a traced argument, so per-edit rebuilds never recompile (the
+        analog of the reference's rebuild-on-drag, CudaLayer.cpp:491-556).
+        """
+        return self._render(scene, bvh, cam, key, spp, max_depth, with_stats=with_stats)
+
+    def render_rgba8(self, scene, cam, key, spp=36, max_depth=12, bvh=None):
         """Full frame to display bytes, uint8[H,W,4] — the analog of one
         LaunchKernel + RgbToInt frame (Kernel.cu:102-158)."""
-        rad = self._render(scene, cam, key, spp, max_depth)
+        rad = self._render(scene, bvh, cam, key, spp, max_depth)
         return self._pack(rad, spp)
 
-    def accumulate(self, scene, cam, key, max_depth, accum):
+    def accumulate(self, scene, cam, key, max_depth, accum, bvh=None):
         """One progressive 1-spp sample added into ``accum`` (f32[H,W,3])."""
-        return self._accumulate(scene, cam, key, max_depth, accum)
+        return self._accumulate(scene, bvh, cam, key, max_depth, accum)
 
     def zeros_accum(self):
         return jnp.zeros((self.height, self.width, 3), jnp.float32)

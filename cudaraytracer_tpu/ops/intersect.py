@@ -208,9 +208,11 @@ def hit_scene(
         best_idx = jnp.where(closer, blk_arg, best_idx)
         return (best_t, best_idx), None
 
+    # derive the init from the ray arrays so it inherits any mesh-varying
+    # axes when running inside shard_map
     init = (
-        jnp.full((r,), BIG, jnp.float32),
-        jnp.full((r,), -1, jnp.int32),
+        jnp.full_like(org[:, 0], BIG),
+        jnp.full_like(org[:, 0], -1, dtype=jnp.int32),
     )
     bases = jnp.arange(nblocks, dtype=jnp.int32) * block
     (best_t, best_idx), _ = lax.scan(

@@ -1,1 +1,3 @@
-__all__ = []
+from .tiling import ShardedRenderer, make_mesh, render_sharded
+
+__all__ = ["ShardedRenderer", "make_mesh", "render_sharded"]

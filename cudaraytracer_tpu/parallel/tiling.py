@@ -1,0 +1,142 @@
+"""Multi-chip rendering: shard the pixel grid and sample stream over a mesh.
+
+The reference is strictly single-GPU — its only parallelism is one CUDA
+thread per pixel (reference: CudaRayTracer/src/Cuda/Kernel.cu:102-158,
+183-184) and it has no distributed communication at all (SURVEY.md §2.7).
+This module is the TPU-native scaling story that takes its place:
+
+  * a 2D ``jax.sharding.Mesh`` with axes ``("rows", "samples")``;
+  * the image is split into horizontal bands over the ``rows`` axis (data
+    parallelism over pixels — each chip traces its own wavefront, zero
+    communication during the bounce loop);
+  * samples-per-pixel are split over the ``samples`` axis (sample
+    parallelism — independent Monte-Carlo streams), combined with a single
+    ``psum`` over ICI at frame assembly;
+  * the scene and camera are tiny and replicated on every chip.
+
+Communication cost per frame is exactly one psum of the local framebuffer
+band over the ``samples`` axis — everything else rides on-chip.  With a
+``samples`` axis of size 1 it degrades to pure row-banding with no
+collectives, which is the ideal layout when HBM per chip allows it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.renderer import render_radiance
+
+
+def make_mesh(n_rows: int | None = None, n_samples: int = 1, devices=None) -> Mesh:
+    """Build a ("rows", "samples") mesh over the available devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_rows is None:
+        n_rows = n // n_samples
+    if n_rows * n_samples != n:
+        raise ValueError(f"{n_rows}x{n_samples} mesh != {n} devices")
+    arr = np.asarray(devices).reshape(n_rows, n_samples)
+    return Mesh(arr, ("rows", "samples"))
+
+
+def render_sharded(
+    scene,
+    cam,
+    key,
+    spp,
+    max_depth,
+    *,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    camera_model: str = "two_plane",
+    t_min: float = 0.001,
+    block: int = 64,
+    hit_fn=None,
+) -> jnp.ndarray:
+    """Render one frame over the mesh; returns replicated f32[H,W,3] radiance.
+
+    ``spp`` must be divisible by the samples axis; ``height`` by the rows
+    axis.  The result is the SUM over spp samples (divide to display), same
+    contract as models.renderer.render_radiance.
+    """
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape["samples"]
+    if height % n_rows:
+        raise ValueError(f"height {height} not divisible by rows axis {n_rows}")
+    tile_h = height // n_rows
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P("rows", None, None),
+        # loop carries inside trace() mix replicated inits with axis_index-
+        # varying ray data; the computation is correct (scene replicated,
+        # rays per-device), so skip the varying-manual-axes bookkeeping
+        check_vma=False,
+    )
+    def _local(scene, cam, key, spp, max_depth):
+        ri = lax.axis_index("rows")
+        si = lax.axis_index("samples")
+        local_spp = spp // n_samp
+        rad = render_radiance(
+            scene, cam, key, local_spp, max_depth,
+            width=width, height=height, camera_model=camera_model,
+            t_min=t_min, block=block, hit_fn=hit_fn,
+            y0=ri * tile_h, tile_h=tile_h,
+            sample_offset=si * local_spp,
+        )
+        # one collective per frame: combine the sample-parallel streams
+        rad = lax.psum(rad, "samples")
+        return rad
+
+    spp = jnp.asarray(spp, jnp.int32)
+    max_depth = jnp.asarray(max_depth, jnp.int32)
+    return _local(scene, cam, key, spp, max_depth)
+
+
+class ShardedRenderer:
+    """Jit-compiled multi-chip frame renderer (the scaling analog of
+    models.renderer.Renderer)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        mesh: Mesh | None = None,
+        n_samples_axis: int = 1,
+        camera_model: str = "two_plane",
+        t_min: float = 0.001,
+        block: int = 64,
+    ):
+        self.width = int(width)
+        self.height = int(height)
+        self.mesh = mesh if mesh is not None else make_mesh(n_samples=n_samples_axis)
+        self.camera_model = camera_model
+
+        @jax.jit
+        def _render(scene, cam, key, spp, max_depth):
+            return render_sharded(
+                scene, cam, key, spp, max_depth,
+                width=self.width, height=self.height, mesh=self.mesh,
+                camera_model=self.camera_model, t_min=t_min, block=block,
+            )
+
+        self._render = _render
+
+    def render(self, scene, cam, key, spp=36, max_depth=12):
+        return self._render(scene, cam, key, spp, max_depth)
+
+    def replicate(self, tree):
+        """Place a host pytree on the mesh fully replicated."""
+        sharding = NamedSharding(self.mesh, P())
+        return jax.device_put(tree, sharding)

@@ -22,7 +22,7 @@ def test_empty_scene_is_exact_sky():
     # with no geometry every ray returns throughput * sky exactly
     from cudaraytracer_tpu.models.camera import generate_rays_two_plane
 
-    skey = rngu.frame_key(key, 0)
+    skey = jax.random.fold_in(rngu.frame_key(key, 0), 0)
     k_pix, _ = jax.random.split(skey)
     _, dirn = generate_rays_two_plane(cam, 16, 16, k_pix)
     expect = np.asarray(sky_color(dirn, sd.background_start, sd.background_end))
