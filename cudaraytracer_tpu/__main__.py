@@ -1,0 +1,106 @@
+"""CLI entry: render offline, serve the interactive viewer, or bench.
+
+The reference's entry is Main.cpp:5-15 (init log, construct Application,
+run).  This adds the config/flag layer the reference lacks (SURVEY.md §5).
+
+  python -m cudaraytracer_tpu render --scene rtow_final -o out.png
+  python -m cudaraytracer_tpu serve --port 8000
+  python -m cudaraytracer_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import config as config_mod
+from .utils import logging as rtlog
+
+
+def cmd_render(cfg, args):
+    import jax
+
+    from .utils.image import save_png
+    from .viewer.app import Application
+
+    app = Application(cfg)
+    rl = app.setup_default_layers()
+    rtlog.rt_info("Rendering %d frame(s) of %d spp on %s ...",
+                  args.frames, 1 if cfg.progressive else cfg.spp, jax.default_backend())
+    t0 = time.perf_counter()
+    app.run(max_frames=args.frames)
+    dt = time.perf_counter() - t0
+    rtlog.rt_info("Done: %.1f ms/frame, accumulated %d spp",
+                  dt / args.frames * 1000, rl._spp_done)
+    save_png(args.output, rl.framebuffer_rgba8(), flip_vertical=False)
+    rtlog.rt_info("Wrote %s", args.output)
+    app.close()
+
+
+def cmd_serve(cfg, args):
+    from .viewer.app import Application
+    from .viewer.server import ViewerServer
+
+    app = Application(cfg)
+    app.setup_default_layers()
+    server = ViewerServer(app, host=args.host, port=args.port)
+    server.start()
+    try:
+        app.run()  # progressive forever; browser drives edits/camera
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+        app.close()
+
+
+def cmd_bench(cfg, args):
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cudaraytracer_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_render = sub.add_parser("render", help="offline render to PNG")
+    config_mod.add_arguments(p_render)
+    p_render.add_argument("-o", "--output", default="render.png")
+    p_render.add_argument("--frames", type=int, default=None,
+                          help="progressive frames (default: spp)")
+    p_render.add_argument("--cpu", action="store_true")
+
+    p_serve = sub.add_parser("serve", help="interactive viewer")
+    config_mod.add_arguments(p_serve)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--cpu", action="store_true")
+
+    p_bench = sub.add_parser("bench", help="run the headline benchmark")
+
+    args = parser.parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    rtlog.init()
+    if args.cmd == "bench":
+        return cmd_bench(None, args)
+    cfg = config_mod.from_args(args)
+    config_mod.apply_debug_flags(cfg)
+    if args.cmd == "render":
+        if args.frames is None:
+            args.frames = cfg.spp if cfg.progressive else 1
+        return cmd_render(cfg, args)
+    if args.cmd == "serve":
+        return cmd_serve(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,20 +46,25 @@ def _leaf_prim_t(org, dirn, a_quad, ptype, center, size, t_min, t_max):
     sph_hit = has_root & (t0_ok | t1_ok)
 
     # ---- rect (any orientation) ----
-    r_idx = jnp.arange(org.shape[0])
+    # one-hot multiply-sum instead of pairwise [R]-index gathers (slow on TPU)
     k_ax = _K_AXIS[ptype]
     a_ax = _A_AXIS[ptype]
     b_ax = _B_AXIS[ptype]
-    half_a = 0.5 * size[r_idx, _A_EXT_COL[ptype]]
-    half_b = 0.5 * size[r_idx, _B_EXT_COL[ptype]]
-    o_k = org[r_idx, k_ax]
-    d_k = dirn[r_idx, k_ax]
-    c_k = center[r_idx, k_ax]
+    axes3 = jnp.arange(3, dtype=jnp.int32)
+    k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [R,3]
+    a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)
+    b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
+    ea_col = _A_EXT_COL[ptype]
+    half_a = 0.5 * jnp.where(ea_col == 0, size[:, 0], size[:, 1])
+    half_b = 0.5 * jnp.where(ea_col == 0, size[:, 1], size[:, 0])
+    o_k = jnp.sum(org * k_oh, axis=-1)
+    d_k = jnp.sum(dirn * k_oh, axis=-1)
+    c_k = jnp.sum(center * k_oh, axis=-1)
     t = (c_k - o_k) / d_k
-    p_a = org[r_idx, a_ax] + t * dirn[r_idx, a_ax]
-    p_b = org[r_idx, b_ax] + t * dirn[r_idx, b_ax]
-    in_a = jnp.abs(p_a - center[r_idx, a_ax]) <= half_a
-    in_b = jnp.abs(p_b - center[r_idx, b_ax]) <= half_b
+    p_a = jnp.sum(org * a_oh, axis=-1) + t * jnp.sum(dirn * a_oh, axis=-1)
+    p_b = jnp.sum(org * b_oh, axis=-1) + t * jnp.sum(dirn * b_oh, axis=-1)
+    in_a = jnp.abs(p_a - jnp.sum(center * a_oh, axis=-1)) <= half_a
+    in_b = jnp.abs(p_b - jnp.sum(center * b_oh, axis=-1)) <= half_b
     rect_hit = (t > t_min) & (t < t_max) & in_a & in_b
 
     is_sphere = ptype == SPHERE

@@ -119,20 +119,32 @@ def _rect_block_t(org, dirn, ptype_b, center_b, size_b, t_min, t_max):
     k_ax = _K_AXIS[ptype_b]  # [B]
     a_ax = _A_AXIS[ptype_b]
     b_ax = _B_AXIS[ptype_b]
-    half_a = 0.5 * jnp.take_along_axis(size_b, _A_EXT_COL[ptype_b][:, None], axis=1)[:, 0]
-    half_b = 0.5 * jnp.take_along_axis(size_b, _B_EXT_COL[ptype_b][:, None], axis=1)[:, 0]
+    ea_col = _A_EXT_COL[ptype_b]  # [B] in {0,1}
+    half_a = 0.5 * jnp.where(ea_col == 0, size_b[:, 0], size_b[:, 1])
+    half_b = 0.5 * jnp.where(ea_col == 0, size_b[:, 1], size_b[:, 0])
 
-    barange = jnp.arange(center_b.shape[0])
-    c_k = center_b[barange, k_ax]  # [B]
-    c_a = center_b[barange, a_ax]
-    c_b = center_b[barange, b_ax]
+    # per-prim axis selection via one-hot [B,3] masks; ray components are
+    # extracted with [R,3]@[3,B] matmuls (MXU) instead of [R,B] gathers,
+    # which lower to slow scatter/gather loops on TPU
+    axes3 = jnp.arange(3, dtype=jnp.int32)
+    k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [B,3]
+    a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)
+    b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
 
-    o_k = org[:, k_ax]  # [R,B] gather of a column per prim
-    d_k = dirn[:, k_ax]
+    c_k = jnp.sum(center_b * k_oh, axis=-1)  # [B]
+    c_a = jnp.sum(center_b * a_oh, axis=-1)
+    c_b = jnp.sum(center_b * b_oh, axis=-1)
+
+    o_k = jnp.dot(org, k_oh.T, preferred_element_type=jnp.float32)  # [R,B]
+    d_k = jnp.dot(dirn, k_oh.T, preferred_element_type=jnp.float32)
     t = (c_k[None, :] - o_k) / d_k  # [R,B]
 
-    p_a = org[:, a_ax] + t * dirn[:, a_ax]
-    p_b = org[:, b_ax] + t * dirn[:, b_ax]
+    o_a = jnp.dot(org, a_oh.T, preferred_element_type=jnp.float32)
+    d_a = jnp.dot(dirn, a_oh.T, preferred_element_type=jnp.float32)
+    o_b = jnp.dot(org, b_oh.T, preferred_element_type=jnp.float32)
+    d_b = jnp.dot(dirn, b_oh.T, preferred_element_type=jnp.float32)
+    p_a = o_a + t * d_a
+    p_b = o_b + t * d_b
 
     in_a = jnp.abs(p_a - c_a[None, :]) <= half_a[None, :]
     in_b = jnp.abs(p_b - c_b[None, :]) <= half_b[None, :]
@@ -262,19 +274,27 @@ def make_hit_record(
     sph_front = dot(dirn, sph_normal) < 0.0
 
     # --- rect branch (vectorized across the 3 rect types) ---
+    # Per-ray axis selection is done with one-hot masks + multiply-sum
+    # instead of [R]-indexed fancy gathers: pairwise gathers lower to very
+    # slow scatter/gather loops on TPU (measured ~100ms/frame at 720p),
+    # while these are a handful of fused VPU ops.
     k_ax = _K_AXIS[ptype]
     a_ax = _A_AXIS[ptype]
     b_ax = _B_AXIS[ptype]
-    rarange = jnp.arange(org.shape[0])
-    ext_a = sz[rarange, _A_EXT_COL[ptype]]
-    ext_b = sz[rarange, _B_EXT_COL[ptype]]
-    p_a = point[rarange, a_ax]
-    p_b = point[rarange, b_ax]
-    c_a = c[rarange, a_ax]
-    c_b = c[rarange, b_ax]
+    axes3 = jnp.arange(3, dtype=jnp.int32)
+    a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [R,3]
+    b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
+    k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)
+    ea_col = _A_EXT_COL[ptype]  # [R] in {0,1}
+    ext_a = jnp.where(ea_col == 0, sz[:, 0], sz[:, 1])
+    ext_b = jnp.where(ea_col == 0, sz[:, 1], sz[:, 0])
+    p_a = jnp.sum(point * a_oh, axis=-1)
+    p_b = jnp.sum(point * b_oh, axis=-1)
+    c_a = jnp.sum(c * a_oh, axis=-1)
+    c_b = jnp.sum(c * b_oh, axis=-1)
     rect_u = (p_a - (c_a - 0.5 * ext_a)) / jnp.maximum(ext_a, 1e-12)
     rect_v = (p_b - (c_b - 0.5 * ext_b)) / jnp.maximum(ext_b, 1e-12)
-    outward = jax.nn.one_hot(k_ax, 3, dtype=org.dtype)  # [R,3]
+    outward = k_oh
     rect_front = dot(dirn, outward) < 0.0
     rect_normal = jnp.where(rect_front[:, None], outward, -outward)
 

@@ -1,0 +1,589 @@
+"""Pallas TPU megakernel: full path trace of a pixel tile in VMEM.
+
+This is the TPU-native answer to the reference's CUDA megakernel
+(reference: CudaRayTracer/src/Cuda/Kernel.cu:102-158): one kernel does ray
+generation, the bounce loop, intersection, shading, and sky — but instead
+of one thread per pixel it processes a whole (TH x W) pixel tile per grid
+step with every per-ray quantity living in VMEM for the kernel's lifetime.
+The XLA wavefront path (models/renderer.py) round-trips ~20 [R,B] buffers
+through HBM per bounce; this kernel's only HBM traffic is the final
+radiance write, so it is compute- rather than bandwidth-bound.
+
+Acceleration: primitives are Morton-sorted on the host and grouped into
+fixed-size clusters with precomputed AABBs.  Each bounce tests the tile's
+rays against every cluster AABB (a handful of VPU ops each) and skips the
+whole cluster's primitive loop with a scalar `@pl.when` unless SOME live
+ray hits it.  This is tile-coherent culling: the TPU-idiomatic replacement
+for per-ray BVH descent (reference Hittable.cuh:387-439) — no per-lane
+stacks and no gathers, just predicated straight-line code.  Primary rays
+and sky tiles skip almost everything; the tile also exits the bounce loop
+as soon as every one of its rays has terminated.
+
+RNG is the hardware PRNG (pltpu.prng_*), seeded per (tile, sample); the
+closed-form unit-sphere sampling matches utils/rng.py semantics.
+
+Limitation (documented): image textures are not sampled in-kernel (their
+random atlas gathers don't vectorize); scenes that use IMAGE textures
+fall back to the XLA path — constant + checker cover the reference's
+default world and the RTOW benchmark scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ----------------------------------------------------------------- tables
+# Search table S: f32[16, NP] — one column per primitive (Morton-sorted).
+S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
+    S_AAX, S_BAX, S_ACTIVE, S_RINV, S_UNUSED = range(16)
+# Payload table P: f32[16, NP] — attributes of the winning primitive.
+P_MAT, P_FUZZ, P_IOR, P_LIGHT, P_TEX, P_ALR, P_ALG, P_ALB, \
+    P_A2R, P_A2G, P_A2B, P_CX, P_CY, P_CZ, P_RINV, P_PTYPE = range(16)
+
+CLUSTER = 32  # primitives per cluster
+DEF_TILE_H = 8
+BIG = 3.0e38
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton code from normalized [0,1) centroid coords."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x30000FF)
+        v = (v | (v << 8)) & np.uint64(0x300F00F)
+        v = (v | (v << 4)) & np.uint64(0x30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x9249249)
+        return v
+
+    q = np.clip((x * 1024).astype(np.int64), 0, 1023)
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def pack_scene_tables(scene):
+    """Host-side packing of the ACTIVE primitives into kernel tables.
+
+    Returns (S f32[16,NP], P f32[16,NP], clusters f32[6,NC], n_clusters)
+    as NumPy arrays, Morton-ordered and padded to a multiple of CLUSTER.
+    Rebuild per scene edit — kilobytes of upload, no recompilation (NP is
+    padded to the scene's fixed capacity).
+    """
+    from ...models.bvh import primitive_aabbs
+
+    idx = scene.active_indices()
+    cap = max(scene.capacity, CLUSTER)
+    npad = ((cap + CLUSTER - 1) // CLUSTER) * CLUSTER
+
+    S = np.zeros((16, npad), np.float32)
+    P = np.zeros((16, npad), np.float32)
+    # harmless defaults for padding lanes
+    S[S_R2, :] = 1.0
+    S[S_RINV, :] = 1.0
+
+    n = len(idx)
+    nc = max(1, (n + CLUSTER - 1) // CLUSTER)
+    clusters = np.zeros((6, max(1, npad // CLUSTER)), np.float32)
+    clusters[0:3, :] = BIG  # empty clusters can never be hit
+    clusters[3:6, :] = -BIG
+
+    if n:
+        bmin, bmax = primitive_aabbs(scene, idx)
+        cent = 0.5 * (bmin + bmax)
+        span = cent.max(0) - cent.min(0)
+        norm = (cent - cent.min(0)) / np.where(span > 0, span, 1.0)
+        order = np.argsort(_morton3(norm), kind="stable")
+        idx = idx[order]
+        bmin, bmax = bmin[order], bmax[order]
+
+        t = scene.prim_type[idx].astype(np.int64)
+        c = scene.center[idx]
+        sz = scene.size[idx]
+        k_ax = np.choose(t, [0, 2, 1, 0])
+        a_ax = np.choose(t, [0, 0, 0, 1])
+        b_ax = np.choose(t, [0, 1, 2, 2])
+        ea = np.choose(t, [0, 0, 0, 1])
+        rows = np.arange(n)
+        S[S_CX, :n], S[S_CY, :n], S[S_CZ, :n] = c[:, 0], c[:, 1], c[:, 2]
+        S[S_R2, :n] = sz[:, 0] * sz[:, 0]
+        S[S_PTYPE, :n] = t
+        S[S_KAX, :n] = k_ax
+        S[S_AAX, :n] = a_ax
+        S[S_BAX, :n] = b_ax
+        S[S_CK, :n] = c[rows, k_ax]
+        S[S_CA, :n] = c[rows, a_ax]
+        S[S_CB, :n] = c[rows, b_ax]
+        S[S_HA, :n] = 0.5 * np.where(ea == 0, sz[:, 0], sz[:, 1])
+        S[S_HB, :n] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
+        S[S_ACTIVE, :n] = 1.0
+        S[S_RINV, :n] = 1.0 / np.where(sz[:, 0] != 0, sz[:, 0], 1.0)
+
+        P[P_MAT, :n] = scene.mat_type[idx]
+        P[P_FUZZ, :n] = scene.fuzz[idx]
+        P[P_IOR, :n] = scene.ior[idx]
+        P[P_LIGHT, :n] = scene.light[idx]
+        P[P_TEX, :n] = scene.tex_type[idx]
+        P[P_ALR, :n], P[P_ALG, :n], P[P_ALB, :n] = scene.albedo[idx].T
+        P[P_A2R, :n], P[P_A2G, :n], P[P_A2B, :n] = scene.albedo2[idx].T
+        P[P_CX, :n], P[P_CY, :n], P[P_CZ, :n] = c.T
+        P[P_RINV, :n] = S[S_RINV, :n]
+        P[P_PTYPE, :n] = t
+
+        for ci in range(nc):
+            lo, hi = ci * CLUSTER, min(n, (ci + 1) * CLUSTER)
+            clusters[0:3, ci] = bmin[lo:hi].min(0)
+            clusters[3:6, ci] = bmax[lo:hi].max(0)
+
+    return S, P, clusters, nc
+
+
+def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
+    """Flatten CameraParams + sky into the f32[32] uniform vector the kernel
+    reads from SMEM (the analog of InputStruct, SharedStructs.h:3-24)."""
+    from ...utils.vec import cross, normalize
+
+    w_axis = normalize(-cam.forward)
+    world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    u_axis = normalize(cross(world_up, w_axis))
+    v_axis = cross(w_axis, u_axis)
+    half_h = jnp.tan(cam.fov / 2.0)
+    half_w = (width / height) * half_h
+    lower_left = (
+        cam.origin
+        - half_w * cam.focus_dist * u_axis
+        - half_h * cam.focus_dist * v_axis
+        - cam.focus_dist * w_axis
+    )
+    horizontal = 2.0 * half_w * cam.focus_dist * u_axis
+    vertical = 2.0 * half_h * cam.focus_dist * v_axis
+
+    # two-plane model vectors (reference Kernel.cu:130-148)
+    right_tp = normalize(cross(cam.up, cam.forward))
+
+    vec = jnp.concatenate([
+        cam.origin,  # 0:3
+        lower_left,  # 3:6
+        horizontal,  # 6:9
+        vertical,  # 9:12
+        u_axis,  # 12:15
+        v_axis,  # 15:18
+        jnp.stack([cam.aperture / 2.0, cam.near, cam.far, cam.fov]),  # 18:22
+        right_tp,  # 22:25
+        cam.up,  # 25:28 (two-plane up)
+        jnp.stack([jnp.float32(t_min)]),  # 28
+        cam.forward,  # 29:32
+    ])
+    sky = jnp.concatenate([scene_data.background_start, scene_data.background_end])
+    return jnp.concatenate([vec, sky]).astype(jnp.float32)  # [38]
+
+
+# ----------------------------------------------------------------- kernel
+def _u01(shape):
+    """Uniform [0,1) floats from the hardware PRNG (mantissa trick)."""
+    bits = pltpu.prng_random_bits(shape)
+    mant = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32), jnp.uint32(9))
+    one = jnp.uint32(0x3F800000)
+    return pltpu.bitcast(mant | one, jnp.float32) - 1.0
+
+
+def _render_kernel(
+    cnt_ref,  # SMEM i32[4]: n_clusters, max_depth, n_prims, seed
+    cam_ref,  # SMEM f32[38]
+    s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
+    p_ref,  # SMEM f32[16, NP]
+    clus_ref,  # SMEM f32[6, NC]
+    out_ref,  # VMEM f32[3, TH, W] block
+    *,
+    tile_h: int,
+    width: int,
+    height: int,
+    camera_model: str,
+):
+    pid = pl.program_id(0)
+    pltpu.prng_seed(cnt_ref[3] + pid * 7919)
+
+    n_clusters = cnt_ref[0]
+    max_depth = cnt_ref[1]
+    t_min = cam_ref[28]
+
+    shape = (tile_h, width)
+    xs = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    ys = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32) + (
+        pid * tile_h
+    ).astype(jnp.float32)
+
+    jx = _u01(shape)
+    jy = _u01(shape)
+
+    def cam3(i):
+        return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
+
+    if camera_model == "look_at":
+        s = (xs + jx) * (1.0 / width)
+        t = (height - 1.0 - ys + jy) * (1.0 / height)
+        lens_r = cam_ref[18]
+        u1 = _u01(shape)
+        u2 = _u01(shape)
+        rr = lens_r * jnp.sqrt(u1)
+        th = 2.0 * math.pi * u2
+        lx = rr * jnp.cos(th)
+        ly = rr * jnp.sin(th)
+        uax = cam3(12)
+        vax = cam3(15)
+        origin = cam3(0)
+        ll = cam3(3)
+        ho = cam3(6)
+        ve = cam3(9)
+        ox = origin[0] + lx * uax[0] + ly * vax[0]
+        oy = origin[1] + lx * uax[1] + ly * vax[1]
+        oz = origin[2] + lx * uax[2] + ly * vax[2]
+        dx = ll[0] + s * ho[0] + t * ve[0] - ox
+        dy = ll[1] + s * ho[1] + t * ve[1] - oy
+        dz = ll[2] + s * ho[2] + t * ve[2] - oz
+    else:  # two_plane (reference Kernel.cu:130-148)
+        u = ((xs - width / 2.0) + jx) * (1.0 / width)
+        v = ((height / 2.0 - ys) + jy) * (1.0 / width)
+        right = cam3(22)
+        up = cam3(25)
+        fwd = cam3(29)
+        origin = cam3(0)
+        near, far, fov = cam_ref[19], cam_ref[20], cam_ref[21]
+        distx = u * right[0] + v * up[0]
+        disty = u * right[1] + v * up[1]
+        distz = u * right[2] + v * up[2]
+        ox = near * distx + origin[0] + fov * fwd[0]
+        oy = near * disty + origin[1] + fov * fwd[1]
+        oz = near * distz + origin[2] + fov * fwd[2]
+        k2 = 1.0 / fov * 10.0
+        dx = far * distx + k2 * fwd[0] + origin[0] - ox
+        dy = far * disty + k2 * fwd[1] + origin[1] - oy
+        dz = far * distz + k2 * fwd[2] + origin[2] - oz
+
+    dn = lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
+    dx, dy, dz = dx * dn, dy * dn, dz * dn
+
+    bg0 = cam3(32)
+    bg1 = cam3(35)
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    ones = jnp.ones(shape, jnp.float32)
+
+    def bounce_body(state):
+        (bounce, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+         rx, ry, rz, alive_f) = state
+        # alive carried as f32 (Mosaic can't carry i1 vectors across scf loops)
+        alive = alive_f > 0.5
+
+        inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+        inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+        inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        a_quad = dx * dx + dy * dy + dz * dz
+
+        # -------- closest hit: cluster-culled brute force --------
+        def cluster_body(ci, carry):
+            best_t, best_j = carry
+
+            cx0, cy0, cz0 = clus_ref[0, ci], clus_ref[1, ci], clus_ref[2, ci]
+            cx1, cy1, cz1 = clus_ref[3, ci], clus_ref[4, ci], clus_ref[5, ci]
+            tx0 = (cx0 - ox) * inv_dx
+            tx1 = (cx1 - ox) * inv_dx
+            ty0 = (cy0 - oy) * inv_dy
+            ty1 = (cy1 - oy) * inv_dy
+            tz0 = (cz0 - oz) * inv_dz
+            tz1 = (cz1 - oz) * inv_dz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            any_hit = jnp.any((tfar > tnear) & alive)
+
+            def prim_body(j, carry):
+                best_t, best_j = carry
+                active = s_ref[S_ACTIVE, j]
+                ptype = s_ref[S_PTYPE, j]
+                is_sphere = ptype < 0.5
+
+                # sphere quadratic (Hittable.cuh:80-110)
+                cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
+                ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
+                bq = ocx * dx + ocy * dy + ocz * dz
+                cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
+                disc = bq * bq - a_quad * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = (-bq - sq) / a_quad
+                t1 = (-bq + sq) / a_quad
+                t0ok = (t0 > t_min) & (t0 < best_t)
+                t1ok = (t1 > t_min) & (t1 < best_t)
+                t_s = jnp.where(t0ok, t0, t1)
+                hit_s = (disc > 0.0) & (t0ok | t1ok)
+
+                # rect (Hittable.cuh:128-294) with precomputed plane consts
+                kax = s_ref[S_KAX, j]
+                o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
+                d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
+                t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
+                aax = s_ref[S_AAX, j]
+                bax = s_ref[S_BAX, j]
+                o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
+                d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
+                o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
+                d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
+                p_a = o_a + t_r * d_a
+                p_b = o_b + t_r * d_b
+                hit_r = (
+                    (t_r > t_min) & (t_r < best_t)
+                    & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
+                    & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
+                )
+
+                t_j = jnp.where(is_sphere, t_s, t_r)
+                # boolean select via logic ops (Mosaic can't select i1 vectors)
+                hit_j = ((is_sphere & hit_s) | (~is_sphere & hit_r)) & (active > 0.5) & alive
+                best_t = jnp.where(hit_j, t_j, best_t)
+                best_j = jnp.where(hit_j, jnp.float32(j), best_j)
+                return best_t, best_j
+
+            def run(carry):
+                return lax.fori_loop(
+                    ci * CLUSTER, (ci + 1) * CLUSTER, prim_body, carry
+                )
+
+            return lax.cond(any_hit, run, lambda c: c, (best_t, best_j))
+
+        best_t, best_j = lax.fori_loop(
+            0, n_clusters, cluster_body,
+            (jnp.full(shape, BIG, jnp.float32), jnp.full(shape, -1.0, jnp.float32)),
+        )
+        hit = best_j >= 0.0
+
+        # -------- payload reconstruction (winner attributes) --------
+        def payload_cluster(ci, pay):
+            in_cluster = jnp.any(
+                hit & (best_j >= ci * CLUSTER) & (best_j < (ci + 1) * CLUSTER)
+            )
+
+            def prim_pay(j, pay):
+                m = best_j == jnp.float32(j)
+                return tuple(
+                    jnp.where(m, p_ref[k, j], pay[k]) for k in range(16)
+                )
+
+            def run(pay):
+                return lax.fori_loop(ci * CLUSTER, (ci + 1) * CLUSTER, prim_pay, pay)
+
+            return lax.cond(in_cluster, run, lambda p: p, pay)
+
+        pay = lax.fori_loop(0, n_clusters, payload_cluster, (zeros,) * 16)
+
+        # -------- hit point, normal --------
+        px = ox + best_t * dx
+        py = oy + best_t * dy
+        pz = oz + best_t * dz
+        is_sphere = pay[P_PTYPE] < 0.5
+        rinv = pay[P_RINV]
+        snx = (px - pay[P_CX]) * rinv
+        sny = (py - pay[P_CY]) * rinv
+        snz = (pz - pay[P_CZ]) * rinv
+        # rect outward normal = one-hot(k axis); SetFaceNormal flip
+        kax = jnp.where(
+            pay[P_PTYPE] < 1.5, 2.0, jnp.where(pay[P_PTYPE] < 2.5, 1.0, 0.0)
+        )
+        rnx = jnp.where(kax == 0.0, ones, zeros)
+        rny = jnp.where(kax == 1.0, ones, zeros)
+        rnz = jnp.where(kax == 2.0, ones, zeros)
+        d_dot_out = dx * rnx + dy * rny + dz * rnz
+        flip = jnp.where(d_dot_out < 0.0, 1.0, -1.0)
+        nx = jnp.where(is_sphere, snx, rnx * flip)
+        ny = jnp.where(is_sphere, sny, rny * flip)
+        nz = jnp.where(is_sphere, snz, rnz * flip)
+
+        # -------- sky on miss (Kernel.cu:40-45): lerp by unit-dir y --------
+        sky_t = 0.5 * (dy * lax.rsqrt(jnp.maximum(a_quad, 1e-12)) + 1.0)
+        miss = alive & ~hit
+        skyr = (1.0 - sky_t) * bg0[0] + sky_t * bg1[0]
+        skyg = (1.0 - sky_t) * bg0[1] + sky_t * bg1[1]
+        skyb = (1.0 - sky_t) * bg0[2] + sky_t * bg1[2]
+        rx = rx + jnp.where(miss, tpx * skyr, 0.0)
+        ry = ry + jnp.where(miss, tpy * skyg, 0.0)
+        rz = rz + jnp.where(miss, tpz * skyb, 0.0)
+
+        # -------- texture (constant/checker, Texture.cuh:32-68) --------
+        sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+        odd = sines < 0.0
+        is_checker = pay[P_TEX] > 0.5
+        texr = jnp.where(is_checker & ~odd, pay[P_A2R], pay[P_ALR])
+        texg = jnp.where(is_checker & ~odd, pay[P_A2G], pay[P_ALG])
+        texb = jnp.where(is_checker & ~odd, pay[P_A2B], pay[P_ALB])
+
+        # -------- scatter (Material.cuh:34-177) --------
+        u_sel = _u01(shape)
+        su1 = _u01(shape)
+        su2 = _u01(shape)
+        su3 = _u01(shape)
+        zs = 1.0 - 2.0 * su1
+        rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
+        phs = (2.0 * math.pi) * su2
+        # cbrt(u) for uniform-volume radius; Mosaic lacks cbrt -> exp(log/3)
+        scale = jnp.exp(jnp.log(jnp.maximum(su3, 1e-30)) * (1.0 / 3.0))
+        sx = rs * jnp.cos(phs) * scale
+        sy = rs * jnp.sin(phs) * scale
+        sz_ = zs * scale
+
+        mat = pay[P_MAT]
+        is_lamb = mat < 0.5
+        is_metal = (mat >= 0.5) & (mat < 1.5)
+        is_diel = (mat >= 1.5) & (mat < 2.5)
+        is_light = mat >= 2.5
+
+        # lambertian: n + s
+        ldx, ldy, ldz = nx + sx, ny + sy, nz + sz_
+
+        # metal: reflect(unit d, n) + fuzz*s
+        dlen_inv = lax.rsqrt(jnp.maximum(a_quad, 1e-12))
+        udx, udy, udz = dx * dlen_inv, dy * dlen_inv, dz * dlen_inv
+        ddn_u = udx * nx + udy * ny + udz * nz
+        fz = pay[P_FUZZ]
+        mdx = udx - 2.0 * ddn_u * nx + fz * sx
+        mdy = udy - 2.0 * ddn_u * ny + fz * sy
+        mdz = udz - 2.0 * ddn_u * nz + fz * sz_
+        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+
+        # dielectric (Material.cuh:104-136)
+        ior = pay[P_IOR]
+        ddn = dx * nx + dy * ny + dz * nz
+        exiting = ddn > 0.0
+        onx = jnp.where(exiting, -nx, nx)
+        ony = jnp.where(exiting, -ny, ny)
+        onz = jnp.where(exiting, -nz, nz)
+        ni = jnp.where(exiting, ior, 1.0 / ior)
+        cos_in = ddn * dlen_inv
+        cos_exit = jnp.sqrt(jnp.maximum(0.0, 1.0 - ior * ior * (1.0 - cos_in * cos_in)))
+        cosine = jnp.where(exiting, cos_exit, -cos_in)
+        # refract unit(d) about outward normal
+        udon = udx * onx + udy * ony + udz * onz
+        disc_r = 1.0 - ni * ni * (1.0 - udon * udon)
+        can = disc_r > 0.0
+        sqd = jnp.sqrt(jnp.maximum(disc_r, 0.0))
+        rfx = ni * (udx - onx * udon) - onx * sqd
+        rfy = ni * (udy - ony * udon) - ony * sqd
+        rfz = ni * (udz - onz * udon) - onz * sqd
+        r0 = (1.0 - ior) / (1.0 + ior)
+        r0 = r0 * r0
+        one_m = 1.0 - cosine
+        schlick = r0 + (1.0 - r0) * one_m * one_m * one_m * one_m * one_m
+        reflect_prob = jnp.where(can, schlick, 1.0)
+        # reflect RAW d about n (Material.cuh:106)
+        rwx = dx - 2.0 * ddn * nx
+        rwy = dy - 2.0 * ddn * ny
+        rwz = dz - 2.0 * ddn * nz
+        take_refl = u_sel < reflect_prob
+        gdx = jnp.where(take_refl, rwx, rfx)
+        gdy = jnp.where(take_refl, rwy, rfy)
+        gdz = jnp.where(take_refl, rwz, rfz)
+
+        # light emission
+        li = pay[P_LIGHT]
+        lit = alive & hit
+        emit = lit & is_light
+        rx = rx + jnp.where(emit, tpx * li * texr, 0.0)
+        ry = ry + jnp.where(emit, tpy * li * texg, 0.0)
+        rz = rz + jnp.where(emit, tpz * li * texb, 0.0)
+
+        ndx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, gdx))
+        ndy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, gdy))
+        ndz = jnp.where(is_lamb, ldz, jnp.where(is_metal, mdz, gdz))
+        att_r = jnp.where(is_diel, ones, texr)
+        att_g = jnp.where(is_diel, ones, texg)
+        att_b = jnp.where(is_diel, ones, texb)
+        scat_ok = is_lamb | is_diel | (is_metal & metal_ok)
+
+        cont = lit & scat_ok
+        ox = jnp.where(cont, px, ox)
+        oy = jnp.where(cont, py, oy)
+        oz = jnp.where(cont, pz, oz)
+        dx = jnp.where(cont, ndx, dx)
+        dy = jnp.where(cont, ndy, dy)
+        dz = jnp.where(cont, ndz, dz)
+        tpx = jnp.where(cont, tpx * att_r, tpx)
+        tpy = jnp.where(cont, tpy * att_g, tpy)
+        tpz = jnp.where(cont, tpz * att_b, tpz)
+
+        return (bounce + 1, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+                rx, ry, rz, jnp.where(cont, 1.0, 0.0))
+
+    def bounce_cond(state):
+        bounce = state[0]
+        alive_f = state[13]
+        return (bounce < max_depth) & (jnp.max(alive_f) > 0.5)
+
+    init = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+            ones, ones, ones, zeros, zeros, zeros, ones)
+    final = lax.while_loop(bounce_cond, bounce_body, init)
+    out_ref[0] = final[10]
+    out_ref[1] = final[11]
+    out_ref[2] = final[12]
+
+
+# ----------------------------------------------------------------- wrapper
+def pallas_render_sample(
+    s_tab: jnp.ndarray,  # f32[16, NP]
+    p_tab: jnp.ndarray,  # f32[16, NP]
+    clusters: jnp.ndarray,  # f32[6, NC]
+    n_clusters,  # i32 scalar
+    cam_vec: jnp.ndarray,  # f32[38]
+    seed,  # i32 scalar
+    max_depth,  # i32 scalar
+    *,
+    width: int,
+    height: int,
+    camera_model: str = "look_at",
+    tile_h: int = DEF_TILE_H,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One 1-spp radiance sample via the megakernel -> f32[H, W, 3].
+
+    width must be a multiple of 128 and height of tile_h (the Renderer
+    wrapper pads + crops).
+    """
+    assert width % 128 == 0, width
+    assert height % tile_h == 0, (height, tile_h)
+    grid = (height // tile_h,)
+    cnt = jnp.stack([
+        jnp.asarray(n_clusters, jnp.int32),
+        jnp.asarray(max_depth, jnp.int32),
+        jnp.int32(s_tab.shape[1]),
+        jnp.asarray(seed, jnp.int32),
+    ])
+    kern = functools.partial(
+        _render_kernel,
+        tile_h=tile_h, width=width, height=height, camera_model=camera_model,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # scene tables live in SMEM: the per-primitive loop reads them
+            # as dynamically-indexed scalars, which VMEM cannot serve
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, tile_h, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+        interpret=interpret,
+    )(cnt, cam_vec, s_tab, p_tab, clusters)
+    return jnp.transpose(out, (1, 2, 0))

@@ -1,0 +1,291 @@
+"""Application shell: layers, run loop, progressive rendering.
+
+TPU-native re-architecture of the reference's core runtime (reference:
+CudaRayTracer/src/Core/Application.cpp:14-62 singleton + run loop,
+Core/Layer.h:6-33 + Core/LayerStack.cpp:5-40 layer lifecycle, and the
+CudaLayer frame orchestration, Cuda/CudaLayer.cpp:364-387):
+
+  * ``Layer``/``LayerStack`` keep the Hazel-style on_attach/on_detach/
+    on_update lifecycle so the viewer, renderer, and future plugins
+    compose the same way the reference's do.
+  * ``RenderLayer`` is the CudaLayer analog: owns the scene, camera,
+    progressive accumulator and jitted renderer; one ``on_update`` = one
+    1-spp progressive sample (the BASELINE.json north-star loop), with
+    accumulation reset on any camera/scene edit (the reference instead
+    recomputes all 36 spp every frame, Kernel.cu:137).
+  * ``Application.run`` drives layers at an optional frame cap, headless
+    (N frames) or forever; pause maps to the reference's P key
+    (Core/Window.h:24).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import RenderConfig
+from ..models import scenes as scene_lib
+from ..models.bvh import build_bvh
+from ..models.camera import FlyCamera
+from ..models.renderer import Renderer
+from ..ops.pack import to_rgba8, tonemap
+from ..utils import logging as rtlog
+from ..utils import rng as rngu
+from .console import Console
+from .metrics import Metrics
+
+
+class Layer:
+    """Core/Layer.h:6-33 analog."""
+
+    def __init__(self, name: str = "Layer"):
+        self.name = name
+
+    def on_attach(self, app: "Application"):
+        pass
+
+    def on_detach(self):
+        pass
+
+    def on_update(self):
+        pass
+
+
+class LayerStack:
+    """Core/LayerStack.h:7-55 analog: layers before overlays."""
+
+    def __init__(self):
+        self._layers: list[Layer] = []
+        self._insert_index = 0
+
+    def push_layer(self, layer: Layer):
+        self._layers.insert(self._insert_index, layer)
+        self._insert_index += 1
+
+    def push_overlay(self, layer: Layer):
+        self._layers.append(layer)
+
+    def pop_layer(self, layer: Layer):
+        i = self._layers.index(layer)
+        if i < self._insert_index:
+            self._insert_index -= 1
+        self._layers.pop(i)
+        layer.on_detach()
+
+    def __iter__(self):
+        return iter(self._layers)
+
+
+class RenderLayer(Layer):
+    """The CudaLayer analog: owns scene + camera + progressive state."""
+
+    def __init__(self, cfg: RenderConfig, scene=None, fly: Optional[FlyCamera] = None):
+        super().__init__("RenderLayer")
+        self.cfg = cfg
+        make_scene, make_cam_params = scene_lib.SCENES[cfg.scene]
+        self.scene = scene if scene is not None else make_scene()
+        self.fly = fly or FlyCamera()
+        if cfg.scene == "rtow_final":
+            # the RTOW benchmark camera pose
+            self.fly.position = [13.0, 2.0, 3.0]
+            self.fly.home = (13.0, 2.0, 3.0)
+            self.fly.yaw, self.fly.pitch = 188.7, -9.0
+            self.fly.fov_deg = 20.0
+            self.fly._update_orientation()
+        self.key = rngu.base_key(cfg.seed)
+        self.metrics = Metrics()
+        self.metrics.width, self.metrics.height = cfg.width, cfg.height
+        self._scene_version = -1
+        self._cam_version = -1
+        self._frame_index = 0
+        self._spp_done = 0
+        self.renderer: Renderer | None = None
+        self._bvh = None
+        self._sd = None
+        self._accum = None
+        self._pallas = None  # lazily-built pallas pipeline
+
+    # -------------------------------------------------------- lifecycle
+    def on_attach(self, app: "Application"):
+        self.app = app
+        cfg = self.cfg
+        rtlog.rt_info("RenderLayer: %dx%d scene=%s accel=%s camera=%s",
+                      cfg.width, cfg.height, cfg.scene, cfg.accel, cfg.camera_model)
+        self.renderer = Renderer(
+            cfg.width, cfg.height, camera_model=cfg.camera_model,
+            t_min=cfg.t_min, block=cfg.block,
+        )
+        self._accum = self.renderer.zeros_accum()
+        self._sync_scene()
+
+    def on_detach(self):
+        rtlog.rt_info("RenderLayer detached after %d frames", self._frame_index)
+
+    # -------------------------------------------------------- state sync
+    def _sync_scene(self):
+        if self.scene.version != self._scene_version:
+            self._sd = self.scene.device()
+            if self.cfg.accel == "bvh":
+                self._bvh = build_bvh(self.scene)
+            if self.cfg.accel == "pallas":
+                self._pallas = _PallasPipeline(self.scene, self.cfg)
+            self._scene_version = self.scene.version
+            self.reset_accumulation()
+        if self.fly.version != self._cam_version:
+            self._cam_version = self.fly.version
+            self.reset_accumulation()
+
+    def reset_accumulation(self):
+        """Accumulation restart on edit — the progressive analog of the
+        reference's full re-render after every UI drag."""
+        if self.renderer is not None:
+            self._accum = self.renderer.zeros_accum()
+        self._spp_done = 0
+
+    # -------------------------------------------------------- frame
+    def on_update(self):
+        self._sync_scene()
+        cfg = self.cfg
+        self.metrics.frame_start()
+        cam = self.fly.params(aperture=getattr(cfg, "aperture", 0.0))
+        fkey = rngu.frame_key(self.key, self._frame_index)
+        if cfg.progressive:
+            if self._pallas is not None:
+                self._accum = self._pallas.accumulate(cam, self._frame_index, cfg.max_depth, self._accum)
+            else:
+                self._accum = self.renderer.accumulate(
+                    self._sd, cam, fkey, cfg.max_depth, self._accum, bvh=self._bvh
+                )
+            self._spp_done += 1
+            rays = cfg.width * cfg.height  # primary count (lower bound)
+        else:
+            rad, nrays = self.renderer.render(
+                self._sd, cam, fkey, spp=cfg.spp, max_depth=cfg.max_depth,
+                bvh=self._bvh, with_stats=True,
+            )
+            self._accum = rad
+            self._spp_done = cfg.spp
+            rays = float(nrays)
+        np.asarray(self._accum[0, 0])  # block for honest timing
+        self._frame_index += 1
+        self.metrics.accumulated_spp = self._spp_done
+        self.metrics.frame_end(rays)
+
+    # -------------------------------------------------------- output
+    def framebuffer_rgba8(self) -> np.ndarray:
+        """uint8[H,W,4], display-oriented (row 0 = top), like the
+        reference's flipped GL blit (CudaLayer.cpp:402)."""
+        spp = max(self._spp_done, 1)
+        img = np.asarray(to_rgba8(tonemap(self._accum, spp)))
+        return img[::-1]
+
+    def display_float(self) -> np.ndarray:
+        spp = max(self._spp_done, 1)
+        return np.asarray(tonemap(self._accum, spp))[::-1]
+
+
+class _PallasPipeline:
+    """Megakernel dispatch path (accel='pallas')."""
+
+    def __init__(self, scene, cfg: RenderConfig):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.pallas.render_kernel import (
+            pack_camera, pack_scene_tables, pallas_render_sample)
+
+        if (scene.tex_type[scene.active_indices()] == 2).any():
+            raise ValueError(
+                "pallas accel does not support IMAGE textures; use accel=bvh"
+            )
+        S, P, C, nc = pack_scene_tables(scene)
+        self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C))
+        self._nc = nc
+        self._cfg = cfg
+        self._scene = scene
+        # pad width to a lane multiple; crop on output
+        self._wpad = ((cfg.width + 127) // 128) * 128
+        self._hpad = ((cfg.height + 7) // 8) * 8
+        self._pack_camera = pack_camera
+
+        @jax.jit
+        def _step(S, P, C, cam_vec, seed, depth, accum):
+            rad = pallas_render_sample(
+                S, P, C, nc, cam_vec, seed, depth,
+                width=self._wpad, height=self._hpad,
+                camera_model=cfg.camera_model,
+            )
+            return accum + rad[: cfg.height, : cfg.width]
+
+        self._step = _step
+
+    def accumulate(self, cam, frame_index: int, max_depth: int, accum):
+        cam_vec = self._pack_camera(
+            cam, self._scene.device(), self._wpad, self._hpad, self._cfg.t_min
+        )
+        seed = (self._cfg.seed * 2654435761 + frame_index * 7919) & 0x7FFFFFFF
+        return self._step(*self._tabs, cam_vec, seed, max_depth, accum)
+
+
+class Application:
+    """Application.cpp:14-62 analog: owns the layer stack and the run loop."""
+
+    _instance: "Application | None" = None
+
+    def __init__(self, cfg: RenderConfig | None = None):
+        rtlog.init()
+        self.cfg = cfg or RenderConfig()
+        self.console = Console()
+        self.layers = LayerStack()
+        self.running = True
+        self.paused = False  # the P-key pause (Window.h:24)
+        self.render_layer: RenderLayer | None = None
+        Application._instance = self
+
+    @classmethod
+    def get(cls) -> "Application":
+        assert cls._instance is not None
+        return cls._instance
+
+    def push_layer(self, layer: Layer):
+        self.layers.push_layer(layer)
+        layer.on_attach(self)
+
+    def push_overlay(self, layer: Layer):
+        self.layers.push_overlay(layer)
+        layer.on_attach(self)
+
+    def setup_default_layers(self, scene=None):
+        self.render_layer = RenderLayer(self.cfg, scene=scene)
+        self.push_overlay(self.render_layer)
+        return self.render_layer
+
+    def toggle_pause(self):
+        self.paused = not self.paused
+        rtlog.rt_info("Rendering %s", "paused" if self.paused else "resumed")
+
+    def run(self, max_frames: Optional[int] = None, frame_cap_hz: float = 0.0):
+        """The Run() loop (Application.cpp:44-62): update every layer per
+        frame; headless when max_frames is given."""
+        n = 0
+        while self.running and (max_frames is None or n < max_frames):
+            t0 = time.perf_counter()
+            if not self.paused:
+                for layer in self.layers:
+                    layer.on_update()
+                n += 1
+            if frame_cap_hz > 0:
+                budget = 1.0 / frame_cap_hz - (time.perf_counter() - t0)
+                if budget > 0:
+                    time.sleep(budget)
+            if self.paused:
+                time.sleep(0.01)
+        return n
+
+    def close(self):
+        self.running = False
+        for layer in self.layers:
+            layer.on_detach()
+        self.console.close()

@@ -1,0 +1,277 @@
+"""Interactive web viewer: the GLFW + Dear ImGui shell, re-architected.
+
+The reference presents frames through CUDA->GL interop into an ImGui
+dockspace with Scene / Metrics / Options / Console panels and routes
+GLFW input to the fly camera (reference: CudaRayTracer/src/Cuda/
+CudaLayer.cpp:389-687, ImGui/ImGuiLayer.cpp:17-137, Core/Window.cpp:37-133).
+A TPU host has no GPU swapchain, so the equivalent here is a zero-dependency
+HTTP viewer: the render loop stays in-process next to the device, and any
+browser becomes the display.
+
+  * GET  /            the UI (canvas + panels, dark theme, dockable-ish)
+  * GET  /frame.png   current progressive framebuffer (PNG, row 0 = top)
+  * GET  /state       metrics + scene tree + console + options as JSON
+  * POST /input       {keys, shift, mouse_dx, mouse_dy, scroll} -> FlyCamera
+                      (WASD/Space/Ctrl/C, right-drag look, wheel fov —
+                      Camera.cpp:28-118 semantics; P toggles pause,
+                      ESC semantics = stop server)
+  * POST /edit        scene CRUD: add/delete/clear/update — the Scene panel
+                      (CudaLayer.cpp:470-649) incl. material/texture edits
+  * POST /options     spp / max_depth / background colors / pause / save / load
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..models import scene as scene_mod
+from ..utils import logging as rtlog
+from .app import Application
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>cudaraytracer-tpu</title><style>
+body{background:#15161e;color:#c0caf5;font-family:ui-monospace,monospace;margin:0;display:flex}
+#main{flex:1;padding:10px}
+#side{width:380px;padding:10px;background:#1a1b26;height:100vh;overflow-y:auto}
+canvas{border:1px solid #3b4261;image-rendering:pixelated;outline:none;max-width:100%}
+h3{color:#7aa2f7;border-bottom:1px solid #3b4261;margin:12px 0 6px}
+#console{background:#0f1017;height:180px;overflow-y:auto;font-size:11px;padding:4px;white-space:pre}
+table{font-size:12px;width:100%} td{padding:1px 4px}
+button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;border-radius:3px;margin:1px;font-size:12px}
+.prim{border:1px solid #3b4261;margin:3px 0;padding:3px;font-size:11px}
+</style></head><body>
+<div id=main>
+ <h3>Viewport (click to focus &mdash; WASD/Space/Ctrl move, Shift fast, right-drag look, wheel fov, C reset, P pause)</h3>
+ <canvas id=cv tabindex=1></canvas>
+</div>
+<div id=side>
+ <h3>Metrics</h3><table id=metrics></table>
+ <h3>Options</h3>
+ <div>
+  depth <input id=depth type=number min=0 max=50 style="width:50px">
+  <button onclick="setOpt()">apply</button>
+  <button onclick="post('/options',{pause:true})">pause/resume</button>
+ </div>
+ <div>bg <input id=bg0 type=color><input id=bg1 type=color>
+  <button onclick="setBg()">set</button>
+  <button onclick="post('/options',{save:'scene.json'})">save scene</button>
+ </div>
+ <h3>Scene <button onclick="addPrim()">+ add</button> <button onclick="post('/edit',{op:'clear'})">clear</button></h3>
+ <div id=scene></div>
+ <h3>Console</h3><div id=console></div>
+</div>
+<script>
+const cv=document.getElementById('cv');const ctx2=cv.getContext('2d');
+let keys=new Set(),shift=false,dragging=false,lx=0,ly=0;
+const keymap={w:'w',a:'a',s:'s',d:'d',' ':'space',Control:'ctrl',c:'c'};
+cv.addEventListener('keydown',e=>{if(e.key==='p'){post('/options',{pause:true});return}
+ if(keymap[e.key]!==undefined)keys.add(keymap[e.key]);shift=e.shiftKey;e.preventDefault()});
+cv.addEventListener('keyup',e=>{keys.delete(keymap[e.key]);shift=e.shiftKey});
+cv.addEventListener('mousedown',e=>{if(e.button===2){dragging=true;lx=e.clientX;ly=e.clientY}});
+window.addEventListener('mouseup',e=>{if(e.button===2)dragging=false});
+cv.addEventListener('contextmenu',e=>e.preventDefault());
+let mdx=0,mdy=0,wheel=0;
+cv.addEventListener('mousemove',e=>{if(dragging){mdx+=e.clientX-lx;mdy+=ly-e.clientY;lx=e.clientX;ly=e.clientY}});
+cv.addEventListener('wheel',e=>{wheel+=Math.sign(e.deltaY);e.preventDefault()});
+async function post(u,b){await fetch(u,{method:'POST',body:JSON.stringify(b)})}
+setInterval(()=>{if(keys.size||mdx||mdy||wheel){
+ post('/input',{keys:[...keys],shift,mouse_dx:mdx,mouse_dy:mdy,scroll:-wheel});mdx=mdy=wheel=0}},33);
+async function frame(){const img=new Image();img.onload=()=>{cv.width=img.width;cv.height=img.height;
+ ctx2.drawImage(img,0,0);setTimeout(frame,50)};img.onerror=()=>setTimeout(frame,500);
+ img.src='/frame.png?'+Date.now()}
+frame();
+function esc(s){return s.replace(/&/g,'&amp;').replace(/</g,'&lt;')}
+async function state(){try{const r=await fetch('/state');const s=await r.json();
+ document.getElementById('metrics').innerHTML=Object.entries(s.metrics).map(([k,v])=>`<tr><td>${k}</td><td>${v}</td></tr>`).join('');
+ document.getElementById('console').innerHTML=s.console.map(esc).join('\\n');
+ document.getElementById('scene').innerHTML=s.scene.map(p=>
+  `<div class=prim>#${p.id} ${p.prim} / ${p.mat} @ [${p.center.map(x=>x.toFixed(2))}]
+   <button onclick="editPrim(${p.id})">edit</button>
+   <button onclick="post('/edit',{op:'delete',id:${p.id}})">x</button></div>`).join('');
+ if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
+}catch(e){} setTimeout(state,700)}
+state();
+function setOpt(){post('/options',{max_depth:+document.getElementById('depth').value})}
+function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
+function setBg(){post('/options',{background_start:hex2rgb(document.getElementById('bg0').value),
+ background_end:hex2rgb(document.getElementById('bg1').value)})}
+function addPrim(){const t=prompt('type (sphere/xy_rect/xz_rect/yz_rect)','sphere');if(!t)return;
+ const m=prompt('material (lambertian/metal/dielectric/diffuse_light)','lambertian');
+ post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
+function editPrim(id){const f=prompt('field=value (center=x,y,z | radius | fuzz | ior | light | albedo=r,g,b)','center=0,1,0');
+ if(!f)return;const[k,v]=f.split('=');post('/edit',{op:'update',id,field:k,value:v.includes(',')?v.split(',').map(Number):+v})}
+</script></body></html>"""
+
+_PRIM_IDS = {v: k for k, v in scene_mod.PRIM_NAMES.items()}
+_MAT_IDS = {v: k for k, v in scene_mod.MAT_NAMES.items()}
+
+
+class ViewerServer:
+    def __init__(self, app: Application, host: str = "127.0.0.1", port: int = 8000):
+        self.app = app
+        self.host = host
+        self.port = port
+        self._httpd: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------------ state
+    def state_json(self) -> dict:
+        rl = self.app.render_layer
+        scene = rl.scene
+        prims = []
+        for i in scene.active_indices():
+            prims.append({
+                "id": int(i),
+                "prim": scene_mod.PRIM_NAMES[int(scene.prim_type[i])],
+                "mat": scene_mod.MAT_NAMES[int(scene.mat_type[i])],
+                "tex": scene_mod.TEX_NAMES[int(scene.tex_type[i])],
+                "center": [round(float(v), 4) for v in scene.center[i]],
+                "size": [round(float(v), 4) for v in scene.size[i]],
+                "fuzz": float(scene.fuzz[i]),
+                "ior": float(scene.ior[i]),
+                "light": float(scene.light[i]),
+            })
+        return {
+            "metrics": rl.metrics.snapshot(),
+            "scene": prims,
+            "console": self.app.console.lines()[-60:],
+            "options": {
+                "max_depth": rl.cfg.max_depth,
+                "spp": rl.cfg.spp,
+                "paused": self.app.paused,
+                "accumulated_spp": rl._spp_done,
+            },
+        }
+
+    def handle_input(self, data: dict):
+        rl = self.app.render_layer
+        keys = data.get("keys", [])
+        if keys:
+            rl.fly.process_keys(keys, shift=bool(data.get("shift")))
+        dx, dy = data.get("mouse_dx", 0), data.get("mouse_dy", 0)
+        if dx or dy:
+            rl.fly.process_mouse(float(dx), float(dy))
+        if data.get("scroll"):
+            rl.fly.process_scroll(float(data["scroll"]))
+
+    def handle_edit(self, data: dict):
+        rl = self.app.render_layer
+        scene = rl.scene
+        op = data.get("op")
+        if op == "add":
+            prim = _PRIM_IDS.get(data.get("prim", "sphere"), 0)
+            mat = _MAT_IDS.get(data.get("mat", "lambertian"), 0)
+            center = data.get("center", [0.0, 1.0, 0.0])
+            kw = dict(mat_type=mat)
+            if prim == scene_mod.SPHERE:
+                scene.add_sphere(center, float(data.get("radius", 0.5)), **kw)
+            else:
+                add = {1: scene.add_xy_rect, 2: scene.add_xz_rect, 3: scene.add_yz_rect}[prim]
+                add(center, float(data.get("width", 2.0)), float(data.get("height", 2.0)), **kw)
+            rtlog.rt_info("Added %s (%s)", data.get("prim"), data.get("mat"))
+        elif op == "delete":
+            scene.delete(int(data["id"]))
+            rtlog.rt_info("Deleted hittable %d", data["id"])
+        elif op == "clear":
+            keep = [int(scene.active_indices()[0])] if scene.num_active else []
+            scene.clear(keep=keep)
+            rtlog.rt_info("Scene cleared (ground kept)")
+        elif op == "update":
+            i, field, value = int(data["id"]), data["field"], data["value"]
+            if field == "radius":
+                scene.update(i, size=(float(value), float(value)))
+            elif field in ("mat", "material"):
+                scene.update(i, mat_type=_MAT_IDS[value])
+            else:
+                scene.update(i, **{field: value})
+            rtlog.rt_info("Updated hittable %d: %s", i, field)
+
+    def handle_options(self, data: dict):
+        rl = self.app.render_layer
+        if "max_depth" in data:
+            # UI caps depth at 50 like the reference (CudaLayer.cpp:681)
+            rl.cfg.max_depth = max(0, min(50, int(data["max_depth"])))
+            rl.reset_accumulation()
+        if "spp" in data:
+            rl.cfg.spp = max(1, int(data["spp"]))
+            rl.reset_accumulation()
+        if "background_start" in data:
+            rl.scene.background_start = np.asarray(data["background_start"], np.float32)
+            rl.scene.version += 1
+        if "background_end" in data:
+            rl.scene.background_end = np.asarray(data["background_end"], np.float32)
+            rl.scene.version += 1
+        if data.get("pause"):
+            self.app.toggle_pause()
+        if "save" in data:
+            rl.scene.save(data["save"])
+            rtlog.rt_info("Scene saved to %s", data["save"])
+        if "load" in data:
+            rl.scene = scene_mod.Scene.load(data["load"])
+            rl._scene_version = -1
+            rtlog.rt_info("Scene loaded from %s", data["load"])
+
+    def frame_png(self) -> bytes:
+        from PIL import Image
+
+        img = self.app.render_layer.framebuffer_rgba8()
+        buf = io.BytesIO()
+        Image.fromarray(img, "RGBA").save(buf, "PNG")
+        return buf.getvalue()
+
+    # ------------------------------------------------------------ server
+    def make_handler(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    if self.path.startswith("/frame.png"):
+                        self._send(200, viewer.frame_png(), "image/png")
+                    elif self.path.startswith("/state"):
+                        self._send(200, json.dumps(viewer.state_json()).encode(), "application/json")
+                    else:
+                        self._send(200, _PAGE.encode(), "text/html")
+                except Exception as e:  # keep the viewer alive
+                    self._send(500, str(e).encode(), "text/plain")
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    data = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/input":
+                        viewer.handle_input(data)
+                    elif self.path == "/edit":
+                        viewer.handle_edit(data)
+                    elif self.path == "/options":
+                        viewer.handle_options(data)
+                    self._send(200, b"{}", "application/json")
+                except Exception as e:
+                    self._send(500, str(e).encode(), "text/plain")
+
+        return Handler
+
+    def start(self):
+        self._httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        rtlog.rt_info("Viewer at http://%s:%d", self.host, self.port)
+        return self._httpd
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()

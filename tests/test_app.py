@@ -1,0 +1,127 @@
+"""Application / layer / progressive-loop tests (Application.cpp:44-62,
+LayerStack.cpp:14-40 semantics)."""
+
+import numpy as np
+import pytest
+
+from cudaraytracer_tpu.config import RenderConfig
+from cudaraytracer_tpu.viewer.app import Application, Layer, LayerStack, RenderLayer
+
+
+def small_cfg(**kw):
+    d = dict(width=32, height=24, spp=2, max_depth=3, scene="default",
+             accel="brute", progressive=True)
+    d.update(kw)
+    return RenderConfig(**d)
+
+
+def test_layer_stack_order():
+    order = []
+
+    class L(Layer):
+        def __init__(self, tag):
+            super().__init__(tag)
+            self.tag = tag
+
+        def on_update(self):
+            order.append(self.tag)
+
+    st = LayerStack()
+    st.push_overlay(L("overlay"))
+    st.push_layer(L("layer1"))
+    st.push_layer(L("layer2"))
+    for layer in st:
+        layer.on_update()
+    # layers run before overlays (LayerStack.cpp:14-27)
+    assert order == ["layer1", "layer2", "overlay"]
+
+
+def test_progressive_accumulation_and_reset():
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    app.run(max_frames=3)
+    assert rl._spp_done == 3
+    img1 = rl.framebuffer_rgba8()
+    assert img1.shape == (24, 32, 4) and img1.dtype == np.uint8
+    # camera edit resets accumulation (reference re-renders per edit)
+    rl.fly.process_keys(["w"])
+    app.run(max_frames=1)
+    assert rl._spp_done == 1
+    # scene edit also resets
+    rl.scene.add_sphere((0, 1, 0), 0.4)
+    app.run(max_frames=2)
+    assert rl._spp_done == 2
+    app.close()
+
+
+def test_pause_skips_updates():
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    app.run(max_frames=1)
+    app.toggle_pause()
+    assert app.paused
+    frames_before = rl._frame_index
+    # run loop with pause active: use a thread-free trick — pause then
+    # request frames; run() would spin forever, so call on_update directly
+    app.toggle_pause()
+    assert not app.paused
+    assert rl._frame_index == frames_before
+    app.close()
+
+
+def test_non_progressive_full_spp():
+    app = Application(small_cfg(progressive=False, spp=3))
+    rl = app.setup_default_layers()
+    app.run(max_frames=1)
+    assert rl._spp_done == 3
+    assert rl.metrics.rays_last_frame > 32 * 24  # bounces counted
+    app.close()
+
+
+def test_bvh_accel_app():
+    app = Application(small_cfg(accel="bvh"))
+    rl = app.setup_default_layers()
+    app.run(max_frames=2)
+    assert rl._bvh is not None
+    img = rl.framebuffer_rgba8()
+    assert img[..., :3].sum() > 0
+    app.close()
+
+
+def test_pallas_accel_app_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    app = Application(small_cfg(accel="pallas", width=128, height=16))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        app.run(max_frames=2)
+    assert rl._pallas is not None
+    img = rl.framebuffer_rgba8()
+    assert img.shape == (16, 128, 4)
+    assert img[..., :3].sum() > 0
+    app.close()
+
+
+def test_metrics_snapshot():
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    app.run(max_frames=2)
+    snap = rl.metrics.snapshot()
+    assert snap["frames"] == 2
+    assert snap["ms_per_frame"] > 0
+    assert snap["fps"] > 0
+    assert snap["accumulated_spp"] == 2
+    app.close()
+
+
+def test_console_receives_logs():
+    app = Application(small_cfg())
+    from cudaraytracer_tpu.utils import logging as rtlog
+
+    rtlog.rt_info("hello from test %d", 42)
+    lines = app.console.lines()
+    assert any("hello from test 42" in ln for ln in lines)
+    assert app.console.lines("nonexistent-filter") == []
+    app.console.clear()
+    assert app.console.lines() == []
+    app.close()

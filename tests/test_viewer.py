@@ -1,0 +1,109 @@
+"""Viewer server tests: drive the HTTP surface end-to-end (the Scene /
+Metrics / Options / Console panel behaviors, CudaLayer.cpp:389-687)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cudaraytracer_tpu.config import RenderConfig
+from cudaraytracer_tpu.viewer.app import Application
+from cudaraytracer_tpu.viewer.server import ViewerServer
+
+
+@pytest.fixture()
+def served():
+    app = Application(RenderConfig(width=32, height=24, max_depth=3, scene="default"))
+    app.setup_default_layers()
+    app.run(max_frames=1)
+    server = ViewerServer(app, port=0)
+    httpd = server.start()
+    port = httpd.server_address[1]
+    yield app, server, port
+    server.stop()
+    app.close()
+
+
+def get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return r.read()
+
+
+def post(port, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(body).encode(), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.read()
+
+
+def test_index_and_frame(served):
+    app, server, port = served
+    page = get(port, "/")
+    assert b"cudaraytracer-tpu" in page
+    png = get(port, "/frame.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_state_endpoint(served):
+    app, server, port = served
+    s = json.loads(get(port, "/state"))
+    assert s["metrics"]["frames"] == 1
+    assert len(s["scene"]) == app.render_layer.scene.num_active
+    assert s["options"]["max_depth"] == 3
+    assert s["scene"][0]["prim"] == "xz_rect"  # the ground
+
+
+def test_input_moves_camera(served):
+    app, server, port = served
+    z0 = app.render_layer.fly.position[2]
+    post(port, "/input", {"keys": ["w"], "shift": True})
+    assert app.render_layer.fly.position[2] < z0
+    post(port, "/input", {"mouse_dx": 100, "mouse_dy": 0, "scroll": 2})
+    assert app.render_layer.fly.yaw != 270.0
+    assert app.render_layer.fly.fov_deg < 45.0
+
+
+def test_edit_crud(served):
+    app, server, port = served
+    scene = app.render_layer.scene
+    n0 = scene.num_active
+    post(port, "/edit", {"op": "add", "prim": "sphere", "mat": "metal",
+                         "center": [1, 2, 3], "radius": 0.7})
+    assert scene.num_active == n0 + 1
+    new_id = int(scene.active_indices()[-1])
+    post(port, "/edit", {"op": "update", "id": new_id, "field": "center",
+                         "value": [9, 9, 9]})
+    np.testing.assert_allclose(scene.center[new_id], [9, 9, 9])
+    post(port, "/edit", {"op": "delete", "id": new_id})
+    assert scene.num_active == n0
+    post(port, "/edit", {"op": "clear"})
+    assert scene.num_active == 1  # ground kept (ClearScene semantics)
+
+
+def test_options_endpoint(served, tmp_path):
+    app, server, port = served
+    rl = app.render_layer
+    post(port, "/options", {"max_depth": 99})
+    assert rl.cfg.max_depth == 50  # UI cap, CudaLayer.cpp:681
+    post(port, "/options", {"background_start": [0, 0, 0], "background_end": [0, 0, 0]})
+    assert rl.scene.background_start.sum() == 0
+    post(port, "/options", {"pause": True})
+    assert app.paused
+    post(port, "/options", {"pause": True})
+    p = str(tmp_path / "s.json")
+    post(port, "/options", {"save": p})
+    post(port, "/options", {"load": p})
+    assert rl.scene.num_active >= 1
+
+
+def test_accumulation_reset_on_edit(served):
+    app, server, port = served
+    rl = app.render_layer
+    app.run(max_frames=3)
+    assert rl._spp_done >= 3
+    post(port, "/edit", {"op": "add", "prim": "sphere", "mat": "lambertian",
+                         "center": [0, 1, 0], "radius": 0.3})
+    app.run(max_frames=1)
+    assert rl._spp_done == 1  # reset fired
