@@ -49,13 +49,7 @@ def main():
 
     accel = args.accel
     if accel == "auto":
-        accel = "brute"  # upgraded as faster paths land
-    hit_fn_factory = None
-    if accel == "bvh":
-        from cudaraytracer_tpu.models.bvh import build_bvh, make_bvh_hit_fn
-
-        # resolved below once the scene exists
-        hit_fn_factory = "bvh"
+        accel = "pallas"  # the megakernel is the fastest path on TPU
 
     make_scene, make_cam = scenes.SCENES[args.scene]
     scene = make_scene()
@@ -63,40 +57,90 @@ def main():
     cam = make_cam() if args.scene != "rtow_final" else scenes.rtow_final_camera()
     camera_model = "look_at" if args.scene == "rtow_final" else "two_plane"
 
-    hit_fn = None
-    if hit_fn_factory == "bvh":
-        from cudaraytracer_tpu.models.bvh import build_bvh, make_bvh_hit_fn
-
-        bvh = build_bvh(scene)
-        hit_fn = make_bvh_hit_fn(bvh, sd)
-
-    @jax.jit
-    def step(sd, cam, key):
-        return render_radiance(
-            sd, cam, key, args.spp, args.depth,
-            width=args.width, height=args.height,
-            camera_model=camera_model, hit_fn=hit_fn, with_stats=True,
-        )
-
     key = rngu.base_key()
+    if accel == "pallas":
+        from cudaraytracer_tpu.ops.pallas.render_kernel import (
+            pack_camera, pack_scene_tables, pallas_render_sample)
+
+        import numpy as _np
+
+        S, P, C, SC, n_super = pack_scene_tables(scene)
+        S, P, C, SC = map(jnp.asarray, (S, P, C, SC))
+        tile_h, tile_w = 16, 256
+        has_rects = bool((_np.asarray(sd.prim_type)[_np.asarray(sd.active)] != 0).any())
+        wpad = -(-args.width // tile_w) * tile_w
+        hpad = -(-args.height // tile_h) * tile_h
+        cam_vec = pack_camera(cam, sd, wpad, hpad, 1e-3)
+
+        @jax.jit
+        def step(S, P, C, SC, cam_vec, seed):
+            acc = jnp.zeros((hpad, wpad, 3), jnp.float32)
+
+            def body(s, acc):
+                return acc + pallas_render_sample(
+                    S, P, C, SC, n_super, cam_vec, seed + s * 7919, args.depth,
+                    width=wpad, height=hpad, camera_model=camera_model,
+                    tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+                )
+
+            return jax.lax.fori_loop(0, args.spp, body, acc)
+
+        def run_frame(f):
+            return step(S, P, C, SC, cam_vec, 1000 + f)
+        # avg path length measured separately via the XLA ray counter at
+        # low res (the kernel itself doesn't count rays)
+        probe, nprobe = jax.jit(
+            lambda k: render_radiance(
+                sd, cam, k, args.spp, args.depth, width=args.width // 4,
+                height=args.height // 4, camera_model=camera_model,
+                with_stats=True)
+        )(key)
+        rays_per_frame = float(nprobe) * 16.0
+    else:
+        hit_fn = None
+        if accel == "bvh":
+            from cudaraytracer_tpu.models.bvh import build_bvh, make_bvh_hit_fn
+
+            bvh = build_bvh(scene)
+            hit_fn = make_bvh_hit_fn(bvh, sd)
+
+        @jax.jit
+        def step(sd, cam, key):
+            return render_radiance(
+                sd, cam, key, args.spp, args.depth,
+                width=args.width, height=args.height,
+                camera_model=camera_model, hit_fn=hit_fn, with_stats=True,
+            )
+
+        def run_frame(f):
+            rad, nrays = step(sd, cam, jax.random.fold_in(key, 100 + f))
+            return rad
+        rays_per_frame = None
+
+    def sync(x):
+        # scalar-slice transfer: block_until_ready under-reports through the
+        # axon tunnel (measured), a host transfer is the honest fence
+        import numpy as np
+
+        return np.asarray(x[0, 0])
+
     # warmup / compile
     t0 = time.perf_counter()
-    rad, nrays = step(sd, cam, key)
-    rad.block_until_ready()
+    sync(run_frame(0))
     compile_s = time.perf_counter() - t0
     for i in range(max(0, args.warmup - 1)):
-        rad, nrays = step(sd, cam, jax.random.fold_in(key, i + 1))
-        rad.block_until_ready()
+        sync(run_frame(i + 1))
 
     times = []
-    total_rays = 0.0
     for f in range(args.frames):
-        k = jax.random.fold_in(key, 100 + f)
         t0 = time.perf_counter()
-        rad, nrays = step(sd, cam, k)
-        rad.block_until_ready()
+        out = run_frame(10 + f)
+        sync(out)
         times.append(time.perf_counter() - t0)
-        total_rays += float(nrays)
+    if rays_per_frame is None:
+        rad, nrays = step(sd, cam, jax.random.fold_in(key, 999))
+        rays_per_frame = float(nrays)
+    total_rays = rays_per_frame * len(times)
 
     mean_s = sum(times) / len(times)
     ms_per_frame = mean_s * 1000.0

@@ -1,0 +1,36 @@
+"""Build the native C++ components.
+
+Usage: python -m cudaraytracer_tpu.native.build
+
+The reference builds its host runtime with CMake/premake (reference:
+CMakeLists.txt:1-63, premake5.lua); this framework's native surface is a
+single shared library compiled with g++ (no external deps), loaded via
+ctypes with a NumPy fallback, so the Python package works without it.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "bvh_builder.cpp")
+LIB = os.path.join(HERE, "libcrt_native.so")
+
+
+def build(verbose: bool = True) -> str:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-o", LIB, SRC,
+    ]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    if verbose:
+        print(f"built {LIB}")
+    return LIB
+
+
+if __name__ == "__main__":
+    sys.exit(0 if build() else 1)

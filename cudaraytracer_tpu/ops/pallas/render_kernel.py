@@ -48,8 +48,9 @@ S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
 P_MAT, P_FUZZ, P_IOR, P_LIGHT, P_TEX, P_ALR, P_ALG, P_ALB, \
     P_A2R, P_A2G, P_A2B, P_CX, P_CY, P_CZ, P_RINV, P_PTYPE = range(16)
 
-CLUSTER = 32  # primitives per cluster
-DEF_TILE_H = 8
+CLUSTER = 8  # primitives per cluster
+SUPER = 8  # clusters per supercluster
+DEF_TILE_H = 16
 BIG = 3.0e38
 
 
@@ -70,16 +71,18 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 def pack_scene_tables(scene):
     """Host-side packing of the ACTIVE primitives into kernel tables.
 
-    Returns (S f32[16,NP], P f32[16,NP], clusters f32[6,NC], n_clusters)
-    as NumPy arrays, Morton-ordered and padded to a multiple of CLUSTER.
-    Rebuild per scene edit — kilobytes of upload, no recompilation (NP is
-    padded to the scene's fixed capacity).
+    Returns (S f32[16,NP], P f32[16,NP], clusters f32[6,NC],
+    superclusters f32[6,NSC], n_super) as NumPy arrays, Morton-ordered and
+    padded to a multiple of CLUSTER*SUPER.  Rebuild per scene edit —
+    kilobytes of upload, no recompilation (NP is padded to the scene's
+    fixed capacity).
     """
     from ...models.bvh import primitive_aabbs
 
     idx = scene.active_indices()
-    cap = max(scene.capacity, CLUSTER)
-    npad = ((cap + CLUSTER - 1) // CLUSTER) * CLUSTER
+    span = CLUSTER * SUPER
+    cap = max(scene.capacity, span)
+    npad = ((cap + span - 1) // span) * span
 
     S = np.zeros((16, npad), np.float32)
     P = np.zeros((16, npad), np.float32)
@@ -89,15 +92,19 @@ def pack_scene_tables(scene):
 
     n = len(idx)
     nc = max(1, (n + CLUSTER - 1) // CLUSTER)
+    n_super = max(1, (n + span - 1) // span)
     clusters = np.zeros((6, max(1, npad // CLUSTER)), np.float32)
     clusters[0:3, :] = BIG  # empty clusters can never be hit
     clusters[3:6, :] = -BIG
+    supers = np.zeros((6, max(1, npad // span)), np.float32)
+    supers[0:3, :] = BIG
+    supers[3:6, :] = -BIG
 
     if n:
         bmin, bmax = primitive_aabbs(scene, idx)
         cent = 0.5 * (bmin + bmax)
-        span = cent.max(0) - cent.min(0)
-        norm = (cent - cent.min(0)) / np.where(span > 0, span, 1.0)
+        extent = cent.max(0) - cent.min(0)
+        norm = (cent - cent.min(0)) / np.where(extent > 0, extent, 1.0)
         order = np.argsort(_morton3(norm), kind="stable")
         idx = idx[order]
         bmin, bmax = bmin[order], bmax[order]
@@ -139,8 +146,12 @@ def pack_scene_tables(scene):
             lo, hi = ci * CLUSTER, min(n, (ci + 1) * CLUSTER)
             clusters[0:3, ci] = bmin[lo:hi].min(0)
             clusters[3:6, ci] = bmax[lo:hi].max(0)
+        for si in range(n_super):
+            lo, hi = si * span, min(n, (si + 1) * span)
+            supers[0:3, si] = bmin[lo:hi].min(0)
+            supers[3:6, si] = bmax[lo:hi].max(0)
 
-    return S, P, clusters, nc
+    return S, P, clusters, supers, n_super
 
 
 def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
@@ -193,29 +204,40 @@ def _u01(shape):
 
 
 def _render_kernel(
-    cnt_ref,  # SMEM i32[4]: n_clusters, max_depth, n_prims, seed
+    cnt_ref,  # SMEM i32[4]: n_super, max_depth, n_prims, seed
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
     p_ref,  # SMEM f32[16, NP]
     clus_ref,  # SMEM f32[6, NC]
-    out_ref,  # VMEM f32[3, TH, W] block
+    super_ref,  # SMEM f32[6, NSC]
+    out_ref,  # VMEM f32[3, TH, TW] block
     *,
     tile_h: int,
+    tile_w: int,
     width: int,
     height: int,
     camera_model: str,
+    has_rects: bool,
 ):
-    pid = pl.program_id(0)
+    pi = pl.program_id(0)
+    pj = pl.program_id(1)
+    pid = pi * pl.num_programs(1) + pj
     pltpu.prng_seed(cnt_ref[3] + pid * 7919)
 
-    n_clusters = cnt_ref[0]
+    n_super = cnt_ref[0]
     max_depth = cnt_ref[1]
     t_min = cam_ref[28]
 
-    shape = (tile_h, width)
-    xs = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    # 2D pixel tiles: spatially compact tiles keep a tile's rays coherent,
+    # which is what makes per-tile cluster culling and whole-tile bounce
+    # early-exit effective (a full-width strip would intersect most of the
+    # scene's clusters and cull nothing)
+    shape = (tile_h, tile_w)
+    xs = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32) + (
+        pj * tile_w
+    ).astype(jnp.float32)
     ys = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32) + (
-        pid * tile_h
+        pi * tile_h
     ).astype(jnp.float32)
 
     jx = _u01(shape)
@@ -285,12 +307,14 @@ def _render_kernel(
         inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
         a_quad = dx * dx + dy * dy + dz * dz
 
-        # -------- closest hit: cluster-culled brute force --------
-        def cluster_body(ci, carry):
-            best_t, best_j = carry
-
-            cx0, cy0, cz0 = clus_ref[0, ci], clus_ref[1, ci], clus_ref[2, ci]
-            cx1, cy1, cz1 = clus_ref[3, ci], clus_ref[4, ci], clus_ref[5, ci]
+        # -------- closest hit: two-level hierarchical culling --------
+        # Superclusters gate clusters gate primitives, all via scalar
+        # `lax.cond`s on whole-tile any() — the gather-free, tile-coherent
+        # analog of BVH descent (reference Hittable.cuh:387-439).
+        def _box_any(ref, ci, best_t):
+            """Does ANY live ray hit box `ci` of `ref` closer than best_t?"""
+            cx0, cy0, cz0 = ref[0, ci], ref[1, ci], ref[2, ci]
+            cx1, cy1, cz1 = ref[3, ci], ref[4, ci], ref[5, ci]
             tx0 = (cx0 - ox) * inv_dx
             tx1 = (cx1 - ox) * inv_dx
             ty0 = (cy0 - oy) * inv_dy
@@ -305,7 +329,11 @@ def _render_kernel(
                 jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                 jnp.minimum(jnp.maximum(tz0, tz1), best_t),
             )
-            any_hit = jnp.any((tfar > tnear) & alive)
+            return jnp.any((tfar > tnear) & alive)
+
+        def cluster_scan(ci, carry):
+            best_t, best_j = carry
+            any_hit = _box_any(clus_ref, ci, best_t)
 
             def prim_body(j, carry):
                 best_t, best_j = carry
@@ -327,28 +355,33 @@ def _render_kernel(
                 t_s = jnp.where(t0ok, t0, t1)
                 hit_s = (disc > 0.0) & (t0ok | t1ok)
 
-                # rect (Hittable.cuh:128-294) with precomputed plane consts
-                kax = s_ref[S_KAX, j]
-                o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
-                d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
-                t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
-                aax = s_ref[S_AAX, j]
-                bax = s_ref[S_BAX, j]
-                o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
-                d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
-                o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
-                d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
-                p_a = o_a + t_r * d_a
-                p_b = o_b + t_r * d_b
-                hit_r = (
-                    (t_r > t_min) & (t_r < best_t)
-                    & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
-                    & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
-                )
-
-                t_j = jnp.where(is_sphere, t_s, t_r)
-                # boolean select via logic ops (Mosaic can't select i1 vectors)
-                hit_j = ((is_sphere & hit_s) | (~is_sphere & hit_r)) & (active > 0.5) & alive
+                if has_rects:
+                    # rect (Hittable.cuh:128-294) with precomputed plane consts
+                    kax = s_ref[S_KAX, j]
+                    o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
+                    d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
+                    t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
+                    aax = s_ref[S_AAX, j]
+                    bax = s_ref[S_BAX, j]
+                    o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
+                    d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
+                    o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
+                    d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
+                    p_a = o_a + t_r * d_a
+                    p_b = o_b + t_r * d_b
+                    hit_r = (
+                        (t_r > t_min) & (t_r < best_t)
+                        & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
+                        & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
+                    )
+                    t_j = jnp.where(is_sphere, t_s, t_r)
+                    # boolean select via logic ops (Mosaic can't select i1 vectors)
+                    hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
+                else:
+                    # sphere-only scene: compile the rect path away entirely
+                    t_j = t_s
+                    hit_j = hit_s
+                hit_j = hit_j & (active > 0.5) & alive
                 best_t = jnp.where(hit_j, t_j, best_t)
                 best_j = jnp.where(hit_j, jnp.float32(j), best_j)
                 return best_t, best_j
@@ -360,8 +393,19 @@ def _render_kernel(
 
             return lax.cond(any_hit, run, lambda c: c, (best_t, best_j))
 
+        def super_scan(si, carry):
+            best_t, _ = carry
+            any_hit = _box_any(super_ref, si, best_t)
+
+            def run(carry):
+                return lax.fori_loop(
+                    si * SUPER, (si + 1) * SUPER, cluster_scan, carry
+                )
+
+            return lax.cond(any_hit, run, lambda c: c, carry)
+
         best_t, best_j = lax.fori_loop(
-            0, n_clusters, cluster_body,
+            0, n_super, super_scan,
             (jnp.full(shape, BIG, jnp.float32), jnp.full(shape, -1.0, jnp.float32)),
         )
         hit = best_j >= 0.0
@@ -383,29 +427,41 @@ def _render_kernel(
 
             return lax.cond(in_cluster, run, lambda p: p, pay)
 
-        pay = lax.fori_loop(0, n_clusters, payload_cluster, (zeros,) * 16)
+        def payload_super(si, pay):
+            span = SUPER * CLUSTER
+            in_super = jnp.any(hit & (best_j >= si * span) & (best_j < (si + 1) * span))
+
+            def run(pay):
+                return lax.fori_loop(si * SUPER, (si + 1) * SUPER, payload_cluster, pay)
+
+            return lax.cond(in_super, run, lambda p: p, pay)
+
+        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * 16)
 
         # -------- hit point, normal --------
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
-        is_sphere = pay[P_PTYPE] < 0.5
         rinv = pay[P_RINV]
         snx = (px - pay[P_CX]) * rinv
         sny = (py - pay[P_CY]) * rinv
         snz = (pz - pay[P_CZ]) * rinv
-        # rect outward normal = one-hot(k axis); SetFaceNormal flip
-        kax = jnp.where(
-            pay[P_PTYPE] < 1.5, 2.0, jnp.where(pay[P_PTYPE] < 2.5, 1.0, 0.0)
-        )
-        rnx = jnp.where(kax == 0.0, ones, zeros)
-        rny = jnp.where(kax == 1.0, ones, zeros)
-        rnz = jnp.where(kax == 2.0, ones, zeros)
-        d_dot_out = dx * rnx + dy * rny + dz * rnz
-        flip = jnp.where(d_dot_out < 0.0, 1.0, -1.0)
-        nx = jnp.where(is_sphere, snx, rnx * flip)
-        ny = jnp.where(is_sphere, sny, rny * flip)
-        nz = jnp.where(is_sphere, snz, rnz * flip)
+        if has_rects:
+            is_sphere = pay[P_PTYPE] < 0.5
+            # rect outward normal = one-hot(k axis); SetFaceNormal flip
+            kax = jnp.where(
+                pay[P_PTYPE] < 1.5, 2.0, jnp.where(pay[P_PTYPE] < 2.5, 1.0, 0.0)
+            )
+            rnx = jnp.where(kax == 0.0, ones, zeros)
+            rny = jnp.where(kax == 1.0, ones, zeros)
+            rnz = jnp.where(kax == 2.0, ones, zeros)
+            d_dot_out = dx * rnx + dy * rny + dz * rnz
+            flip = jnp.where(d_dot_out < 0.0, 1.0, -1.0)
+            nx = jnp.where(is_sphere, snx, rnx * flip)
+            ny = jnp.where(is_sphere, sny, rny * flip)
+            nz = jnp.where(is_sphere, snz, rnz * flip)
+        else:
+            nx, ny, nz = snx, sny, snz
 
         # -------- sky on miss (Kernel.cu:40-45): lerp by unit-dir y --------
         sky_t = 0.5 * (dy * lax.rsqrt(jnp.maximum(a_quad, 1e-12)) + 1.0)
@@ -539,7 +595,8 @@ def pallas_render_sample(
     s_tab: jnp.ndarray,  # f32[16, NP]
     p_tab: jnp.ndarray,  # f32[16, NP]
     clusters: jnp.ndarray,  # f32[6, NC]
-    n_clusters,  # i32 scalar
+    supers: jnp.ndarray,  # f32[6, NSC]
+    n_super,  # i32 scalar
     cam_vec: jnp.ndarray,  # f32[38]
     seed,  # i32 scalar
     max_depth,  # i32 scalar
@@ -548,25 +605,31 @@ def pallas_render_sample(
     height: int,
     camera_model: str = "look_at",
     tile_h: int = DEF_TILE_H,
+    tile_w: int = 256,
+    has_rects: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One 1-spp radiance sample via the megakernel -> f32[H, W, 3].
 
-    width must be a multiple of 128 and height of tile_h (the Renderer
-    wrapper pads + crops).
+    width must be a multiple of tile_w (a lane multiple) and height of
+    tile_h (the Renderer wrapper pads + crops).  ``has_rects=False``
+    compiles the rect intersection/normal paths away for all-sphere scenes
+    (the RTOW benchmark) — about half the per-primitive vector ops.
     """
-    assert width % 128 == 0, width
+    assert tile_w % 128 == 0, tile_w
+    assert width % tile_w == 0, (width, tile_w)
     assert height % tile_h == 0, (height, tile_h)
-    grid = (height // tile_h,)
+    grid = (height // tile_h, width // tile_w)
     cnt = jnp.stack([
-        jnp.asarray(n_clusters, jnp.int32),
+        jnp.asarray(n_super, jnp.int32),
         jnp.asarray(max_depth, jnp.int32),
         jnp.int32(s_tab.shape[1]),
         jnp.asarray(seed, jnp.int32),
     ])
     kern = functools.partial(
         _render_kernel,
-        tile_h=tile_h, width=width, height=height, camera_model=camera_model,
+        tile_h=tile_h, tile_w=tile_w, width=width, height=height,
+        camera_model=camera_model, has_rects=has_rects,
     )
     out = pl.pallas_call(
         kern,
@@ -579,11 +642,12 @@ def pallas_render_sample(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (3, tile_h, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
         interpret=interpret,
-    )(cnt, cam_vec, s_tab, p_tab, clusters)
+    )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
     return jnp.transpose(out, (1, 2, 0))

@@ -144,6 +144,26 @@ class RenderLayer(Layer):
             self._accum = self.renderer.zeros_accum()
         self._spp_done = 0
 
+    def resize(self, width: int, height: int):
+        """Viewport resize: rebuild the renderer at the new shape (the
+        analog of OnImGuiResize freeing + re-initializing the framebuffer
+        and RNG buffers, CudaLayer.cpp:689-717).  One recompile per new
+        size; no RNG re-seed needed (counter-based keys)."""
+        width, height = int(width), int(height)
+        if (width, height) == (self.cfg.width, self.cfg.height):
+            return
+        rtlog.rt_info("Resize %dx%d -> %dx%d",
+                      self.cfg.width, self.cfg.height, width, height)
+        self.cfg.width, self.cfg.height = width, height
+        self.metrics.width, self.metrics.height = width, height
+        self.renderer = Renderer(
+            width, height, camera_model=self.cfg.camera_model,
+            t_min=self.cfg.t_min, block=self.cfg.block,
+        )
+        if self._pallas is not None:
+            self._pallas = _PallasPipeline(self.scene, self.cfg)
+        self.reset_accumulation()
+
     # -------------------------------------------------------- frame
     def on_update(self):
         self._sync_scene()
@@ -200,22 +220,26 @@ class _PallasPipeline:
             raise ValueError(
                 "pallas accel does not support IMAGE textures; use accel=bvh"
             )
-        S, P, C, nc = pack_scene_tables(scene)
-        self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C))
-        self._nc = nc
+        S, P, C, SC, n_super = pack_scene_tables(scene)
+        self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C), jnp.asarray(SC))
+        self._n_super = n_super
         self._cfg = cfg
         self._scene = scene
-        # pad width to a lane multiple; crop on output
-        self._wpad = ((cfg.width + 127) // 128) * 128
-        self._hpad = ((cfg.height + 7) // 8) * 8
+        idx = scene.active_indices()
+        has_rects = bool((scene.prim_type[idx] != 0).any())
+        tile_h, tile_w = 16, 256
+        # pad to tile multiples; crop on output
+        self._wpad = -(-cfg.width // tile_w) * tile_w
+        self._hpad = -(-cfg.height // tile_h) * tile_h
         self._pack_camera = pack_camera
 
         @jax.jit
-        def _step(S, P, C, cam_vec, seed, depth, accum):
+        def _step(S, P, C, SC, cam_vec, seed, depth, accum):
             rad = pallas_render_sample(
-                S, P, C, nc, cam_vec, seed, depth,
+                S, P, C, SC, n_super, cam_vec, seed, depth,
                 width=self._wpad, height=self._hpad,
                 camera_model=cfg.camera_model,
+                tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
             )
             return accum + rad[: cfg.height, : cfg.width]
 

@@ -57,6 +57,10 @@ button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;bo
   <button onclick="setOpt()">apply</button>
   <button onclick="post('/options',{pause:true})">pause/resume</button>
  </div>
+ <div>resize <input id=rw type=number style="width:55px" value=640>x<input id=rh type=number style="width:55px" value=360>
+  <button onclick="post('/options',{resize:[+document.getElementById('rw').value,+document.getElementById('rh').value]})">apply</button>
+ </div>
+ <input type=file id=texfile style="display:none" accept="image/*">
  <div>bg <input id=bg0 type=color><input id=bg1 type=color>
   <button onclick="setBg()">set</button>
   <button onclick="post('/options',{save:'scene.json'})">save scene</button>
@@ -92,6 +96,7 @@ async function state(){try{const r=await fetch('/state');const s=await r.json();
  document.getElementById('scene').innerHTML=s.scene.map(p=>
   `<div class=prim>#${p.id} ${p.prim} / ${p.mat} @ [${p.center.map(x=>x.toFixed(2))}]
    <button onclick="editPrim(${p.id})">edit</button>
+   <button onclick="uploadTex(${p.id})">img</button>
    <button onclick="post('/edit',{op:'delete',id:${p.id}})">x</button></div>`).join('');
  if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
 }catch(e){} setTimeout(state,700)}
@@ -103,12 +108,16 @@ function setBg(){post('/options',{background_start:hex2rgb(document.getElementBy
 function addPrim(){const t=prompt('type (sphere/xy_rect/xz_rect/yz_rect)','sphere');if(!t)return;
  const m=prompt('material (lambertian/metal/dielectric/diffuse_light)','lambertian');
  post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
+function uploadTex(id){const f=document.getElementById('texfile');
+ f.onchange=async()=>{if(f.files[0]){await fetch('/texture?id='+id,{method:'POST',body:f.files[0]})}};
+ f.click()}
 function editPrim(id){const f=prompt('field=value (center=x,y,z | radius | fuzz | ior | light | albedo=r,g,b)','center=0,1,0');
  if(!f)return;const[k,v]=f.split('=');post('/edit',{op:'update',id,field:k,value:v.includes(',')?v.split(',').map(Number):+v})}
 </script></body></html>"""
 
 _PRIM_IDS = {v: k for k, v in scene_mod.PRIM_NAMES.items()}
 _MAT_IDS = {v: k for k, v in scene_mod.MAT_NAMES.items()}
+_TEX_IDS = {v: k for k, v in scene_mod.TEX_NAMES.items()}
 
 
 class ViewerServer:
@@ -186,6 +195,9 @@ class ViewerServer:
                 scene.update(i, size=(float(value), float(value)))
             elif field in ("mat", "material"):
                 scene.update(i, mat_type=_MAT_IDS[value])
+            elif field in ("tex", "texture"):
+                # TextureNode combo switch (CudaLayer.cpp:806-872)
+                scene.update(i, tex_type=_TEX_IDS[value])
             else:
                 scene.update(i, **{field: value})
             rtlog.rt_info("Updated hittable %d: %s", i, field)
@@ -205,6 +217,9 @@ class ViewerServer:
         if "background_end" in data:
             rl.scene.background_end = np.asarray(data["background_end"], np.float32)
             rl.scene.version += 1
+        if "resize" in data:
+            w, h = data["resize"]
+            rl.resize(int(w), int(h))
         if data.get("pause"):
             self.app.toggle_pause()
         if "save" in data:
@@ -214,6 +229,25 @@ class ViewerServer:
             rl.scene = scene_mod.Scene.load(data["load"])
             rl._scene_version = -1
             rtlog.rt_info("Scene loaded from %s", data["load"])
+
+    def handle_texture_upload(self, prim_id: int, image_bytes: bytes):
+        """Image-texture upload: the file-dialog + ImageAllocation path
+        (CudaLayer.cpp:846-916) — decode, stage into the atlas, point the
+        primitive's texture at the slot."""
+        import io as _io
+
+        from PIL import Image
+
+        rl = self.app.render_layer
+        scene = rl.scene
+        img = Image.open(_io.BytesIO(image_bytes)).convert("RGB")
+        old = int(scene.tex_id[prim_id])
+        slot = scene.load_image_texture(img)
+        scene.update(prim_id, tex_type=scene_mod.IMAGE, tex_id=slot)
+        if old >= 0:
+            scene.free_image_texture(old)
+        rtlog.rt_info("Loaded %dx%d image texture into slot %d (hittable %d)",
+                      img.width, img.height, slot, prim_id)
 
     def frame_png(self) -> bytes:
         from PIL import Image
@@ -252,7 +286,17 @@ class ViewerServer:
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    data = json.loads(self.rfile.read(n) or b"{}")
+                    data_raw = self.rfile.read(n)
+                    data = (json.loads(data_raw or b"{}")
+                            if not self.path.startswith("/texture") else None)
+                    if self.path.startswith("/texture"):
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        viewer.handle_texture_upload(
+                            int(q["id"][0]), data_raw)
+                        self._send(200, b"{}", "application/json")
+                        return
                     if self.path == "/input":
                         viewer.handle_input(data)
                     elif self.path == "/edit":

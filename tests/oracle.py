@@ -1,0 +1,170 @@
+"""Scalar NumPy oracle path tracer.
+
+A direct, slow transliteration of the reference's radiance algorithm
+(reference: CudaRayTracer/src/Cuda/Kernel.cu:30-158 + Material.cuh +
+Texture.cuh), used as the golden model for statistical comparison with the
+vectorized JAX renderer (SURVEY.md §4 test plan item b).  Python loops,
+NumPy RNG — intentionally nothing shared with the production code paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sphere_hit(o, d, c, r, t_min, t_max):
+    oc = o - c
+    a = d @ d
+    b = oc @ d
+    cc = oc @ oc - r * r
+    disc = b * b - a * cc
+    if disc <= 0:
+        return None
+    for sgn in (-1.0, 1.0):
+        t = (-b + sgn * np.sqrt(disc)) / a
+        if t_min < t < t_max:
+            return t
+    return None
+
+
+def _rect_hit(o, d, ptype, center, size, t_min, t_max):
+    k_ax = {1: 2, 2: 1, 3: 0}[ptype]
+    a_ax = {1: 0, 2: 0, 3: 1}[ptype]
+    b_ax = {1: 1, 2: 2, 3: 2}[ptype]
+    ext_a = size[0] if ptype in (1, 2) else size[1]
+    ext_b = size[1] if ptype in (1, 2) else size[0]
+    if d[k_ax] == 0:
+        return None
+    t = (center[k_ax] - o[k_ax]) / d[k_ax]
+    if not (t_min < t < t_max):
+        return None
+    pa = o[a_ax] + t * d[a_ax]
+    pb = o[b_ax] + t * d[b_ax]
+    if abs(pa - center[a_ax]) > ext_a / 2 or abs(pb - center[b_ax]) > ext_b / 2:
+        return None
+    return t
+
+
+def _closest_hit(scene, o, d, t_min=1e-3):
+    best_t, best_i = 3.4e38, -1
+    for i in scene.active_indices():
+        pt = int(scene.prim_type[i])
+        if pt == 0:
+            t = _sphere_hit(o, d, scene.center[i], scene.size[i][0], t_min, best_t)
+        else:
+            t = _rect_hit(o, d, pt, scene.center[i], scene.size[i], t_min, best_t)
+        if t is not None:
+            best_t, best_i = t, i
+    return (best_i, best_t) if best_i >= 0 else (None, None)
+
+
+def _rand_in_sphere(rng):
+    while True:  # true rejection sampling like the reference (Math.cuh:252-260)
+        p = 2.0 * rng.random_sample(3) - 1.0
+        if p @ p < 1.0:
+            return p
+
+
+def _texture(scene, i, p):
+    tt = int(scene.tex_type[i])
+    if tt == 0:
+        return scene.albedo[i].astype(np.float64)
+    if tt == 1:
+        sines = np.sin(10 * p[0]) * np.sin(10 * p[1]) * np.sin(10 * p[2])
+        return (scene.albedo[i] if sines < 0 else scene.albedo2[i]).astype(np.float64)
+    raise NotImplementedError("oracle: image textures not modeled")
+
+
+def _reflect(v, n):
+    return v - 2 * (v @ n) * n
+
+
+def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
+    """color() (Kernel.cu:30-80) transliterated."""
+    throughput = np.ones(3)
+    for _ in range(max_depth):
+        i, t = _closest_hit(scene, o, d, t_min)
+        if i is None:
+            unit = d / np.linalg.norm(d)
+            s = 0.5 * (unit[1] + 1.0)
+            sky = (1 - s) * scene.background_start + s * scene.background_end
+            return throughput * sky
+        p = o + t * d
+        mat = int(scene.mat_type[i])
+        if int(scene.prim_type[i]) == 0:
+            normal = (p - scene.center[i]) / scene.size[i][0]
+        else:
+            k_ax = {1: 2, 2: 1, 3: 0}[int(scene.prim_type[i])]
+            outward = np.zeros(3)
+            outward[k_ax] = 1.0
+            normal = outward if d @ outward < 0 else -outward
+        if mat == 3:  # diffuse light
+            return throughput * scene.light[i] * _texture(scene, i, p)
+        if mat == 0:  # lambertian
+            nd = normal + _rand_in_sphere(rng)
+            throughput = throughput * _texture(scene, i, p)
+        elif mat == 1:  # metal
+            refl = _reflect(d / np.linalg.norm(d), normal)
+            nd = refl + scene.fuzz[i] * _rand_in_sphere(rng)
+            if nd @ normal <= 0:
+                return np.zeros(3)
+            throughput = throughput * _texture(scene, i, p)
+        else:  # dielectric (Material.cuh:104-136)
+            ir = float(scene.ior[i])
+            ddn = d @ normal
+            dlen = np.linalg.norm(d)
+            if ddn > 0:
+                outward, ni = -normal, ir
+                cosine = np.sqrt(max(0.0, 1 - ir * ir * (1 - (ddn / dlen) ** 2)))
+            else:
+                outward, ni = normal, 1.0 / ir
+                cosine = -ddn / dlen
+            uv = d / dlen
+            dt = uv @ outward
+            disc = 1.0 - ni * ni * (1 - dt * dt)
+            if disc > 0:
+                r0 = ((1 - ir) / (1 + ir)) ** 2
+                reflect_prob = r0 + (1 - r0) * (1 - cosine) ** 5
+            else:
+                reflect_prob = 1.0
+            if rng.random_sample() < reflect_prob:
+                nd = _reflect(d, normal)
+            else:
+                nd = ni * (uv - outward * dt) - outward * np.sqrt(disc)
+        o, d = p, nd
+    return np.zeros(3)
+
+
+def render(scene, cam_origin, forward, width, height, spp, max_depth, seed,
+           fov_deg=45.0, near=0.1, far=10.0):
+    """Two-plane camera render (Kernel.cu:130-148 transliterated).
+    Returns mean radiance f32[H,W,3] (framebuffer order: row 0 = v>0 side).
+    """
+    rng = np.random.RandomState(seed)
+    origin = np.asarray(cam_origin, float)
+    fwd = np.asarray(forward, float)
+    fwd = fwd / np.linalg.norm(fwd)
+    wup = np.array([0.0, 1.0, 0.0])
+    right0 = np.cross(fwd, wup)
+    right0 /= np.linalg.norm(right0)
+    up = np.cross(fwd, right0)
+    up /= np.linalg.norm(up)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    fov = np.radians(fov_deg)
+
+    img = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            col = np.zeros(3)
+            for _ in range(spp):
+                u = ((x - width / 2.0) + rng.random_sample()) / width
+                v = ((height / 2.0 - y) + rng.random_sample()) / width
+                dist = u * right + v * up
+                start = near * dist + origin + fov * fwd
+                second = far * dist + (1.0 / fov * 10.0) * fwd + origin
+                d = second - start
+                d /= np.linalg.norm(d)
+                col += trace_ray(scene, start, d, max_depth, rng)
+            img[y, x] = col / spp
+    return img.astype(np.float32)

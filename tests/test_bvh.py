@@ -122,3 +122,21 @@ def test_renderer_with_bvh_matches_brute_statistically():
     b = np.asarray(r.render(sd, cam, key, spp=2, max_depth=4, bvh=bvh))
     # identical RNG stream + identical closest-hit -> identical images
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_native_builder_matches_brute():
+    from cudaraytracer_tpu.native import bvh_native
+
+    if not bvh_native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    scene = scenes.rtow_final_scene(capacity=512)
+    sd = scene.device()
+    bvh = build_bvh(scene, use_native=True)
+    o, d = random_rays(200)
+    bh, bt, bi = isect.hit_scene(o, d, sd.prim_type, sd.center, sd.size, sd.active)
+    vh, vt, vi = bvh_closest_hit(o, d, bvh, sd.prim_type, sd.center, sd.size)
+    np.testing.assert_array_equal(np.asarray(vh), np.asarray(bh))
+    sel = np.asarray(bh)
+    np.testing.assert_allclose(np.asarray(vt)[sel], np.asarray(bt)[sel], rtol=2e-4, atol=1e-5)

@@ -107,3 +107,34 @@ def test_accumulation_reset_on_edit(served):
                          "center": [0, 1, 0], "radius": 0.3})
     app.run(max_frames=1)
     assert rl._spp_done == 1  # reset fired
+
+
+def test_resize(served):
+    app, server, port = served
+    post(port, "/options", {"resize": [40, 32]})
+    app.run(max_frames=1)
+    img = app.render_layer.framebuffer_rgba8()
+    assert img.shape == (32, 40, 4)
+    s = json.loads(get(port, "/state"))
+    assert s["metrics"]["width"] == 40 and s["metrics"]["height"] == 32
+
+
+def test_texture_upload(served):
+    import io
+    from PIL import Image
+
+    app, server, port = served
+    scene = app.render_layer.scene
+    pid = int(scene.active_indices()[0])
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), 200, np.uint8)).save(buf, "PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/texture?id={pid}", data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        r.read()
+    assert int(scene.tex_type[pid]) == 2  # IMAGE
+    assert int(scene.tex_id[pid]) >= 0
+    # switch back to checker via the texture combo (TextureNode analog)
+    post(port, "/edit", {"op": "update", "id": pid, "field": "tex", "value": "checker"})
+    assert int(scene.tex_type[pid]) == 1
