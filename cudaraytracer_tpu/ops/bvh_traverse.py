@@ -47,14 +47,14 @@ def _leaf_prim_t(org, dirn, a_quad, ptype, center, size, t_min, t_max):
 
     # ---- rect (any orientation) ----
     # one-hot multiply-sum instead of pairwise [R]-index gathers (slow on TPU)
-    k_ax = _K_AXIS[ptype]
-    a_ax = _A_AXIS[ptype]
-    b_ax = _B_AXIS[ptype]
+    k_ax = jnp.asarray(_K_AXIS)[ptype]
+    a_ax = jnp.asarray(_A_AXIS)[ptype]
+    b_ax = jnp.asarray(_B_AXIS)[ptype]
     axes3 = jnp.arange(3, dtype=jnp.int32)
     k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [R,3]
     a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)
     b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
-    ea_col = _A_EXT_COL[ptype]
+    ea_col = jnp.asarray(_A_EXT_COL)[ptype]
     half_a = 0.5 * jnp.where(ea_col == 0, size[:, 0], size[:, 1])
     half_b = 0.5 * jnp.where(ea_col == 0, size[:, 1], size[:, 0])
     o_k = jnp.sum(org * k_oh, axis=-1)
@@ -88,7 +88,7 @@ def bvh_closest_hit(
     org = jnp.asarray(org)
     dirn = jnp.asarray(dirn)
     if t_max is None:
-        t_max = BIG
+        t_max = jnp.float32(BIG)
     inv_d = inv_direction(dirn)
     a_quad = dot(dirn, dirn)
     r = org.shape[0]
@@ -132,7 +132,7 @@ def bvh_closest_hit(
     root = jnp.where(bvh.n_nodes > 0, 0, -1)
     init = (
         jnp.full_like(org[:, 0], 1, dtype=jnp.int32) * root,
-        jnp.full_like(org[:, 0], BIG),
+        jnp.full_like(org[:, 0], jnp.float32(BIG)),
         jnp.full_like(org[:, 0], -1, dtype=jnp.int32),
         jnp.zeros_like(org[0, 0], dtype=jnp.int32),
     )

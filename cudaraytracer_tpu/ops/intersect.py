@@ -48,15 +48,20 @@ YZ_RECT = 3
 # XYRect: plane z, u<-x (width),  v<-y (height)   (Hittable.cuh:139-165)
 # XZRect: plane y, u<-x (width),  v<-z (height)   (Hittable.cuh:195-221)
 # YZRect: plane x, u<-y (height), v<-z (width)    (Hittable.cuh:251-277)
-_K_AXIS = jnp.array([0, 2, 1, 0], dtype=jnp.int32)
-_A_AXIS = jnp.array([0, 0, 0, 1], dtype=jnp.int32)
-_B_AXIS = jnp.array([0, 1, 2, 2], dtype=jnp.int32)
+# NumPy here, converted at use sites: module-level jnp constants would
+# initialize the JAX backend at import time, defeating later --cpu /
+# jax_platforms configuration.
+import numpy as _np
+
+_K_AXIS = _np.array([0, 2, 1, 0], dtype=_np.int32)
+_A_AXIS = _np.array([0, 0, 0, 1], dtype=_np.int32)
+_B_AXIS = _np.array([0, 1, 2, 2], dtype=_np.int32)
 # Extent along the a/b axes expressed as which column of size[N,2] to use:
 # for xy/xz rects a=width(0) b=height(1); for yz rects a=height(1) b=width(0).
-_A_EXT_COL = jnp.array([0, 0, 0, 1], dtype=jnp.int32)
-_B_EXT_COL = jnp.array([0, 1, 1, 0], dtype=jnp.int32)
+_A_EXT_COL = _np.array([0, 0, 0, 1], dtype=_np.int32)
+_B_EXT_COL = _np.array([0, 1, 1, 0], dtype=_np.int32)
 
-BIG = jnp.float32(3.4e38)  # FLT_MAX stand-in (Kernel.cu uses FLT_MAX)
+BIG = float(3.4e38)  # FLT_MAX stand-in (Kernel.cu uses FLT_MAX)
 
 
 class HitRecord(NamedTuple):
@@ -121,10 +126,10 @@ def _rect_block_t(org, dirn, ptype_b, center_b, size_b, t_min, t_max):
     Sphere-typed entries produce garbage here; the caller masks them out.
     Returns (hit[R,B], t[R,B]).
     """
-    k_ax = _K_AXIS[ptype_b]  # [B]
-    a_ax = _A_AXIS[ptype_b]
-    b_ax = _B_AXIS[ptype_b]
-    ea_col = _A_EXT_COL[ptype_b]  # [B] in {0,1}
+    k_ax = jnp.asarray(_K_AXIS)[ptype_b]  # [B]
+    a_ax = jnp.asarray(_A_AXIS)[ptype_b]
+    b_ax = jnp.asarray(_B_AXIS)[ptype_b]
+    ea_col = jnp.asarray(_A_EXT_COL)[ptype_b]  # [B] in {0,1}
     half_a = 0.5 * jnp.where(ea_col == 0, size_b[:, 0], size_b[:, 1])
     half_b = 0.5 * jnp.where(ea_col == 0, size_b[:, 1], size_b[:, 0])
 
@@ -216,7 +221,7 @@ def hit_scene(
         hit = jnp.where(is_sphere[None, :], sph_hit, rect_hit)
         t = jnp.where(is_sphere[None, :], sph_t, rect_t)
         hit = hit & act_b[None, :]
-        t = jnp.where(hit, t, BIG)
+        t = jnp.where(hit, t, jnp.float32(BIG))
 
         blk_t = jnp.min(t, axis=1)  # [R]
         blk_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + base
@@ -284,14 +289,14 @@ def make_hit_record(
     # instead of [R]-indexed fancy gathers: pairwise gathers lower to very
     # slow scatter/gather loops on TPU (measured ~100ms/frame at 720p),
     # while these are a handful of fused VPU ops.
-    k_ax = _K_AXIS[ptype]
-    a_ax = _A_AXIS[ptype]
-    b_ax = _B_AXIS[ptype]
+    k_ax = jnp.asarray(_K_AXIS)[ptype]
+    a_ax = jnp.asarray(_A_AXIS)[ptype]
+    b_ax = jnp.asarray(_B_AXIS)[ptype]
     axes3 = jnp.arange(3, dtype=jnp.int32)
     a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [R,3]
     b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
     k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)
-    ea_col = _A_EXT_COL[ptype]  # [R] in {0,1}
+    ea_col = jnp.asarray(_A_EXT_COL)[ptype]  # [R] in {0,1}
     ext_a = jnp.where(ea_col == 0, sz[:, 0], sz[:, 1])
     ext_b = jnp.where(ea_col == 0, sz[:, 1], sz[:, 0])
     p_a = jnp.sum(point * a_oh, axis=-1)

@@ -86,8 +86,10 @@ def pack_scene_tables(scene):
 
     S = np.zeros((16, npad), np.float32)
     P = np.zeros((16, npad), np.float32)
-    # harmless defaults for padding lanes
-    S[S_R2, :] = 1.0
+    # padding lanes: r^2 = -1 makes the sphere discriminant strictly
+    # negative (Cauchy-Schwarz), so padded entries can never hit and the
+    # kernel needs no per-primitive active test
+    S[S_R2, :] = -1.0
     S[S_RINV, :] = 1.0
 
     n = len(idx)
@@ -305,7 +307,11 @@ def _render_kernel(
         inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
         inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
         inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-        a_quad = dx * dx + dy * dy + dz * dz
+        # ray directions are kept unit length (raygen + scatter both
+        # normalize), so the quadratic's a coefficient is 1: the two
+        # divisions per sphere test and the |d| terms in the dielectric
+        # fold away.  Same directions, same hit points as the reference's
+        # unnormalized rays — t is just measured in world units.
 
         # -------- closest hit: two-level hierarchical culling --------
         # Superclusters gate clusters gate primitives, all via scalar
@@ -329,7 +335,8 @@ def _render_kernel(
                 jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                 jnp.minimum(jnp.maximum(tz0, tz1), best_t),
             )
-            return jnp.any((tfar > tnear) & alive)
+            # dead lanes carry best_t == t_min, so they can't pass this test
+            return jnp.any(tfar > tnear)
 
         def cluster_scan(ci, carry):
             best_t, best_j = carry
@@ -337,19 +344,20 @@ def _render_kernel(
 
             def prim_body(j, carry):
                 best_t, best_j = carry
-                active = s_ref[S_ACTIVE, j]
-                ptype = s_ref[S_PTYPE, j]
-                is_sphere = ptype < 0.5
+                if has_rects:
+                    ptype = s_ref[S_PTYPE, j]
+                    is_sphere = ptype < 0.5
 
-                # sphere quadratic (Hittable.cuh:80-110)
+                # sphere quadratic (Hittable.cuh:80-110) with a == 1
                 cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
                 ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
                 bq = ocx * dx + ocy * dy + ocz * dz
                 cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
-                disc = bq * bq - a_quad * cq
+                disc = bq * bq - cq
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t0 = (-bq - sq) / a_quad
-                t1 = (-bq + sq) / a_quad
+                nb = -bq
+                t0 = nb - sq
+                t1 = nb + sq
                 t0ok = (t0 > t_min) & (t0 < best_t)
                 t1ok = (t1 > t_min) & (t1 < best_t)
                 t_s = jnp.where(t0ok, t0, t1)
@@ -381,7 +389,6 @@ def _render_kernel(
                     # sphere-only scene: compile the rect path away entirely
                     t_j = t_s
                     hit_j = hit_s
-                hit_j = hit_j & (active > 0.5) & alive
                 best_t = jnp.where(hit_j, t_j, best_t)
                 best_j = jnp.where(hit_j, jnp.float32(j), best_j)
                 return best_t, best_j
@@ -406,7 +413,7 @@ def _render_kernel(
 
         best_t, best_j = lax.fori_loop(
             0, n_super, super_scan,
-            (jnp.full(shape, BIG, jnp.float32), jnp.full(shape, -1.0, jnp.float32)),
+            (jnp.where(alive, BIG, t_min), jnp.full(shape, -1.0, jnp.float32)),
         )
         hit = best_j >= 0.0
 
@@ -463,8 +470,8 @@ def _render_kernel(
         else:
             nx, ny, nz = snx, sny, snz
 
-        # -------- sky on miss (Kernel.cu:40-45): lerp by unit-dir y --------
-        sky_t = 0.5 * (dy * lax.rsqrt(jnp.maximum(a_quad, 1e-12)) + 1.0)
+        # -------- sky on miss (Kernel.cu:40-45): dirs are already unit --------
+        sky_t = 0.5 * (dy + 1.0)
         miss = alive & ~hit
         skyr = (1.0 - sky_t) * bg0[0] + sky_t * bg1[0]
         skyg = (1.0 - sky_t) * bg0[1] + sky_t * bg1[1]
@@ -504,9 +511,8 @@ def _render_kernel(
         # lambertian: n + s
         ldx, ldy, ldz = nx + sx, ny + sy, nz + sz_
 
-        # metal: reflect(unit d, n) + fuzz*s
-        dlen_inv = lax.rsqrt(jnp.maximum(a_quad, 1e-12))
-        udx, udy, udz = dx * dlen_inv, dy * dlen_inv, dz * dlen_inv
+        # metal: reflect(d, n) + fuzz*s (d already unit)
+        udx, udy, udz = dx, dy, dz
         ddn_u = udx * nx + udy * ny + udz * nz
         fz = pay[P_FUZZ]
         mdx = udx - 2.0 * ddn_u * nx + fz * sx
@@ -522,7 +528,7 @@ def _render_kernel(
         ony = jnp.where(exiting, -ny, ny)
         onz = jnp.where(exiting, -nz, nz)
         ni = jnp.where(exiting, ior, 1.0 / ior)
-        cos_in = ddn * dlen_inv
+        cos_in = ddn
         cos_exit = jnp.sqrt(jnp.maximum(0.0, 1.0 - ior * ior * (1.0 - cos_in * cos_in)))
         cosine = jnp.where(exiting, cos_exit, -cos_in)
         # refract unit(d) about outward normal
@@ -558,6 +564,8 @@ def _render_kernel(
         ndx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, gdx))
         ndy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, gdy))
         ndz = jnp.where(is_lamb, ldz, jnp.where(is_metal, mdz, gdz))
+        ninv = lax.rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-20))
+        ndx, ndy, ndz = ndx * ninv, ndy * ninv, ndz * ninv
         att_r = jnp.where(is_diel, ones, texr)
         att_g = jnp.where(is_diel, ones, texg)
         att_b = jnp.where(is_diel, ones, texb)
