@@ -31,7 +31,7 @@ def main():
     p.add_argument("--depth", type=int, default=12)
     p.add_argument("--frames", type=int, default=8, help="timed frames")
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--accel", default="auto", choices=["auto", "brute", "bvh", "pallas"])
+    p.add_argument("--accel", default="auto", choices=["auto", "brute", "bvh", "pallas", "wavefront"])
     p.add_argument("--scene", default="rtow_final")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = p.parse_args()
@@ -58,13 +58,34 @@ def main():
     camera_model = "look_at" if args.scene == "rtow_final" else "two_plane"
 
     key = rngu.base_key()
-    if accel == "pallas":
+    if accel == "wavefront":
+        from cudaraytracer_tpu.models.wavefront import WavefrontRenderer
+
+        wr = WavefrontRenderer(scene, args.width, args.height,
+                               camera_model=camera_model)
+
+        def run_frame(f, nframes):
+            acc = None
+            for s in range(nframes):
+                r = wr.render(cam, jax.random.fold_in(key, 100 + f * 64 + s),
+                              spp=args.spp, max_depth=args.depth)
+                acc = r if acc is None else acc + r
+            return acc
+
+        probe, nprobe = jax.jit(
+            lambda k: render_radiance(
+                sd, cam, k, args.spp, args.depth, width=args.width // 4,
+                height=args.height // 4, camera_model=camera_model,
+                with_stats=True)
+        )(key)
+        rays_per_frame = float(nprobe) * 16.0
+    elif accel == "pallas":
         from cudaraytracer_tpu.ops.pallas.render_kernel import (
             pack_camera, pack_scene_tables, pallas_render_sample)
 
         import numpy as _np
 
-        S, P, C, SC, n_super = pack_scene_tables(scene)
+        S, P, C, SC, n_super, _prim_map = pack_scene_tables(scene)
         S, P, C, SC = map(jnp.asarray, (S, P, C, SC))
         tile_h, tile_w = 16, 256
         has_rects = bool((_np.asarray(sd.prim_type)[_np.asarray(sd.active)] != 0).any())
@@ -73,7 +94,7 @@ def main():
         cam_vec = pack_camera(cam, sd, wpad, hpad, 1e-3)
 
         @jax.jit
-        def step(S, P, C, SC, cam_vec, seed):
+        def step(S, P, C, SC, cam_vec, seed, nframes):
             acc = jnp.zeros((hpad, wpad, 3), jnp.float32)
 
             def body(s, acc):
@@ -83,10 +104,10 @@ def main():
                     tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 )
 
-            return jax.lax.fori_loop(0, args.spp, body, acc)
+            return jax.lax.fori_loop(0, nframes * args.spp, body, acc)
 
-        def run_frame(f):
-            return step(S, P, C, SC, cam_vec, 1000 + f)
+        def run_frame(f, nframes):
+            return step(S, P, C, SC, cam_vec, 1000 + f, nframes)
         # avg path length measured separately via the XLA ray counter at
         # low res (the kernel itself doesn't count rays)
         probe, nprobe = jax.jit(
@@ -105,15 +126,16 @@ def main():
             hit_fn = make_bvh_hit_fn(bvh, sd)
 
         @jax.jit
-        def step(sd, cam, key):
-            return render_radiance(
-                sd, cam, key, args.spp, args.depth,
+        def step(sd, cam, key, nframes):
+            rad, nrays = render_radiance(
+                sd, cam, key, nframes * args.spp, args.depth,
                 width=args.width, height=args.height,
                 camera_model=camera_model, hit_fn=hit_fn, with_stats=True,
             )
+            return rad, nrays
 
-        def run_frame(f):
-            rad, nrays = step(sd, cam, jax.random.fold_in(key, 100 + f))
+        def run_frame(f, nframes):
+            rad, _ = step(sd, cam, jax.random.fold_in(key, 100 + f), nframes)
             return rad
         rays_per_frame = None
 
@@ -124,27 +146,35 @@ def main():
 
         return np.asarray(x[0, 0])
 
-    # warmup / compile
+    # warmup / compile (both batch sizes)
+    big = 9
     t0 = time.perf_counter()
-    sync(run_frame(0))
+    sync(run_frame(0, 1))
     compile_s = time.perf_counter() - t0
-    for i in range(max(0, args.warmup - 1)):
-        sync(run_frame(i + 1))
+    sync(run_frame(0, big))
 
-    times = []
-    for f in range(args.frames):
-        t0 = time.perf_counter()
-        out = run_frame(10 + f)
-        sync(out)
-        times.append(time.perf_counter() - t0)
+    # slope timing: per-frame device cost = (T(big) - T(1)) / (big - 1),
+    # which cancels the per-call host/tunnel round trip (block_until_ready
+    # and single synced calls both mis-measure through the axon tunnel)
+    def timed(nframes, f0):
+        ts = []
+        for f in range(args.frames):
+            t0 = time.perf_counter()
+            sync(run_frame(f0 + f, nframes))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    t_one = timed(1, 10)
+    t_big = timed(big, 50)
+    frame_s = max((t_big - t_one) / (big - 1), 1e-6)
+
     if rays_per_frame is None:
-        rad, nrays = step(sd, cam, jax.random.fold_in(key, 999))
+        _, nrays = step(sd, cam, jax.random.fold_in(key, 999), 1)
         rays_per_frame = float(nrays)
-    total_rays = rays_per_frame * len(times)
 
-    mean_s = sum(times) / len(times)
-    ms_per_frame = mean_s * 1000.0
-    mrays = (total_rays / len(times)) / mean_s / 1e6
+    ms_per_frame = frame_s * 1000.0
+    mrays = rays_per_frame / frame_s / 1e6
     result = {
         "metric": f"Mrays/s RTOW final {args.width}x{args.height} "
                   f"{args.spp}spp depth{args.depth} ({accel}, {jax.default_backend()})",

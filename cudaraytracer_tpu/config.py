@@ -23,7 +23,7 @@ class RenderConfig:
     t_min: float = 0.001  # reference radiance loop t_min (Kernel.cu:40)
     scene: str = "default"  # default | rtow_final | cornell
     camera_model: str = "two_plane"  # two_plane (reference parity) | look_at
-    accel: str = "bvh"  # brute | bvh | pallas
+    accel: str = "bvh"  # brute | bvh | pallas | wavefront
     block: int = 64  # primitives per intersection block (brute force)
     progressive: bool = True  # 1-spp accumulation vs full-spp re-render
     debug_nans: bool = False  # TPU analog of the reference Debug build -g -G
@@ -39,7 +39,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--t-min", dest="t_min", type=float, default=d.t_min)
     parser.add_argument("--scene", choices=["default", "rtow_final", "cornell"], default=d.scene)
     parser.add_argument("--camera-model", dest="camera_model", choices=["two_plane", "look_at"], default=d.camera_model)
-    parser.add_argument("--accel", choices=["brute", "bvh", "pallas"], default=d.accel)
+    parser.add_argument("--accel", choices=["brute", "bvh", "pallas", "wavefront"], default=d.accel)
     parser.add_argument("--block", type=int, default=d.block)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
     parser.add_argument("--debug-nans", dest="debug_nans", action="store_true", default=d.debug_nans)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import typing as _t
 
 import jax
 import jax.numpy as jnp
@@ -68,14 +69,23 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
 
 
-def pack_scene_tables(scene):
+class SceneTables(_t.NamedTuple):
+    """Packed kernel tables (NumPy, Morton-ordered, padded)."""
+
+    S: "np.ndarray"  # f32[16, NP] search table
+    P: "np.ndarray"  # f32[16, NP] payload table
+    clusters: "np.ndarray"  # f32[6, NC] cluster AABBs
+    supers: "np.ndarray"  # f32[6, NSC] supercluster AABBs
+    n_super: int
+    prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
+
+
+def pack_scene_tables(scene) -> SceneTables:
     """Host-side packing of the ACTIVE primitives into kernel tables.
 
-    Returns (S f32[16,NP], P f32[16,NP], clusters f32[6,NC],
-    superclusters f32[6,NSC], n_super) as NumPy arrays, Morton-ordered and
-    padded to a multiple of CLUSTER*SUPER.  Rebuild per scene edit —
-    kilobytes of upload, no recompilation (NP is padded to the scene's
-    fixed capacity).
+    Morton-ordered and padded to a multiple of CLUSTER*SUPER.  Rebuild per
+    scene edit — kilobytes of upload, no recompilation (NP is padded to the
+    scene's fixed capacity).
     """
     from ...models.bvh import primitive_aabbs
 
@@ -153,7 +163,10 @@ def pack_scene_tables(scene):
             supers[0:3, si] = bmin[lo:hi].min(0)
             supers[3:6, si] = bmax[lo:hi].max(0)
 
-    return S, P, clusters, supers, n_super
+    prim_map = np.full(npad, -1, np.int32)
+    if n:
+        prim_map[:n] = idx
+    return SceneTables(S, P, clusters, supers, n_super, prim_map)
 
 
 def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
@@ -197,6 +210,121 @@ def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.n
 
 
 # ----------------------------------------------------------------- kernel
+
+def hierarchical_search(
+    s_ref, clus_ref, super_ref, n_super,
+    ox, oy, oz, dx, dy, dz,
+    t_min, best_t0, has_rects: bool,
+):
+    """Closest-hit search over the packed scene tables for one ray tile.
+
+    Two-level hierarchical culling: superclusters gate clusters gate
+    primitives, all via scalar `lax.cond`s on whole-tile any() — the
+    gather-free, tile-coherent analog of BVH descent (reference
+    Hittable.cuh:387-439).  Directions must be unit length (a == 1 in the
+    sphere quadratic).  ``best_t0`` encodes liveness: dead lanes enter with
+    best_t == t_min and can never record a hit.  Returns (best_t, best_j)
+    with best_j = packed primitive column as f32, -1 for miss.
+    """
+    inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+    def _box_any(ref, ci, best_t):
+        """Does ANY lane hit box `ci` of `ref` closer than its best_t?"""
+        cx0, cy0, cz0 = ref[0, ci], ref[1, ci], ref[2, ci]
+        cx1, cy1, cz1 = ref[3, ci], ref[4, ci], ref[5, ci]
+        tx0 = (cx0 - ox) * inv_dx
+        tx1 = (cx1 - ox) * inv_dx
+        ty0 = (cy0 - oy) * inv_dy
+        ty1 = (cy1 - oy) * inv_dy
+        tz0 = (cz0 - oz) * inv_dz
+        tz1 = (cz1 - oz) * inv_dz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+        )
+        return jnp.any(tfar > tnear)
+
+    def cluster_scan(ci, carry):
+        best_t, best_j = carry
+        any_hit = _box_any(clus_ref, ci, best_t)
+
+        def prim_body(j, carry):
+            best_t, best_j = carry
+            if has_rects:
+                ptype = s_ref[S_PTYPE, j]
+                is_sphere = ptype < 0.5
+
+            # sphere quadratic (Hittable.cuh:80-110) with a == 1
+            cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
+            ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
+            bq = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            nb = -bq
+            t0 = nb - sq
+            t1 = nb + sq
+            t0ok = (t0 > t_min) & (t0 < best_t)
+            t1ok = (t1 > t_min) & (t1 < best_t)
+            t_s = jnp.where(t0ok, t0, t1)
+            hit_s = (disc > 0.0) & (t0ok | t1ok)
+
+            if has_rects:
+                # rect (Hittable.cuh:128-294) with precomputed plane consts
+                kax = s_ref[S_KAX, j]
+                o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
+                d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
+                t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
+                aax = s_ref[S_AAX, j]
+                bax = s_ref[S_BAX, j]
+                o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
+                d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
+                o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
+                d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
+                p_a = o_a + t_r * d_a
+                p_b = o_b + t_r * d_b
+                hit_r = (
+                    (t_r > t_min) & (t_r < best_t)
+                    & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
+                    & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
+                )
+                t_j = jnp.where(is_sphere, t_s, t_r)
+                # boolean select via logic ops (Mosaic can't select i1 vectors)
+                hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
+            else:
+                # sphere-only scene: compile the rect path away entirely
+                t_j = t_s
+                hit_j = hit_s
+            best_t = jnp.where(hit_j, t_j, best_t)
+            best_j = jnp.where(hit_j, jnp.float32(j), best_j)
+            return best_t, best_j
+
+        def run(carry):
+            return lax.fori_loop(ci * CLUSTER, (ci + 1) * CLUSTER, prim_body, carry)
+
+        return lax.cond(any_hit, run, lambda c: c, (best_t, best_j))
+
+    def super_scan(si, carry):
+        best_t, _ = carry
+        any_hit = _box_any(super_ref, si, best_t)
+
+        def run(carry):
+            return lax.fori_loop(si * SUPER, (si + 1) * SUPER, cluster_scan, carry)
+
+        return lax.cond(any_hit, run, lambda c: c, carry)
+
+    return lax.fori_loop(
+        0, n_super, super_scan,
+        (best_t0, jnp.full_like(best_t0, -1.0)),
+    )
+
+
 def _u01(shape):
     """Uniform [0,1) floats from the hardware PRNG (mantissa trick)."""
     bits = pltpu.prng_random_bits(shape)
@@ -313,107 +441,11 @@ def _render_kernel(
         # fold away.  Same directions, same hit points as the reference's
         # unnormalized rays — t is just measured in world units.
 
-        # -------- closest hit: two-level hierarchical culling --------
-        # Superclusters gate clusters gate primitives, all via scalar
-        # `lax.cond`s on whole-tile any() — the gather-free, tile-coherent
-        # analog of BVH descent (reference Hittable.cuh:387-439).
-        def _box_any(ref, ci, best_t):
-            """Does ANY live ray hit box `ci` of `ref` closer than best_t?"""
-            cx0, cy0, cz0 = ref[0, ci], ref[1, ci], ref[2, ci]
-            cx1, cy1, cz1 = ref[3, ci], ref[4, ci], ref[5, ci]
-            tx0 = (cx0 - ox) * inv_dx
-            tx1 = (cx1 - ox) * inv_dx
-            ty0 = (cy0 - oy) * inv_dy
-            ty1 = (cy1 - oy) * inv_dy
-            tz0 = (cz0 - oz) * inv_dz
-            tz1 = (cz1 - oz) * inv_dz
-            tnear = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), t_min),
-            )
-            tfar = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-            )
-            # dead lanes carry best_t == t_min, so they can't pass this test
-            return jnp.any(tfar > tnear)
-
-        def cluster_scan(ci, carry):
-            best_t, best_j = carry
-            any_hit = _box_any(clus_ref, ci, best_t)
-
-            def prim_body(j, carry):
-                best_t, best_j = carry
-                if has_rects:
-                    ptype = s_ref[S_PTYPE, j]
-                    is_sphere = ptype < 0.5
-
-                # sphere quadratic (Hittable.cuh:80-110) with a == 1
-                cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
-                ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
-                bq = ocx * dx + ocy * dy + ocz * dz
-                cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
-                disc = bq * bq - cq
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                nb = -bq
-                t0 = nb - sq
-                t1 = nb + sq
-                t0ok = (t0 > t_min) & (t0 < best_t)
-                t1ok = (t1 > t_min) & (t1 < best_t)
-                t_s = jnp.where(t0ok, t0, t1)
-                hit_s = (disc > 0.0) & (t0ok | t1ok)
-
-                if has_rects:
-                    # rect (Hittable.cuh:128-294) with precomputed plane consts
-                    kax = s_ref[S_KAX, j]
-                    o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
-                    d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
-                    t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
-                    aax = s_ref[S_AAX, j]
-                    bax = s_ref[S_BAX, j]
-                    o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
-                    d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
-                    o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
-                    d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
-                    p_a = o_a + t_r * d_a
-                    p_b = o_b + t_r * d_b
-                    hit_r = (
-                        (t_r > t_min) & (t_r < best_t)
-                        & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
-                        & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
-                    )
-                    t_j = jnp.where(is_sphere, t_s, t_r)
-                    # boolean select via logic ops (Mosaic can't select i1 vectors)
-                    hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
-                else:
-                    # sphere-only scene: compile the rect path away entirely
-                    t_j = t_s
-                    hit_j = hit_s
-                best_t = jnp.where(hit_j, t_j, best_t)
-                best_j = jnp.where(hit_j, jnp.float32(j), best_j)
-                return best_t, best_j
-
-            def run(carry):
-                return lax.fori_loop(
-                    ci * CLUSTER, (ci + 1) * CLUSTER, prim_body, carry
-                )
-
-            return lax.cond(any_hit, run, lambda c: c, (best_t, best_j))
-
-        def super_scan(si, carry):
-            best_t, _ = carry
-            any_hit = _box_any(super_ref, si, best_t)
-
-            def run(carry):
-                return lax.fori_loop(
-                    si * SUPER, (si + 1) * SUPER, cluster_scan, carry
-                )
-
-            return lax.cond(any_hit, run, lambda c: c, carry)
-
-        best_t, best_j = lax.fori_loop(
-            0, n_super, super_scan,
-            (jnp.where(alive, BIG, t_min), jnp.full(shape, -1.0, jnp.float32)),
+        # -------- closest hit (shared hierarchical search) --------
+        best_t, best_j = hierarchical_search(
+            s_ref, clus_ref, super_ref, n_super,
+            ox, oy, oz, dx, dy, dz,
+            t_min, jnp.where(alive, BIG, t_min), has_rects,
         )
         hit = best_j >= 0.0
 

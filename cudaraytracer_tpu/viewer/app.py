@@ -106,6 +106,7 @@ class RenderLayer(Layer):
         self._sd = None
         self._accum = None
         self._pallas = None  # lazily-built pallas pipeline
+        self._wavefront = None  # lazily-built sorted-wavefront renderer
 
     # -------------------------------------------------------- lifecycle
     def on_attach(self, app: "Application"):
@@ -131,6 +132,16 @@ class RenderLayer(Layer):
                 self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "pallas":
                 self._pallas = _PallasPipeline(self.scene, self.cfg)
+            if self.cfg.accel == "wavefront":
+                from ..models.wavefront import WavefrontRenderer
+
+                if self._wavefront is None:
+                    self._wavefront = WavefrontRenderer(
+                        self.scene, self.cfg.width, self.cfg.height,
+                        camera_model=self.cfg.camera_model, t_min=self.cfg.t_min,
+                    )
+                else:
+                    self._wavefront.update_scene(self.scene)
             self._scene_version = self.scene.version
             self.reset_accumulation()
         if self.fly.version != self._cam_version:
@@ -162,6 +173,13 @@ class RenderLayer(Layer):
         )
         if self._pallas is not None:
             self._pallas = _PallasPipeline(self.scene, self.cfg)
+        if self._wavefront is not None:
+            from ..models.wavefront import WavefrontRenderer
+
+            self._wavefront = WavefrontRenderer(
+                self.scene, width, height,
+                camera_model=self.cfg.camera_model, t_min=self.cfg.t_min,
+            )
         self.reset_accumulation()
 
     # -------------------------------------------------------- frame
@@ -172,7 +190,11 @@ class RenderLayer(Layer):
         cam = self.fly.params(aperture=getattr(cfg, "aperture", 0.0))
         fkey = rngu.frame_key(self.key, self._frame_index)
         if cfg.progressive:
-            if self._pallas is not None:
+            if self._wavefront is not None:
+                self._accum = self._accum + self._wavefront.render(
+                    cam, fkey, spp=1, max_depth=cfg.max_depth
+                )
+            elif self._pallas is not None:
                 self._accum = self._pallas.accumulate(cam, self._frame_index, cfg.max_depth, self._accum)
             else:
                 self._accum = self.renderer.accumulate(
@@ -220,7 +242,7 @@ class _PallasPipeline:
             raise ValueError(
                 "pallas accel does not support IMAGE textures; use accel=bvh"
             )
-        S, P, C, SC, n_super = pack_scene_tables(scene)
+        S, P, C, SC, n_super, _prim_map = pack_scene_tables(scene)
         self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C), jnp.asarray(SC))
         self._n_super = n_super
         self._cfg = cfg

@@ -125,3 +125,20 @@ def test_console_receives_logs():
     app.console.clear()
     assert app.console.lines() == []
     app.close()
+
+
+def test_wavefront_accel_app():
+    app = Application(small_cfg(accel="wavefront", width=48, height=32))
+    rl = app.setup_default_layers()
+    rl._wavefront = None  # force rebuild below with interpret mode
+    from cudaraytracer_tpu.models.wavefront import WavefrontRenderer
+
+    rl._wavefront = WavefrontRenderer(
+        rl.scene, 48, 32, camera_model=rl.cfg.camera_model, interpret=True
+    )
+    rl._scene_version = rl.scene.version  # keep our interpret renderer
+    app.run(max_frames=2)
+    assert rl._spp_done == 2
+    img = rl.framebuffer_rgba8()
+    assert img.shape == (32, 48, 4) and img[..., :3].sum() > 0
+    app.close()
