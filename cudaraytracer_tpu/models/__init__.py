@@ -1,3 +1,3 @@
-from . import camera, renderer, scene
+from . import bvh, camera, renderer, scene, scenes, wavefront
 
-__all__ = ["camera", "renderer", "scene"]
+__all__ = ["bvh", "camera", "renderer", "scene", "scenes", "wavefront"]

@@ -334,7 +334,7 @@ def _u01(shape):
 
 
 def _render_kernel(
-    cnt_ref,  # SMEM i32[4]: n_super, max_depth, n_prims, seed
+    cnt_ref,  # SMEM i32[4]: n_super, max_depth, y0 (band row offset), seed
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
     p_ref,  # SMEM f32[16, NP]
@@ -356,6 +356,7 @@ def _render_kernel(
 
     n_super = cnt_ref[0]
     max_depth = cnt_ref[1]
+    y0 = cnt_ref[2]  # first image row of this band (multi-chip row sharding)
     t_min = cam_ref[28]
 
     # 2D pixel tiles: spatially compact tiles keep a tile's rays coherent,
@@ -367,7 +368,7 @@ def _render_kernel(
         pj * tile_w
     ).astype(jnp.float32)
     ys = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32) + (
-        pi * tile_h
+        y0 + pi * tile_h
     ).astype(jnp.float32)
 
     jx = _u01(shape)
@@ -648,22 +649,28 @@ def pallas_render_sample(
     tile_w: int = 256,
     has_rects: bool = True,
     interpret: bool = False,
+    y0=0,
+    band_h: int | None = None,
 ) -> jnp.ndarray:
-    """One 1-spp radiance sample via the megakernel -> f32[H, W, 3].
+    """One 1-spp radiance sample via the megakernel -> f32[band_h, W, 3].
 
-    width must be a multiple of tile_w (a lane multiple) and height of
+    width must be a multiple of tile_w (a lane multiple) and band_h of
     tile_h (the Renderer wrapper pads + crops).  ``has_rects=False``
     compiles the rect intersection/normal paths away for all-sphere scenes
     (the RTOW benchmark) — about half the per-primitive vector ops.
+    ``y0``/``band_h`` render a horizontal band of the full image (multi-chip
+    row sharding); camera math stays in full-image coordinates.
     """
+    if band_h is None:
+        band_h = height
     assert tile_w % 128 == 0, tile_w
     assert width % tile_w == 0, (width, tile_w)
-    assert height % tile_h == 0, (height, tile_h)
-    grid = (height // tile_h, width // tile_w)
+    assert band_h % tile_h == 0, (band_h, tile_h)
+    grid = (band_h // tile_h, width // tile_w)
     cnt = jnp.stack([
         jnp.asarray(n_super, jnp.int32),
         jnp.asarray(max_depth, jnp.int32),
-        jnp.int32(s_tab.shape[1]),
+        jnp.asarray(y0, jnp.int32),
         jnp.asarray(seed, jnp.int32),
     ])
     kern = functools.partial(
@@ -687,7 +694,7 @@ def pallas_render_sample(
         out_specs=pl.BlockSpec(
             (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, band_h, width), jnp.float32),
         interpret=interpret,
     )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
     return jnp.transpose(out, (1, 2, 0))

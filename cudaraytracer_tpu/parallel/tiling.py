@@ -104,6 +104,60 @@ def render_sharded(
     return _local(scene, cam, key, spp, max_depth)
 
 
+def render_sharded_pallas(
+    tables,
+    n_super: int,
+    cam_vec,
+    seed,
+    max_depth,
+    *,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    camera_model: str = "look_at",
+    has_rects: bool = True,
+    tile_h: int = 16,
+    tile_w: int = 256,
+):
+    """Multi-chip megakernel frame: each chip renders its image band with
+    the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
+    streams psum over ICI.  Same mesh/communication layout as the XLA path.
+
+    ``tables`` is (S, P, clusters, supers) as device arrays; returns the
+    SUM over the samples axis of 1-spp radiance, f32[H,W,3] sharded by rows.
+    """
+    from ..ops.pallas.render_kernel import pallas_render_sample
+
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape["samples"]
+    if height % (n_rows * tile_h):
+        raise ValueError(f"height {height} not divisible by rows*tile_h")
+    band_h = height // n_rows
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P("rows", None, None),
+        check_vma=False,
+    )
+    def _local(S, Ptab, C, SC, cam_vec, seed, max_depth):
+        ri = lax.axis_index("rows")
+        si = lax.axis_index("samples")
+        rad = pallas_render_sample(
+            S, Ptab, C, SC, n_super, cam_vec,
+            seed + si * 104729 + ri * 7919, max_depth,
+            width=width, height=height, camera_model=camera_model,
+            tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+            y0=ri * band_h, band_h=band_h,
+        )
+        return lax.psum(rad, "samples")
+
+    S, Ptab, C, SC = tables
+    return _local(S, Ptab, C, SC, cam_vec,
+                  jnp.asarray(seed, jnp.int32), jnp.asarray(max_depth, jnp.int32))
+
+
 class ShardedRenderer:
     """Jit-compiled multi-chip frame renderer (the scaling analog of
     models.renderer.Renderer)."""

@@ -118,6 +118,11 @@ class RenderLayer(Layer):
             cfg.width, cfg.height, camera_model=cfg.camera_model,
             t_min=cfg.t_min, block=cfg.block,
         )
+        import jax
+
+        self.metrics.build_mode = "debug" if cfg.debug_nans else "release"
+        self.metrics.backend = jax.default_backend()
+        self.metrics.accel = cfg.accel
         self._accum = self.renderer.zeros_accum()
         self._sync_scene()
 

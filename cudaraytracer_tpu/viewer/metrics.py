@@ -20,6 +20,9 @@ class Metrics:
         self.accumulated_spp = 0
         self.width = 0
         self.height = 0
+        self.build_mode = "release"
+        self.backend = ""
+        self.accel = ""
         self._last = None
         self._profiler_active = False
 
@@ -53,6 +56,9 @@ class Metrics:
         return {
             "width": self.width,
             "height": self.height,
+            "build": self.build_mode,
+            "backend": self.backend,
+            "accel": self.accel,
             "ms_per_frame": round(self.ms_per_frame, 3),
             "fps": round(self.fps, 1),
             "mrays_per_sec": round(self.mrays_per_sec, 2),

@@ -54,6 +54,7 @@ button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;bo
  <h3>Options</h3>
  <div>
   depth <input id=depth type=number min=0 max=50 style="width:50px">
+  spp <input id=spp type=number min=1 style="width:50px">
   <button onclick="setOpt()">apply</button>
   <button onclick="post('/options',{pause:true})">pause/resume</button>
  </div>
@@ -99,9 +100,11 @@ async function state(){try{const r=await fetch('/state');const s=await r.json();
    <button onclick="uploadTex(${p.id})">img</button>
    <button onclick="post('/edit',{op:'delete',id:${p.id}})">x</button></div>`).join('');
  if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
+ if(document.activeElement.id!=='spp')document.getElementById('spp').value=s.options.spp;
 }catch(e){} setTimeout(state,700)}
 state();
-function setOpt(){post('/options',{max_depth:+document.getElementById('depth').value})}
+function setOpt(){post('/options',{max_depth:+document.getElementById('depth').value,
+ spp:+document.getElementById('spp').value})}
 function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
 function setBg(){post('/options',{background_start:hex2rgb(document.getElementById('bg0').value),
  background_end:hex2rgb(document.getElementById('bg1').value)})}

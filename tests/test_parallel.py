@@ -61,3 +61,34 @@ def test_height_not_divisible_raises(setup):
     mesh = make_mesh()
     with pytest.raises(ValueError):
         render_sharded(sd, cam, rngu.base_key(), 1, 2, width=16, height=17, mesh=mesh)
+
+
+def test_sharded_pallas_render():
+    """Multi-chip megakernel path on the virtual mesh (interpret mode)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables)
+    from cudaraytracer_tpu.parallel import render_sharded_pallas
+
+    scene = scn.default_scene()
+    sd = scene.device()
+    t = pack_scene_tables(scene)
+    mesh = make_mesh(n_rows=4, n_samples=2)
+    W, H = 128, 64
+    cam_vec = pack_camera(scn.default_scene_camera(), sd, W, H, 1e-3)
+    tables = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    with pltpu.force_tpu_interpret_mode():
+        out = render_sharded_pallas(
+            tables, t.n_super, cam_vec, 7, 4,
+            width=W, height=H, mesh=mesh, camera_model="two_plane",
+            tile_h=16, tile_w=128,
+        )
+        out = np.asarray(out) / 2  # two sample streams summed
+    assert out.shape == (H, W, 3)
+    assert np.isfinite(out).all()
+    # bands must all contain content and the horizon must look continuous
+    for b in range(4):
+        assert out[b * 16 : (b + 1) * 16].mean() > 0.2
