@@ -192,7 +192,7 @@ class RenderLayer(Layer):
         self._sync_scene()
         cfg = self.cfg
         self.metrics.frame_start()
-        cam = self.fly.params(aperture=getattr(cfg, "aperture", 0.0))
+        cam = self.fly.params(aperture=cfg.aperture, focus_dist=cfg.focus_dist)
         fkey = rngu.frame_key(self.key, self._frame_index)
         if cfg.progressive:
             if self._wavefront is not None:
@@ -219,6 +219,55 @@ class RenderLayer(Layer):
         self._frame_index += 1
         self.metrics.accumulated_spp = self._spp_done
         self.metrics.frame_end(rays)
+
+    # -------------------------------------------------------- checkpoint
+    def save_state(self, path: str):
+        """Checkpoint the full render session: scene + camera + the
+        progressive accumulator (the reference cannot persist anything but
+        the ImGui dock layout — SURVEY.md §5 names this as a gap)."""
+        self.scene.save(path + ".scene.json")
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self._accum),
+            spp=self._spp_done,
+            frame_index=self._frame_index,
+            position=np.asarray(self.fly.position),
+            yaw=self.fly.yaw, pitch=self.fly.pitch, fov=self.fly.fov_deg,
+        )
+        rtlog.rt_info("Checkpoint saved to %s (%d spp)", path, self._spp_done)
+
+    def load_state(self, path: str):
+        """Resume a checkpointed session: accumulation continues where it
+        left off instead of restarting from 1 spp."""
+        from ..models.scene import Scene
+
+        self.scene = Scene.load(path + ".scene.json")
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        blob = np.load(path)
+        self.fly.position = [float(v) for v in blob["position"]]
+        self.fly.yaw = float(blob["yaw"])
+        self.fly.pitch = float(blob["pitch"])
+        self.fly.fov_deg = float(blob["fov"])
+        self.fly._update_orientation()
+        # sync versions BEFORE restoring the accumulator so the next
+        # _sync_scene doesn't wipe it
+        self._scene_version = self.scene.version
+        self._cam_version = self.fly.version
+        self._sd = self.scene.device()
+        if self.cfg.accel == "bvh":
+            self._bvh = build_bvh(self.scene)
+        if self.cfg.accel == "pallas":
+            self._pallas = _PallasPipeline(self.scene, self.cfg)
+        if self.cfg.accel == "wavefront" and self._wavefront is not None:
+            self._wavefront.update_scene(self.scene)
+        import jax.numpy as jnp
+
+        self._accum = jnp.asarray(blob["accum"])
+        self._spp_done = int(blob["spp"])
+        self._frame_index = int(blob["frame_index"])
+        rtlog.rt_info("Checkpoint loaded from %s (resuming at %d spp)",
+                      path, self._spp_done)
 
     # -------------------------------------------------------- output
     def framebuffer_rgba8(self) -> np.ndarray:
@@ -254,6 +303,13 @@ class _PallasPipeline:
         self._scene = scene
         idx = scene.active_indices()
         has_rects = bool((scene.prim_type[idx] != 0).any())
+        # only the sky colors are needed from the scene at frame time
+        import types
+
+        self._sky = types.SimpleNamespace(
+            background_start=jnp.asarray(scene.background_start),
+            background_end=jnp.asarray(scene.background_end),
+        )
         tile_h, tile_w = 16, 256
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
@@ -274,7 +330,7 @@ class _PallasPipeline:
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum):
         cam_vec = self._pack_camera(
-            cam, self._scene.device(), self._wpad, self._hpad, self._cfg.t_min
+            cam, self._sky, self._wpad, self._hpad, self._cfg.t_min
         )
         seed = (self._cfg.seed * 2654435761 + frame_index * 7919) & 0x7FFFFFFF
         return self._step(*self._tabs, cam_vec, seed, max_depth, accum)
@@ -321,17 +377,29 @@ class Application:
         """The Run() loop (Application.cpp:44-62): update every layer per
         frame; headless when max_frames is given."""
         n = 0
+        consecutive_failures = 0
         while self.running and (max_frames is None or n < max_frames):
             t0 = time.perf_counter()
             if not self.paused:
-                for layer in self.layers:
-                    layer.on_update()
+                try:
+                    for layer in self.layers:
+                        layer.on_update()
+                    consecutive_failures = 0
+                except Exception as e:  # failure detection: pause, don't die
+                    consecutive_failures += 1
+                    rtlog.rt_error("Frame failed (%d in a row): %s",
+                                   consecutive_failures, e)
+                    if consecutive_failures >= 3:
+                        rtlog.rt_error("Pausing after repeated frame failures")
+                        self.paused = True
                 n += 1
             if frame_cap_hz > 0:
                 budget = 1.0 / frame_cap_hz - (time.perf_counter() - t0)
                 if budget > 0:
                     time.sleep(budget)
             if self.paused:
+                if max_frames is not None:
+                    break  # headless runs don't spin-wait for unpause
                 time.sleep(0.01)
         return n
 

@@ -232,6 +232,10 @@ class ViewerServer:
             rl.scene = scene_mod.Scene.load(data["load"])
             rl._scene_version = -1
             rtlog.rt_info("Scene loaded from %s", data["load"])
+        if "checkpoint" in data:
+            rl.save_state(data["checkpoint"])
+        if "resume" in data:
+            rl.load_state(data["resume"])
 
     def handle_texture_upload(self, prim_id: int, image_bytes: bytes):
         """Image-texture upload: the file-dialog + ImageAllocation path

@@ -142,3 +142,60 @@ def test_wavefront_accel_app():
     img = rl.framebuffer_rgba8()
     assert img.shape == (32, 48, 4) and img[..., :3].sum() > 0
     app.close()
+
+
+def test_checkpoint_resume(tmp_path):
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    app.run(max_frames=3)
+    rl.fly.process_keys(["w"])
+    rl._cam_version = rl.fly.version  # keep accumulation for the checkpoint
+    p = str(tmp_path / "ckpt")
+    rl.save_state(p)
+    img_before = rl.framebuffer_rgba8()
+
+    app2 = Application(small_cfg())
+    rl2 = app2.setup_default_layers()
+    rl2.load_state(p)
+    assert rl2._spp_done == 3
+    assert rl2.fly.position == rl.fly.position
+    np.testing.assert_array_equal(rl2.framebuffer_rgba8(), img_before)
+    # resuming continues accumulation rather than restarting
+    app2.run(max_frames=1)
+    assert rl2._spp_done == 4
+    app.close()
+    app2.close()
+
+
+def test_run_loop_survives_frame_failures():
+    app = Application(small_cfg())
+
+    class Bomb(Layer):
+        def __init__(self):
+            super().__init__("bomb")
+            self.calls = 0
+
+        def on_update(self):
+            self.calls += 1
+            raise RuntimeError("boom")
+
+    bomb = Bomb()
+    app.push_layer(bomb)
+    app.run(max_frames=5)
+    # three consecutive failures pause the app instead of crashing
+    assert bomb.calls == 3
+    assert app.paused
+    app.close()
+
+
+def test_profiler_trace_hooks(tmp_path):
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    logdir = str(tmp_path / "trace")
+    rl.metrics.start_trace(logdir)
+    app.run(max_frames=1)
+    rl.metrics.stop_trace()
+    import os
+
+    assert any(os.scandir(logdir)), "profiler trace wrote nothing"
+    app.close()
