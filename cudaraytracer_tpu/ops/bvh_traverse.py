@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .aabb import aabb_hit, inv_direction
-from .intersect import _A_AXIS, _A_EXT_COL, _B_AXIS, _B_EXT_COL, _K_AXIS, BIG, SPHERE
+from .intersect import _A_AXIS, _A_EXT_COL, _B_AXIS, _K_AXIS, BIG, SPHERE
 from ..utils.vec import dot
 
 

@@ -118,6 +118,17 @@ def pack_scene_tables(scene) -> SceneTables:
         extent = cent.max(0) - cent.min(0)
         norm = (cent - cent.min(0)) / np.where(extent > 0, extent, 1.0)
         order = np.argsort(_morton3(norm), kind="stable")
+        # Big primitives lead: the search clips every AABB test by the
+        # running best_t, so testing high-hit-probability primitives (the
+        # ground sphere/plane) FIRST collapses best_t immediately and the
+        # remaining clusters fail their slab tests — a large win for
+        # incoherent secondary bounces where spatial culling alone is weak.
+        d = bmax - bmin
+        area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+        big = area > 50.0 * np.median(area)
+        order = np.concatenate(
+            [order[big[order]], order[~big[order]]]
+        )
         idx = idx[order]
         bmin, bmax = bmin[order], bmax[order]
 
