@@ -136,7 +136,16 @@ class RenderLayer(Layer):
             if self.cfg.accel == "bvh":
                 self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "pallas":
-                self._pallas = _PallasPipeline(self.scene, self.cfg)
+                try:
+                    self._pallas = _PallasPipeline(self.scene, self.cfg)
+                except Exception as e:
+                    # image textures or a non-TPU backend: fall back to the
+                    # fully-featured XLA BVH path rather than dying
+                    rtlog.rt_warn("pallas accel unavailable (%s); using bvh", e)
+                    self.cfg.accel = "bvh"
+                    self.metrics.accel = "bvh"
+                    self._pallas = None
+                    self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "wavefront":
                 from ..models.wavefront import WavefrontRenderer
 

@@ -1,0 +1,66 @@
+"""Render every built-in scene to PNG (small, CPU-friendly).
+
+Usage: python examples/render_gallery.py [--tpu] [--width 320] [--spp 16]
+Writes examples/gallery/<scene>.png.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=180)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--depth", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cudaraytracer_tpu.models import scenes
+    from cudaraytracer_tpu.models.renderer import Renderer
+    from cudaraytracer_tpu.models.bvh import build_bvh
+    from cudaraytracer_tpu.ops.pack import pack_rgba8
+    from cudaraytracer_tpu.utils import rng as rngu
+    from cudaraytracer_tpu.utils.image import save_png
+
+    outdir = os.path.join(os.path.dirname(__file__), "gallery")
+    os.makedirs(outdir, exist_ok=True)
+
+    jobs = {
+        "default": ("two_plane", None),
+        "rtow_final": ("look_at", None),
+        "cornell": ("two_plane", None),
+    }
+    import numpy as np
+
+    for name, (cam_model, _) in jobs.items():
+        make_scene, make_cam = scenes.SCENES[name]
+        scene = make_scene()
+        cam = make_cam()
+        r = Renderer(args.width, args.height, camera_model=cam_model)
+        bvh = build_bvh(scene)
+        t0 = time.perf_counter()
+        rad = r.render(scene.device(), cam, rngu.base_key(), spp=args.spp,
+                       max_depth=args.depth, bvh=bvh)
+        img = np.asarray(pack_rgba8(rad, args.spp))
+        dt = time.perf_counter() - t0
+        path = os.path.join(outdir, f"{name}.png")
+        # two_plane framebuffers are bottom-up; look_at is top-down
+        save_png(path, img, flip_vertical=(cam_model == "two_plane"))
+        print(f"{name}: {dt:.1f}s -> {path}")
+
+
+if __name__ == "__main__":
+    main()
