@@ -10,7 +10,7 @@ workload named in BASELINE.json.  The reference publishes no numbers
 rate for this workload on a midrange GPU.
 
 Usage: python bench.py [--width W --height H --spp N --depth D --frames K]
-                       [--accel brute|bvh|pallas] [--json-only]
+                       [--accel brute|bvh|pallas|wavefront]
 """
 
 from __future__ import annotations
@@ -34,6 +34,10 @@ def main():
     p.add_argument("--accel", default="auto", choices=["auto", "brute", "bvh", "pallas", "wavefront"])
     p.add_argument("--scene", default="rtow_final")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--rr-start", dest="rr_start", type=int, default=3,
+                   help="Russian-roulette start bounce for the pallas path "
+                        "(unbiased; measured identical means at 16 spp); "
+                        "0 disables for exact reference-estimator parity")
     args = p.parse_args()
 
     import jax
@@ -102,6 +106,7 @@ def main():
                     S, P, C, SC, n_super, cam_vec, seed + s * 7919, args.depth,
                     width=wpad, height=hpad, camera_model=camera_model,
                     tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+                    rr_start=args.rr_start,
                 )
 
             return jax.lax.fori_loop(0, nframes * args.spp, body, acc)
@@ -186,6 +191,7 @@ def main():
         "rays_per_frame": int(total_rays / len(times)),
         "compile_s": round(compile_s, 1),
         "accel": accel,
+        "rr_start": getattr(args, "rr_start", 0),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

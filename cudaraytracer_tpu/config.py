@@ -25,6 +25,8 @@ class RenderConfig:
     camera_model: str = "two_plane"  # two_plane (reference parity) | look_at
     accel: str = "bvh"  # brute | bvh | pallas | wavefront
     block: int = 64  # primitives per intersection block (brute force)
+    rr_start: int = 0  # Russian-roulette start bounce (0 = off; unbiased
+    #                      path termination, pallas accel only)
     aperture: float = 0.0  # defocus-blur lens diameter (look_at camera)
     focus_dist: float = 10.0
     progressive: bool = True  # 1-spp accumulation vs full-spp re-render
@@ -43,6 +45,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--camera-model", dest="camera_model", choices=["two_plane", "look_at"], default=d.camera_model)
     parser.add_argument("--accel", choices=["brute", "bvh", "pallas", "wavefront"], default=d.accel)
     parser.add_argument("--block", type=int, default=d.block)
+    parser.add_argument("--rr-start", dest="rr_start", type=int, default=d.rr_start)
     parser.add_argument("--aperture", type=float, default=d.aperture)
     parser.add_argument("--focus-dist", dest="focus_dist", type=float, default=d.focus_dist)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)

@@ -359,6 +359,7 @@ def _render_kernel(
     height: int,
     camera_model: str,
     has_rects: bool,
+    rr_start: int,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -616,6 +617,25 @@ def _render_kernel(
         scat_ok = is_lamb | is_diel | (is_metal & metal_ok)
 
         cont = lit & scat_ok
+        if rr_start > 0:
+            # Russian roulette (optional; the reference has no equivalent):
+            # from bounce rr_start on, kill paths with probability 1 - p
+            # where p = max throughput component, compensating the survivors
+            # by 1/p — unbiased, and it drains the straggler waves that
+            # dominate deep-depth cost.
+            p_surv = jnp.clip(
+                jnp.maximum(tpx * att_r, jnp.maximum(tpy * att_g, tpz * att_b)),
+                0.05, 1.0,
+            )
+            u_rr = _u01(shape)
+            do_rr = bounce >= rr_start
+            # logic ops, not select: Mosaic can't select i1 vectors
+            survive = ~do_rr | (u_rr < p_surv)
+            inv_p = jnp.where(do_rr, 1.0 / p_surv, 1.0)
+            att_r = att_r * inv_p
+            att_g = att_g * inv_p
+            att_b = att_b * inv_p
+            cont = cont & survive
         ox = jnp.where(cont, px, ox)
         oy = jnp.where(cont, py, oy)
         oz = jnp.where(cont, pz, oz)
@@ -662,6 +682,7 @@ def pallas_render_sample(
     interpret: bool = False,
     y0=0,
     band_h: int | None = None,
+    rr_start: int = 0,
 ) -> jnp.ndarray:
     """One 1-spp radiance sample via the megakernel -> f32[band_h, W, 3].
 
@@ -687,7 +708,7 @@ def pallas_render_sample(
     kern = functools.partial(
         _render_kernel,
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
-        camera_model=camera_model, has_rects=has_rects,
+        camera_model=camera_model, has_rects=has_rects, rr_start=rr_start,
     )
     out = pl.pallas_call(
         kern,

@@ -332,6 +332,7 @@ class _PallasPipeline:
                 width=self._wpad, height=self._hpad,
                 camera_model=cfg.camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+                rr_start=getattr(cfg, "rr_start", 0),
             )
             return accum + rad[: cfg.height, : cfg.width]
 

@@ -1,0 +1,69 @@
+"""Coverage for pack/tonemap, image IO, config CLI, and the CLI entry."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from cudaraytracer_tpu import config as cfg_mod
+from cudaraytracer_tpu.ops.pack import pack_rgba8, to_rgba8, tonemap
+from cudaraytracer_tpu.utils.image import load_rgb, save_png
+
+
+def test_tonemap_gamma_and_pack():
+    rad = np.full((2, 2, 3), 0.25, np.float32) * 4  # sum of 4 spp at 0.25
+    disp = np.asarray(tonemap(rad, 4))
+    np.testing.assert_allclose(disp, 0.5, atol=1e-6)  # sqrt(0.25)
+    rgba = np.asarray(pack_rgba8(rad, 4))
+    assert rgba.dtype == np.uint8 and rgba.shape == (2, 2, 4)
+    assert abs(int(rgba[0, 0, 0]) - 127) <= 1
+    assert (rgba[..., 3] == 255).all()
+    # clipping
+    hot = np.full((1, 1, 3), 9.0, np.float32)
+    assert (np.asarray(to_rgba8(np.asarray(tonemap(hot, 1))))[..., :3] == 255).all()
+
+
+def test_save_load_png_roundtrip(tmp_path):
+    img = (np.random.RandomState(0).rand(8, 6, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    save_png(p, img, flip_vertical=False)
+    back = load_rgb(p)
+    np.testing.assert_array_equal(back, img)
+    save_png(p, img, flip_vertical=True)
+    np.testing.assert_array_equal(load_rgb(p), img[::-1])
+
+
+def test_config_cli_roundtrip():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    cfg_mod.add_arguments(ap)
+    args = ap.parse_args([
+        "--width", "64", "--height", "48", "--spp", "5", "--max-depth", "7",
+        "--scene", "cornell", "--accel", "wavefront", "--aperture", "0.2",
+        "--no-progressive",
+    ])
+    cfg = cfg_mod.from_args(args)
+    assert (cfg.width, cfg.height, cfg.spp, cfg.max_depth) == (64, 48, 5, 7)
+    assert cfg.scene == "cornell" and cfg.accel == "wavefront"
+    assert cfg.aperture == 0.2 and not cfg.progressive
+
+
+def test_cli_render_subprocess(tmp_path):
+    """End-to-end: the module CLI renders a PNG headlessly."""
+    out = str(tmp_path / "cli.png")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "cudaraytracer_tpu", "render", "--cpu",
+         "--width", "48", "--height", "32", "--spp", "2", "--max-depth", "3",
+         "--frames", "2", "-o", out],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    img = load_rgb(out)
+    assert img.shape == (32, 48, 3)
+    assert img.sum() > 0
