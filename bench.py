@@ -188,7 +188,7 @@ def main():
         "vs_baseline": round(mrays / NOMINAL_BASELINE_MRAYS, 4),
         "ms_per_frame": round(ms_per_frame, 2),
         "fps": round(1000.0 / ms_per_frame, 2),
-        "rays_per_frame": int(total_rays / len(times)),
+        "rays_per_frame": int(rays_per_frame),
         "compile_s": round(compile_s, 1),
         "accel": accel,
         "rr_start": getattr(args, "rr_start", 0),

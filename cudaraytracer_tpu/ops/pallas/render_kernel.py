@@ -280,11 +280,11 @@ def hierarchical_search(
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             nb = -bq
             t0 = nb - sq
-            t1 = nb + sq
-            t0ok = (t0 > t_min) & (t0 < best_t)
-            t1ok = (t1 > t_min) & (t1 < best_t)
-            t_s = jnp.where(t0ok, t0, t1)
-            hit_s = (disc > 0.0) & (t0ok | t1ok)
+            # root selection, exact reference semantics in fewer ops:
+            # t1 >= t0 always, so "t0 if t0 in window else t1" reduces to
+            # "t0 if t0 > t_min else t1" with a single window test after
+            t_s = jnp.where(t0 > t_min, t0, nb + sq)
+            hit_s = (disc > 0.0) & (t_s > t_min) & (t_s < best_t)
 
             if has_rects:
                 # rect (Hittable.cuh:128-294) with precomputed plane consts
