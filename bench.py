@@ -101,27 +101,27 @@ def main():
         def step(S, P, C, SC, cam_vec, seed, nframes):
             acc = jnp.zeros((hpad, wpad, 3), jnp.float32)
 
-            def body(s, acc):
-                return acc + pallas_render_sample(
+            def body(s, carry):
+                acc, nrays = carry
+                img, n = pallas_render_sample(
                     S, P, C, SC, n_super, cam_vec, seed + s * 7919, args.depth,
                     width=wpad, height=hpad, camera_model=camera_model,
                     tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
-                    rr_start=args.rr_start,
+                    rr_start=args.rr_start, with_stats=True,
                 )
+                return acc + img, nrays + n
 
-            return jax.lax.fori_loop(0, nframes * args.spp, body, acc)
+            return jax.lax.fori_loop(
+                0, nframes * args.spp, body,
+                (acc, jnp.float32(0.0)),
+            )
 
         def run_frame(f, nframes):
-            return step(S, P, C, SC, cam_vec, 1000 + f, nframes)
-        # avg path length measured separately via the XLA ray counter at
-        # low res (the kernel itself doesn't count rays)
-        probe, nprobe = jax.jit(
-            lambda k: render_radiance(
-                sd, cam, k, args.spp, args.depth, width=args.width // 4,
-                height=args.height // 4, camera_model=camera_model,
-                with_stats=True)
-        )(key)
-        rays_per_frame = float(nprobe) * 16.0
+            return step(S, P, C, SC, cam_vec, 1000 + f, nframes)[0]
+
+        # rays counted by the kernel itself
+        _, nprobe = step(S, P, C, SC, cam_vec, 999, 1)
+        rays_per_frame = float(nprobe)
     else:
         hit_fn = None
         if accel == "bvh":

@@ -352,6 +352,7 @@ def _render_kernel(
     clus_ref,  # SMEM f32[6, NC]
     super_ref,  # SMEM f32[6, NSC]
     out_ref,  # VMEM f32[3, TH, TW] block
+    cnt_out_ref,  # VMEM f32[8, 128] block: [0,0] = rays traced by this tile
     *,
     tile_h: int,
     tile_w: int,
@@ -440,10 +441,11 @@ def _render_kernel(
     ones = jnp.ones(shape, jnp.float32)
 
     def bounce_body(state):
-        (bounce, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+        (bounce, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, alive_f) = state
         # alive carried as f32 (Mosaic can't carry i1 vectors across scf loops)
         alive = alive_f > 0.5
+        nrays = nrays + jnp.sum(alive_f)
 
         inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
         inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
@@ -646,20 +648,24 @@ def _render_kernel(
         tpy = jnp.where(cont, tpy * att_g, tpy)
         tpz = jnp.where(cont, tpz * att_b, tpz)
 
-        return (bounce + 1, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+        return (bounce + 1, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
                 rx, ry, rz, jnp.where(cont, 1.0, 0.0))
 
     def bounce_cond(state):
         bounce = state[0]
-        alive_f = state[13]
+        alive_f = state[14]
         return (bounce < max_depth) & (jnp.max(alive_f) > 0.5)
 
-    init = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+    init = (jnp.int32(0), jnp.float32(0.0), ox, oy, oz, dx, dy, dz,
             ones, ones, ones, zeros, zeros, zeros, ones)
     final = lax.while_loop(bounce_cond, bounce_body, init)
-    out_ref[0] = final[10]
-    out_ref[1] = final[11]
-    out_ref[2] = final[12]
+    out_ref[0] = final[11]
+    out_ref[1] = final[12]
+    out_ref[2] = final[13]
+    # mask write instead of .at[].set (Mosaic has no scatter)
+    rr_i = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cc_i = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    cnt_out_ref[...] = jnp.where((rr_i == 0) & (cc_i == 0), final[1], 0.0)
 
 
 # ----------------------------------------------------------------- wrapper
@@ -683,7 +689,8 @@ def pallas_render_sample(
     y0=0,
     band_h: int | None = None,
     rr_start: int = 0,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     """One 1-spp radiance sample via the megakernel -> f32[band_h, W, 3].
 
     width must be a multiple of tile_w (a lane multiple) and band_h of
@@ -723,10 +730,23 @@ def pallas_render_sample(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (3, tile_h, tile_w), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (3, tile_h, tile_w), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            # per-tile scalar padded to the minimum (8,128) VMEM block
+            pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((3, band_h, width), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, band_h, width), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (band_h // tile_h * 8, width // tile_w * 128), jnp.float32
+            ),
+        ),
         interpret=interpret,
     )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
-    return jnp.transpose(out, (1, 2, 0))
+    img = jnp.transpose(out[0], (1, 2, 0))
+    if with_stats:
+        return img, jnp.sum(out[1])
+    return img
