@@ -46,9 +46,13 @@ def trace(
     block: int = 64,
     hit_fn: Callable | None = None,
     with_stats: bool = False,
+    rr_start: int = 0,
 ):
     """Trace a ray wavefront to completion; returns radiance f32[R,3]
     (plus the number of rays traced — primary + bounces — if with_stats).
+
+    ``rr_start > 0`` enables Russian-roulette path termination from that
+    bounce (unbiased: survivors are compensated by 1/p).
 
     Faithful to color() (Kernel.cu:30-80): miss -> sky gradient * throughput;
     diffuse light -> emitted * throughput, terminate; scatter failure ->
@@ -106,9 +110,18 @@ def trace(
         radiance = radiance + jnp.where(lit[:, None], throughput * sc.emitted, 0.0)
 
         cont = lit & sc.scattered
+        attenuation = sc.attenuation
+        if rr_start > 0:
+            new_tp = throughput * attenuation
+            p_surv = jnp.clip(jnp.max(new_tp, axis=-1), 0.05, 1.0)
+            k_rr = jax.random.fold_in(bkey, 7)
+            do_rr = bounce >= rr_start
+            survive = ~do_rr | (jax.random.uniform(k_rr, (r,)) < p_surv)
+            attenuation = attenuation / jnp.where(do_rr, p_surv, 1.0)[:, None]
+            cont = cont & survive
         org = jnp.where(cont[:, None], rec.point, org)
         dirn = jnp.where(cont[:, None], sc.direction, dirn)
-        throughput = jnp.where(cont[:, None], throughput * sc.attenuation, throughput)
+        throughput = jnp.where(cont[:, None], throughput * attenuation, throughput)
 
         return org, dirn, throughput, radiance, cont, bounce + 1, nrays
 
@@ -144,6 +157,7 @@ def render_radiance(
     tile_h: int | None = None,
     sample_offset=0,
     with_stats: bool = False,
+    rr_start: int = 0,
 ):
     """Sum of ``spp`` radiance samples, f32[tile_h,W,3] (divide by spp to display).
 
@@ -168,6 +182,7 @@ def render_radiance(
         rad, nrays = trace(
             scene, org, dirn, k_trace, max_depth,
             t_min=t_min, block=block, hit_fn=hit_fn, with_stats=True,
+            rr_start=rr_start,
         )
         return acc + rad.reshape(tile_h, width, 3), total + nrays
 

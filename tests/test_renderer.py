@@ -110,3 +110,22 @@ def test_metal_floor_mirrors_sky():
         render_radiance(sd, cam, rngu.base_key(), 2, 4, width=16, height=16)
     ) / 2
     assert rad.min() > 0.3  # sky gradient is bright everywhere
+
+
+def test_russian_roulette_unbiased():
+    """RR from bounce 2 must preserve the radiance expectation (survivors
+    are compensated by 1/p) — validated statistically on the CPU RNG."""
+    scene = scenes.default_scene()
+    sd = scene.device()
+    cam = scenes.default_scene_camera()
+    W, H, SPP, D = 24, 16, 48, 8
+    base = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), SPP, D, width=W, height=H)
+    ) / SPP
+    rr = np.asarray(
+        render_radiance(sd, cam, jax.random.PRNGKey(9), SPP, D, width=W, height=H,
+                        rr_start=2)
+    ) / SPP
+    assert np.isfinite(rr).all()
+    # same expectation (different RNG streams + extra RR variance)
+    np.testing.assert_allclose(rr.mean((0, 1)), base.mean((0, 1)), atol=0.05)
