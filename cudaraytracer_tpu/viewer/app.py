@@ -280,15 +280,20 @@ class RenderLayer(Layer):
 
     # -------------------------------------------------------- output
     def framebuffer_rgba8(self) -> np.ndarray:
-        """uint8[H,W,4], display-oriented (row 0 = top), like the
-        reference's flipped GL blit (CudaLayer.cpp:402)."""
+        """uint8[H,W,4], display-oriented (row 0 = top).
+
+        The two_plane camera renders in the reference's GL convention
+        (row 0 = bottom) and is flipped at display time like the
+        reference's uv blit (CudaLayer.cpp:402); look_at renders row 0 =
+        top already."""
         spp = max(self._spp_done, 1)
         img = np.asarray(to_rgba8(tonemap(self._accum, spp)))
-        return img[::-1]
+        return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
     def display_float(self) -> np.ndarray:
         spp = max(self._spp_done, 1)
-        return np.asarray(tonemap(self._accum, spp))[::-1]
+        img = np.asarray(tonemap(self._accum, spp))
+        return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
 
 class _PallasPipeline:
