@@ -66,6 +66,11 @@ button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;bo
   <button onclick="setBg()">set</button>
   <button onclick="post('/options',{save:'scene.json'})">save scene</button>
  </div>
+ <h3>Camera</h3>
+ <div id=caminfo style="font-size:11px"></div>
+ <div>pos <input id=cx type=number step=0.5 style="width:48px"><input id=cy type=number step=0.5 style="width:48px"><input id=cz type=number step=0.5 style="width:48px">
+  fov <input id=cfov type=number style="width:44px">
+  <button onclick="setCam()">set</button></div>
  <h3>Scene <button onclick="addPrim()">+ add</button> <button onclick="post('/edit',{op:'clear'})">clear</button></h3>
  <div id=scene></div>
  <h3>Console</h3><div id=console></div>
@@ -101,8 +106,12 @@ async function state(){try{const r=await fetch('/state');const s=await r.json();
    <button onclick="post('/edit',{op:'delete',id:${p.id}})">x</button></div>`).join('');
  if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
  if(document.activeElement.id!=='spp')document.getElementById('spp').value=s.options.spp;
+ document.getElementById('caminfo').textContent=`pos [${s.camera.position.map(v=>v.toFixed(2))}] yaw ${s.camera.yaw} pitch ${s.camera.pitch} fov ${s.camera.fov}`;
+ for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],['cfov',s.camera.fov]])
+  if(document.activeElement.id!==el)document.getElementById(el).value=v;
 }catch(e){} setTimeout(state,700)}
 state();
+function setCam(){post('/options',{camera:{position:[+cx.value,+cy.value,+cz.value],fov:+cfov.value}})}
 function setOpt(){post('/options',{max_depth:+document.getElementById('depth').value,
  spp:+document.getElementById('spp').value})}
 function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
@@ -149,6 +158,12 @@ class ViewerServer:
             })
         return {
             "metrics": rl.metrics.snapshot(),
+            "camera": {
+                "position": [round(float(v), 4) for v in rl.fly.position],
+                "yaw": round(rl.fly.yaw, 2),
+                "pitch": round(rl.fly.pitch, 2),
+                "fov": round(rl.fly.fov_deg, 2),
+            },
             "scene": prims,
             "console": self.app.console.lines()[-60:],
             "options": {
@@ -220,6 +235,20 @@ class ViewerServer:
         if "background_end" in data:
             rl.scene.background_end = np.asarray(data["background_end"], np.float32)
             rl.scene.version += 1
+        if "camera" in data:
+            # numeric camera editing (the reference Options panel's
+            # position/orientation/fov fields, CudaLayer.cpp:655-671)
+            c = data["camera"]
+            if "position" in c:
+                rl.fly.position = [float(v) for v in c["position"]]
+            if "yaw" in c:
+                rl.fly.yaw = float(c["yaw"])
+            if "pitch" in c:
+                rl.fly.pitch = max(-89.0, min(89.0, float(c["pitch"])))
+            if "fov" in c:
+                rl.fly.fov_deg = max(1.0, min(120.0, float(c["fov"])))
+            rl.fly._update_orientation()
+            rl.fly.version += 1
         if "resize" in data:
             w, h = data["resize"]
             rl.resize(int(w), int(h))

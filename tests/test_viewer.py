@@ -138,3 +138,18 @@ def test_texture_upload(served):
     # switch back to checker via the texture combo (TextureNode analog)
     post(port, "/edit", {"op": "update", "id": pid, "field": "tex", "value": "checker"})
     assert int(scene.tex_type[pid]) == 1
+
+
+def test_numeric_camera_edit(served):
+    app, server, port = served
+    post(port, "/options", {"camera": {"position": [1, 2, 3], "yaw": 180.0,
+                                       "pitch": 95.0, "fov": 30.0}})
+    fly = app.render_layer.fly
+    assert fly.position == [1.0, 2.0, 3.0]
+    assert fly.pitch == 89.0  # clamped like the reference
+    assert fly.fov_deg == 30.0
+    s = json.loads(get(port, "/state"))
+    assert s["camera"]["position"] == [1.0, 2.0, 3.0]
+    # camera edit resets accumulation
+    app.run(max_frames=1)
+    assert app.render_layer._spp_done == 1
