@@ -261,63 +261,77 @@ def hierarchical_search(
         )
         return jnp.any(tfar > tnear)
 
+    def _prim_test(j, best_t):
+        """(hit, t) of primitive column j against the tile, clipped by best_t."""
+        if has_rects:
+            ptype = s_ref[S_PTYPE, j]
+            is_sphere = ptype < 0.5
+
+        # sphere quadratic (Hittable.cuh:80-110) with a == 1
+        cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
+        ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
+        disc = bq * bq - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        nb = -bq
+        t0 = nb - sq
+        # root selection, exact reference semantics in fewer ops:
+        # t1 >= t0 always, so "t0 if t0 in window else t1" reduces to
+        # "t0 if t0 > t_min else t1" with a single window test after
+        t_s = jnp.where(t0 > t_min, t0, nb + sq)
+        hit_s = (disc > 0.0) & (t_s > t_min) & (t_s < best_t)
+
+        if not has_rects:
+            # sphere-only scene: compile the rect path away entirely
+            return hit_s, t_s
+
+        # rect (Hittable.cuh:128-294) with precomputed plane consts
+        kax = s_ref[S_KAX, j]
+        o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
+        d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
+        t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
+        aax = s_ref[S_AAX, j]
+        bax = s_ref[S_BAX, j]
+        o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
+        d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
+        o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
+        d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
+        p_a = o_a + t_r * d_a
+        p_b = o_b + t_r * d_b
+        hit_r = (
+            (t_r > t_min) & (t_r < best_t)
+            & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
+            & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
+        )
+        t_j = jnp.where(is_sphere, t_s, t_r)
+        # boolean select via logic ops (Mosaic can't select i1 vectors)
+        hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
+        return hit_j, t_j
+
     def cluster_scan(ci, carry):
         best_t, best_j = carry
         any_hit = _box_any(clus_ref, ci, best_t)
 
-        def prim_body(j, carry):
+        def prim_pair(i, carry):
+            """Two primitives per step: both tested against the SAME stale
+            best_t (independent -> instruction-level parallelism, breaking
+            the serial best_t dependency chain), then applied in order with
+            an exact re-check for the second."""
             best_t, best_j = carry
-            if has_rects:
-                ptype = s_ref[S_PTYPE, j]
-                is_sphere = ptype < 0.5
-
-            # sphere quadratic (Hittable.cuh:80-110) with a == 1
-            cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
-            ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
-            bq = ocx * dx + ocy * dy + ocz * dz
-            cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
-            disc = bq * bq - cq
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            nb = -bq
-            t0 = nb - sq
-            # root selection, exact reference semantics in fewer ops:
-            # t1 >= t0 always, so "t0 if t0 in window else t1" reduces to
-            # "t0 if t0 > t_min else t1" with a single window test after
-            t_s = jnp.where(t0 > t_min, t0, nb + sq)
-            hit_s = (disc > 0.0) & (t_s > t_min) & (t_s < best_t)
-
-            if has_rects:
-                # rect (Hittable.cuh:128-294) with precomputed plane consts
-                kax = s_ref[S_KAX, j]
-                o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
-                d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
-                t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
-                aax = s_ref[S_AAX, j]
-                bax = s_ref[S_BAX, j]
-                o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
-                d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
-                o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
-                d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
-                p_a = o_a + t_r * d_a
-                p_b = o_b + t_r * d_b
-                hit_r = (
-                    (t_r > t_min) & (t_r < best_t)
-                    & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
-                    & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
-                )
-                t_j = jnp.where(is_sphere, t_s, t_r)
-                # boolean select via logic ops (Mosaic can't select i1 vectors)
-                hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
-            else:
-                # sphere-only scene: compile the rect path away entirely
-                t_j = t_s
-                hit_j = hit_s
-            best_t = jnp.where(hit_j, t_j, best_t)
-            best_j = jnp.where(hit_j, jnp.float32(j), best_j)
+            j0 = ci * CLUSTER + 2 * i
+            j1 = j0 + 1
+            hit0, t0 = _prim_test(j0, best_t)
+            hit1, t1 = _prim_test(j1, best_t)
+            best_t = jnp.where(hit0, t0, best_t)
+            best_j = jnp.where(hit0, jnp.float32(j0), best_j)
+            hit1 = hit1 & (t1 < best_t)
+            best_t = jnp.where(hit1, t1, best_t)
+            best_j = jnp.where(hit1, jnp.float32(j1), best_j)
             return best_t, best_j
 
         def run(carry):
-            return lax.fori_loop(ci * CLUSTER, (ci + 1) * CLUSTER, prim_body, carry)
+            return lax.fori_loop(0, CLUSTER // 2, prim_pair, carry)
 
         return lax.cond(any_hit, run, lambda c: c, (best_t, best_j))
 
