@@ -74,7 +74,7 @@ class SceneTables(_t.NamedTuple):
 
     S: "np.ndarray"  # f32[16, NP] search table
     P: "np.ndarray"  # f32[16, NP] payload table
-    clusters: "np.ndarray"  # f32[6, NC] cluster AABBs
+    clusters: "np.ndarray"  # f32[7, NC] cluster AABBs + kind row (0 sph, 1 rect, 2 mixed)
     supers: "np.ndarray"  # f32[6, NSC] supercluster AABBs
     n_super: int
     prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
@@ -91,92 +91,123 @@ def pack_scene_tables(scene) -> SceneTables:
 
     idx = scene.active_indices()
     span = CLUSTER * SUPER
-    cap = max(scene.capacity, span)
+    # + 2*(CLUSTER-1): segment alignment padding (below) in the worst case
+    cap = max(scene.capacity, span) + 2 * (CLUSTER - 1)
     npad = ((cap + span - 1) // span) * span
 
     S = np.zeros((16, npad), np.float32)
     P = np.zeros((16, npad), np.float32)
-    # padding lanes: r^2 = -1 makes the sphere discriminant strictly
-    # negative (Cauchy-Schwarz), so padded entries can never hit and the
-    # kernel needs no per-primitive active test
+    # padding lanes can never hit: r^2 = -1 makes the sphere discriminant
+    # strictly negative (Cauchy-Schwarz) and half-extents of -1 fail the
+    # rect bounds test, so the kernel needs no per-primitive active test
     S[S_R2, :] = -1.0
+    S[S_HA, :] = -1.0
+    S[S_HB, :] = -1.0
     S[S_RINV, :] = 1.0
 
     n = len(idx)
-    nc = max(1, (n + CLUSTER - 1) // CLUSTER)
-    n_super = max(1, (n + span - 1) // span)
-    clusters = np.zeros((6, max(1, npad // CLUSTER)), np.float32)
+    clusters = np.zeros((7, max(1, npad // CLUSTER)), np.float32)
     clusters[0:3, :] = BIG  # empty clusters can never be hit
     clusters[3:6, :] = -BIG
     supers = np.zeros((6, max(1, npad // span)), np.float32)
     supers[0:3, :] = BIG
     supers[3:6, :] = -BIG
+    prim_map = np.full(npad, -1, np.int32)
+    n_super = 1
 
     if n:
-        bmin, bmax = primitive_aabbs(scene, idx)
-        cent = 0.5 * (bmin + bmax)
+        bmin0, bmax0 = primitive_aabbs(scene, idx)
+        cent = 0.5 * (bmin0 + bmax0)
         extent = cent.max(0) - cent.min(0)
         norm = (cent - cent.min(0)) / np.where(extent > 0, extent, 1.0)
         order = np.argsort(_morton3(norm), kind="stable")
-        # Big primitives lead: the search clips every AABB test by the
-        # running best_t, so testing high-hit-probability primitives (the
-        # ground sphere/plane) FIRST collapses best_t immediately and the
-        # remaining clusters fail their slab tests — a large win for
-        # incoherent secondary bounces where spatial culling alone is weak.
-        d = bmax - bmin
+        # Segment the Morton order into: BIG primitives first (the search
+        # clips every AABB test by the running best_t, so testing
+        # high-hit-probability primitives like the ground collapses best_t
+        # immediately), then spheres, then rects.  Sphere/rect segregation
+        # keeps clusters HOMOGENEOUS: the kernel picks a sphere-only or
+        # rect-only primitive loop per cluster (the `kind` row), so mixed
+        # scenes don't pay the dual type test on every primitive.
+        d = bmax0 - bmin0
         area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
         big = area > 50.0 * np.median(area)
-        order = np.concatenate(
-            [order[big[order]], order[~big[order]]]
-        )
-        idx = idx[order]
-        bmin, bmax = bmin[order], bmax[order]
+        is_rect = scene.prim_type[idx] != 0
+        segs = [
+            order[big[order]],
+            order[~big[order] & ~is_rect[order]],
+            order[~big[order] & is_rect[order]],
+        ]
+        cols: list[int] = []  # position in `idx`, or -1 for alignment padding
+        for seg in segs:
+            cols.extend(int(v) for v in seg)
+            while len(cols) % CLUSTER:
+                cols.append(-1)
+        ncols = len(cols)
+        assert ncols <= npad, (ncols, npad)
+        cols_arr = np.asarray(cols, np.int64)
+        real = cols_arr >= 0
+        rsel = cols_arr[real]  # positions in idx-space
+        rdst = np.nonzero(real)[0]  # destination columns
 
-        t = scene.prim_type[idx].astype(np.int64)
-        c = scene.center[idx]
-        sz = scene.size[idx]
+        sidx = idx[rsel]  # scene slots, packed order
+        t = scene.prim_type[sidx].astype(np.int64)
+        c = scene.center[sidx]
+        sz = scene.size[sidx]
         k_ax = np.choose(t, [0, 2, 1, 0])
         a_ax = np.choose(t, [0, 0, 0, 1])
         b_ax = np.choose(t, [0, 1, 2, 2])
         ea = np.choose(t, [0, 0, 0, 1])
-        rows = np.arange(n)
-        S[S_CX, :n], S[S_CY, :n], S[S_CZ, :n] = c[:, 0], c[:, 1], c[:, 2]
-        S[S_R2, :n] = sz[:, 0] * sz[:, 0]
-        S[S_PTYPE, :n] = t
-        S[S_KAX, :n] = k_ax
-        S[S_AAX, :n] = a_ax
-        S[S_BAX, :n] = b_ax
-        S[S_CK, :n] = c[rows, k_ax]
-        S[S_CA, :n] = c[rows, a_ax]
-        S[S_CB, :n] = c[rows, b_ax]
-        S[S_HA, :n] = 0.5 * np.where(ea == 0, sz[:, 0], sz[:, 1])
-        S[S_HB, :n] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
-        S[S_ACTIVE, :n] = 1.0
-        S[S_RINV, :n] = 1.0 / np.where(sz[:, 0] != 0, sz[:, 0], 1.0)
+        rows = np.arange(len(sidx))
+        S[S_CX, rdst], S[S_CY, rdst], S[S_CZ, rdst] = c[:, 0], c[:, 1], c[:, 2]
+        S[S_R2, rdst] = sz[:, 0] * sz[:, 0]
+        S[S_PTYPE, rdst] = t
+        S[S_KAX, rdst] = k_ax
+        S[S_AAX, rdst] = a_ax
+        S[S_BAX, rdst] = b_ax
+        S[S_CK, rdst] = c[rows, k_ax]
+        S[S_CA, rdst] = c[rows, a_ax]
+        S[S_CB, rdst] = c[rows, b_ax]
+        S[S_HA, rdst] = 0.5 * np.where(ea == 0, sz[:, 0], sz[:, 1])
+        S[S_HB, rdst] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
+        S[S_ACTIVE, rdst] = 1.0
+        S[S_RINV, rdst] = 1.0 / np.where(sz[:, 0] != 0, sz[:, 0], 1.0)
 
-        P[P_MAT, :n] = scene.mat_type[idx]
-        P[P_FUZZ, :n] = scene.fuzz[idx]
-        P[P_IOR, :n] = scene.ior[idx]
-        P[P_LIGHT, :n] = scene.light[idx]
-        P[P_TEX, :n] = scene.tex_type[idx]
-        P[P_ALR, :n], P[P_ALG, :n], P[P_ALB, :n] = scene.albedo[idx].T
-        P[P_A2R, :n], P[P_A2G, :n], P[P_A2B, :n] = scene.albedo2[idx].T
-        P[P_CX, :n], P[P_CY, :n], P[P_CZ, :n] = c.T
-        P[P_RINV, :n] = S[S_RINV, :n]
-        P[P_PTYPE, :n] = t
+        P[P_MAT, rdst] = scene.mat_type[sidx]
+        P[P_FUZZ, rdst] = scene.fuzz[sidx]
+        P[P_IOR, rdst] = scene.ior[sidx]
+        P[P_LIGHT, rdst] = scene.light[sidx]
+        P[P_TEX, rdst] = scene.tex_type[sidx]
+        P[P_ALR, rdst], P[P_ALG, rdst], P[P_ALB, rdst] = scene.albedo[sidx].T
+        P[P_A2R, rdst], P[P_A2G, rdst], P[P_A2B, rdst] = scene.albedo2[sidx].T
+        P[P_CX, rdst], P[P_CY, rdst], P[P_CZ, rdst] = c.T
+        P[P_RINV, rdst] = S[S_RINV, rdst]
+        P[P_PTYPE, rdst] = t
+        prim_map[rdst] = sidx
 
-        for ci in range(nc):
-            lo, hi = ci * CLUSTER, min(n, (ci + 1) * CLUSTER)
-            clusters[0:3, ci] = bmin[lo:hi].min(0)
-            clusters[3:6, ci] = bmax[lo:hi].max(0)
+        bmin = bmin0[rsel]
+        bmax = bmax0[rsel]
+        col_of = np.full(ncols, -1, np.int64)
+        col_of[rdst] = np.arange(len(rdst))
+        nc_used = ncols // CLUSTER
+        n_super = max(1, (ncols + span - 1) // span)
+        for ci in range(nc_used):
+            members = [col_of[k] for k in range(ci * CLUSTER, (ci + 1) * CLUSTER)
+                       if col_of[k] >= 0]
+            if not members:
+                continue
+            clusters[0:3, ci] = bmin[members].min(0)
+            clusters[3:6, ci] = bmax[members].max(0)
+            kinds = set(int(v) != 0 for v in t[members])
+            # kind row: 0 = all spheres, 1 = all rects, 2 = mixed
+            clusters[6, ci] = 2.0 if len(kinds) > 1 else (1.0 if kinds.pop() else 0.0)
         for si in range(n_super):
-            lo, hi = si * span, min(n, (si + 1) * span)
-            supers[0:3, si] = bmin[lo:hi].min(0)
-            supers[3:6, si] = bmax[lo:hi].max(0)
+            members = [col_of[k] for k in range(si * span, min(ncols, (si + 1) * span))
+                       if col_of[k] >= 0]
+            if not members:
+                continue
+            supers[0:3, si] = bmin[members].min(0)
+            supers[3:6, si] = bmax[members].max(0)
 
-    prim_map = np.full(npad, -1, np.int32)
-    if n:
-        prim_map[:n] = idx
     return SceneTables(S, P, clusters, supers, n_super, prim_map)
 
 
@@ -261,12 +292,7 @@ def hierarchical_search(
         )
         return jnp.any(tfar > tnear)
 
-    def _prim_test(j, best_t):
-        """(hit, t) of primitive column j against the tile, clipped by best_t."""
-        if has_rects:
-            ptype = s_ref[S_PTYPE, j]
-            is_sphere = ptype < 0.5
-
+    def _sphere_test(j, best_t):
         # sphere quadratic (Hittable.cuh:80-110) with a == 1
         cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
         ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
@@ -281,11 +307,9 @@ def hierarchical_search(
         # "t0 if t0 > t_min else t1" with a single window test after
         t_s = jnp.where(t0 > t_min, t0, nb + sq)
         hit_s = (disc > 0.0) & (t_s > t_min) & (t_s < best_t)
+        return hit_s, t_s
 
-        if not has_rects:
-            # sphere-only scene: compile the rect path away entirely
-            return hit_s, t_s
-
+    def _rect_test(j, best_t):
         # rect (Hittable.cuh:128-294) with precomputed plane consts
         kax = s_ref[S_KAX, j]
         o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
@@ -304,36 +328,66 @@ def hierarchical_search(
             & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
             & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
         )
+        return hit_r, t_r
+
+    def _dual_test(j, best_t):
+        ptype = s_ref[S_PTYPE, j]
+        is_sphere = ptype < 0.5
+        hit_s, t_s = _sphere_test(j, best_t)
+        hit_r, t_r = _rect_test(j, best_t)
         t_j = jnp.where(is_sphere, t_s, t_r)
         # boolean select via logic ops (Mosaic can't select i1 vectors)
         hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
         return hit_j, t_j
 
-    def cluster_scan(ci, carry):
-        best_t, best_j = carry
-        any_hit = _box_any(clus_ref, ci, best_t)
-
+    def _prim_loop(test):
         def prim_pair(i, carry):
             """Two primitives per step: both tested against the SAME stale
             best_t (independent -> instruction-level parallelism, breaking
             the serial best_t dependency chain), then applied in order with
             an exact re-check for the second."""
-            best_t, best_j = carry
-            j0 = ci * CLUSTER + 2 * i
+            best_t, best_j, base = carry
+            j0 = base + 2 * i
             j1 = j0 + 1
-            hit0, t0 = _prim_test(j0, best_t)
-            hit1, t1 = _prim_test(j1, best_t)
+            hit0, t0 = test(j0, best_t)
+            hit1, t1 = test(j1, best_t)
             best_t = jnp.where(hit0, t0, best_t)
             best_j = jnp.where(hit0, jnp.float32(j0), best_j)
             hit1 = hit1 & (t1 < best_t)
             best_t = jnp.where(hit1, t1, best_t)
             best_j = jnp.where(hit1, jnp.float32(j1), best_j)
-            return best_t, best_j
+            return best_t, best_j, base
 
         def run(carry):
-            return lax.fori_loop(0, CLUSTER // 2, prim_pair, carry)
+            out = lax.fori_loop(0, CLUSTER // 2, prim_pair, carry)
+            return out[0], out[1], carry[2]
 
-        return lax.cond(any_hit, run, lambda c: c, (best_t, best_j))
+        return run
+
+    run_sphere = _prim_loop(_sphere_test)
+    run_rect = _prim_loop(_rect_test)
+    run_dual = _prim_loop(_dual_test)
+
+    def cluster_scan(ci, carry):
+        best_t, best_j = carry
+        any_hit = _box_any(clus_ref, ci, best_t)
+
+        def run(carry3):
+            if not has_rects:
+                return run_sphere(carry3)
+            # homogeneous clusters (pack_scene_tables segregates types):
+            # pick the cheapest primitive loop for this cluster's kind
+            kind = clus_ref[6, ci]
+            return lax.cond(
+                kind < 0.5, run_sphere,
+                lambda c: lax.cond(kind < 1.5, run_rect, run_dual, c),
+                carry3,
+            )
+
+        bt, bj, _ = lax.cond(
+            any_hit, run, lambda c: c, (best_t, best_j, ci * CLUSTER)
+        )
+        return bt, bj
 
     def super_scan(si, carry):
         best_t, _ = carry
