@@ -53,7 +53,8 @@ def main():
 
     accel = args.accel
     if accel == "auto":
-        accel = "pallas"  # the megakernel is the fastest path on TPU
+        # same resolution rule as the product (viewer/app.py on_attach)
+        accel = "pallas" if jax.default_backend() == "tpu" else "bvh"
 
     make_scene, make_cam = scenes.SCENES[args.scene]
     scene = make_scene()
@@ -95,7 +96,7 @@ def main():
         has_rects = bool((_np.asarray(sd.prim_type)[_np.asarray(sd.active)] != 0).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
-        cam_vec = pack_camera(cam, sd, wpad, hpad, 1e-3)
+        cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
 
         @jax.jit
         def step(S, P, C, SC, cam_vec, seed, nframes):
@@ -104,8 +105,9 @@ def main():
             def body(s, carry):
                 acc, nrays = carry
                 img, n = pallas_render_sample(
-                    S, P, C, SC, n_super, cam_vec, seed + s * 7919, args.depth,
-                    width=wpad, height=hpad, camera_model=camera_model,
+                    S, P, C, SC, n_super, cam_vec, seed * 1024 + s, args.depth,
+                    width=args.width, height=args.height,
+                    pad_w=wpad, band_h=hpad, camera_model=camera_model,
                     tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                     rr_start=args.rr_start, with_stats=True,
                 )

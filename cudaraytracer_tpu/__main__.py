@@ -44,7 +44,8 @@ def cmd_serve(cfg, args):
 
     app = Application(cfg)
     app.setup_default_layers()
-    server = ViewerServer(app, host=args.host, port=args.port)
+    server = ViewerServer(app, host=args.host, port=args.port,
+                          data_dir=args.data_dir)
     server.start()
     try:
         app.run()  # progressive forever; browser drives edits/camera
@@ -79,6 +80,9 @@ def main(argv=None):
     config_mod.add_arguments(p_serve)
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--data-dir", dest="data_dir", default=None,
+                         help="directory scene saves/loads and checkpoints "
+                              "are confined to (default: cwd)")
     p_serve.add_argument("--cpu", action="store_true")
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")

@@ -91,8 +91,10 @@ def pack_scene_tables(scene) -> SceneTables:
 
     idx = scene.active_indices()
     span = CLUSTER * SUPER
-    # + 2*(CLUSTER-1): segment alignment padding (below) in the worst case
-    cap = max(scene.capacity, span) + 2 * (CLUSTER - 1)
+    # + 3*(CLUSTER-1): segment alignment padding (below) in the worst case —
+    # each of the three segments (big, spheres, rects) is padded to a
+    # CLUSTER multiple independently
+    cap = max(scene.capacity, span) + 3 * (CLUSTER - 1)
     npad = ((cap + span - 1) // span) * span
 
     S = np.zeros((16, npad), np.float32)
@@ -413,7 +415,7 @@ def _u01(shape):
 
 
 def _render_kernel(
-    cnt_ref,  # SMEM i32[4]: n_super, max_depth, y0 (band row offset), seed
+    cnt_ref,  # SMEM i32[5]: n_super, max_depth, y0 (band row offset), seed, stream
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
     p_ref,  # SMEM f32[16, NP]
@@ -433,7 +435,12 @@ def _render_kernel(
     pi = pl.program_id(0)
     pj = pl.program_id(1)
     pid = pi * pl.num_programs(1) + pj
-    pltpu.prng_seed(cnt_ref[3] + pid * 7919)
+    # tuple-mixed seeding: the hardware PRNG hashes (frame seed, stream) so
+    # no (frame, band, tile) combination can collide the way additive
+    # prime-multiplier schemes could.  Mosaic allows at most 2 seed values,
+    # so band/sample stream and tile id pack injectively into one scalar
+    # (tiles < 2^18 per band, streams < 2^13).
+    pltpu.prng_seed(cnt_ref[3], cnt_ref[4] * 262144 + pid)
 
     n_super = cnt_ref[0]
     max_depth = cnt_ref[1]
@@ -507,6 +514,11 @@ def _render_kernel(
 
     zeros = jnp.zeros(shape, jnp.float32)
     ones = jnp.ones(shape, jnp.float32)
+    # tile-alignment pad pixels (x >= width or y >= height) start dead:
+    # they are cropped by the caller, trace no rays, and don't count
+    alive0 = jnp.where(
+        (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 1.0, 0.0
+    )
 
     def bounce_body(state):
         (bounce, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -725,7 +737,7 @@ def _render_kernel(
         return (bounce < max_depth) & (jnp.max(alive_f) > 0.5)
 
     init = (jnp.int32(0), jnp.float32(0.0), ox, oy, oz, dx, dy, dz,
-            ones, ones, ones, zeros, zeros, zeros, ones)
+            ones, ones, ones, zeros, zeros, zeros, alive0)
     final = lax.while_loop(bounce_cond, bounce_body, init)
     out_ref[0] = final[11]
     out_ref[1] = final[12]
@@ -756,29 +768,37 @@ def pallas_render_sample(
     interpret: bool = False,
     y0=0,
     band_h: int | None = None,
+    pad_w: int | None = None,
+    stream=0,
     rr_start: int = 0,
     with_stats: bool = False,
 ):
-    """One 1-spp radiance sample via the megakernel -> f32[band_h, W, 3].
+    """One 1-spp radiance sample via the megakernel -> f32[band_h, pad_w, 3].
 
-    width must be a multiple of tile_w (a lane multiple) and band_h of
-    tile_h (the Renderer wrapper pads + crops).  ``has_rects=False``
-    compiles the rect intersection/normal paths away for all-sphere scenes
-    (the RTOW benchmark) — about half the per-primitive vector ops.
-    ``y0``/``band_h`` render a horizontal band of the full image (multi-chip
-    row sharding); camera math stays in full-image coordinates.
+    ``width``/``height`` are the TRUE image dimensions and drive the camera
+    math; ``pad_w``/``band_h`` are the physical (tile-aligned) output
+    dimensions — pad pixels map to s/t outside [0,1] and are cropped by the
+    caller, so framing matches the XLA paths at any resolution.
+    ``has_rects=False`` compiles the rect intersection/normal paths away for
+    all-sphere scenes (the RTOW benchmark) — about half the per-primitive
+    vector ops.  ``y0``/``band_h`` render a horizontal band of the full
+    image (multi-chip row sharding); ``stream`` is an extra seed component
+    for band/sample streams (hash-mixed, collision-free).
     """
     if band_h is None:
-        band_h = height
+        band_h = -(-height // tile_h) * tile_h
+    if pad_w is None:
+        pad_w = -(-width // tile_w) * tile_w
     assert tile_w % 128 == 0, tile_w
-    assert width % tile_w == 0, (width, tile_w)
+    assert pad_w % tile_w == 0 and pad_w >= width, (width, pad_w, tile_w)
     assert band_h % tile_h == 0, (band_h, tile_h)
-    grid = (band_h // tile_h, width // tile_w)
+    grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([
         jnp.asarray(n_super, jnp.int32),
         jnp.asarray(max_depth, jnp.int32),
         jnp.asarray(y0, jnp.int32),
         jnp.asarray(seed, jnp.int32),
+        jnp.asarray(stream, jnp.int32),
     ])
     kern = functools.partial(
         _render_kernel,
@@ -807,9 +827,9 @@ def pallas_render_sample(
             pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, band_h, width), jnp.float32),
+            jax.ShapeDtypeStruct((3, band_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct(
-                (band_h // tile_h * 8, width // tile_w * 128), jnp.float32
+                (band_h // tile_h * 8, pad_w // tile_w * 128), jnp.float32
             ),
         ),
         interpret=interpret,

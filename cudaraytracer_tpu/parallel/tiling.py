@@ -145,11 +145,13 @@ def render_sharded_pallas(
         ri = lax.axis_index("rows")
         si = lax.axis_index("samples")
         rad = pallas_render_sample(
-            S, Ptab, C, SC, n_super, cam_vec,
-            seed + si * 104729 + ri * 7919, max_depth,
+            S, Ptab, C, SC, n_super, cam_vec, seed, max_depth,
             width=width, height=height, camera_model=camera_model,
             tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
             y0=ri * band_h, band_h=band_h,
+            # distinct PRNG stream per (band, sample-stream) device, mixed
+            # with the frame seed and tile id in-kernel (collision-free)
+            stream=ri * n_samp + si,
         )
         return lax.psum(rad, "samples")
 

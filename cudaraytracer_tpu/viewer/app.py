@@ -112,6 +112,12 @@ class RenderLayer(Layer):
     def on_attach(self, app: "Application"):
         self.app = app
         cfg = self.cfg
+        if cfg.accel == "auto":
+            import jax
+
+            # megakernel on TPU (the path the benchmark measures), BVH on
+            # CPU where the XLA skip-link traversal wins (BASELINE.md)
+            cfg.accel = "pallas" if jax.default_backend() == "tpu" else "bvh"
         rtlog.rt_info("RenderLayer: %dx%d scene=%s accel=%s camera=%s",
                       cfg.width, cfg.height, cfg.scene, cfg.accel, cfg.camera_model)
         self.renderer = Renderer(
@@ -332,9 +338,12 @@ class _PallasPipeline:
 
         @jax.jit
         def _step(S, P, C, SC, cam_vec, seed, depth, accum):
+            # true width/height drive the camera math; pad_w/band_h only
+            # size the physical (tile-aligned) output, cropped below
             rad = pallas_render_sample(
                 S, P, C, SC, n_super, cam_vec, seed, depth,
-                width=self._wpad, height=self._hpad,
+                width=cfg.width, height=cfg.height,
+                pad_w=self._wpad, band_h=self._hpad,
                 camera_model=cfg.camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 rr_start=getattr(cfg, "rr_start", 0),
@@ -345,9 +354,11 @@ class _PallasPipeline:
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum):
         cam_vec = self._pack_camera(
-            cam, self._sky, self._wpad, self._hpad, self._cfg.t_min
+            cam, self._sky, self._cfg.width, self._cfg.height, self._cfg.t_min
         )
-        seed = (self._cfg.seed * 2654435761 + frame_index * 7919) & 0x7FFFFFFF
+        # injective in frame_index; tile/band decorrelation happens in-kernel
+        # via tuple-mixed prng_seed
+        seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
         return self._step(*self._tabs, cam_vec, seed, max_depth, accum)
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -133,11 +134,21 @@ _TEX_IDS = {v: k for k, v in scene_mod.TEX_NAMES.items()}
 
 
 class ViewerServer:
-    def __init__(self, app: Application, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, app: Application, host: str = "127.0.0.1", port: int = 8000,
+                 data_dir: str | None = None):
         self.app = app
         self.host = host
         self.port = port
+        # scene/checkpoint files are confined to data_dir: a client that can
+        # reach the port must not get arbitrary filesystem read/write
+        self.data_dir = os.path.abspath(data_dir or os.getcwd())
         self._httpd: ThreadingHTTPServer | None = None
+
+    def _safe_path(self, name) -> str:
+        p = os.path.normpath(str(name))
+        if os.path.isabs(p) or p == ".." or p.startswith(".." + os.sep):
+            raise ValueError(f"path {name!r} escapes the viewer data directory")
+        return os.path.join(self.data_dir, p)
 
     # ------------------------------------------------------------ state
     def state_json(self) -> dict:
@@ -255,16 +266,17 @@ class ViewerServer:
         if data.get("pause"):
             self.app.toggle_pause()
         if "save" in data:
-            rl.scene.save(data["save"])
-            rtlog.rt_info("Scene saved to %s", data["save"])
+            path = self._safe_path(data["save"])
+            rl.scene.save(path)
+            rtlog.rt_info("Scene saved to %s", path)
         if "load" in data:
-            rl.scene = scene_mod.Scene.load(data["load"])
+            rl.scene = scene_mod.Scene.load(self._safe_path(data["load"]))
             rl._scene_version = -1
             rtlog.rt_info("Scene loaded from %s", data["load"])
         if "checkpoint" in data:
-            rl.save_state(data["checkpoint"])
+            rl.save_state(self._safe_path(data["checkpoint"]))
         if "resume" in data:
-            rl.load_state(data["resume"])
+            rl.load_state(self._safe_path(data["resume"]))
 
     def handle_texture_upload(self, prim_id: int, image_bytes: bytes):
         """Image-texture upload: the file-dialog + ImageAllocation path

@@ -61,3 +61,45 @@ def test_emissive_scene_matches_oracle():
     ) / (SPP * 2)
 
     np.testing.assert_allclose(ours.mean((0, 1)), gold.mean((0, 1)), atol=0.05)
+
+
+def test_pallas_framing_at_non_tile_multiple():
+    """Regression: the megakernel's camera math must use the TRUE image
+    dims, not the tile-padded ones — at 96x24 (pads to 256x32) the old code
+    computed s/t and aspect for the padded frame, shifting and rescaling
+    the image vs the XLA paths (ADVICE r1, medium)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = scn.default_scene()
+    sd = scene.device()
+    cam = scn.default_scene_camera()
+    W, H, SPP, DEPTH = 96, 24, 8, 3
+    t = pack_scene_tables(scene)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    acc = 0.0
+    with pltpu.force_tpu_interpret_mode():
+        for s in range(SPP):
+            img = pallas_render_sample(
+                *tabs, t.n_super, cam_vec, 7 + s, DEPTH,
+                width=W, height=H, camera_model="two_plane",
+                tile_h=16, tile_w=256,
+            )
+            acc = acc + img[:H, :W]
+    pal = np.asarray(acc) / SPP
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), SPP, DEPTH,
+                        width=W, height=H, camera_model="two_plane")
+    ) / SPP
+    # coarse block means: framing errors (scale/offset) blow these up by
+    # >0.5; MC noise (interpret-mode prng is seed-insensitive, so pal is
+    # effectively 1 spp) stays under ~0.25
+    pb = pal.reshape(3, 8, 12, 8, 3).mean((1, 3))
+    xb = xla.reshape(3, 8, 12, 8, 3).mean((1, 3))
+    assert np.abs(pb - xb).max() < 0.3
+    assert abs(pal.mean() - xla.mean()) < 0.02

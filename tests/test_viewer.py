@@ -92,10 +92,21 @@ def test_options_endpoint(served, tmp_path):
     post(port, "/options", {"pause": True})
     assert app.paused
     post(port, "/options", {"pause": True})
-    p = str(tmp_path / "s.json")
-    post(port, "/options", {"save": p})
-    post(port, "/options", {"load": p})
+    # save/load paths are confined to data_dir (relative names only)
+    server.data_dir = str(tmp_path)
+    post(port, "/options", {"save": "s.json"})
+    assert (tmp_path / "s.json").exists()
+    post(port, "/options", {"load": "s.json"})
     assert rl.scene.num_active >= 1
+    # path traversal / absolute paths are rejected (500), nothing written
+    import os
+    import urllib.error
+
+    for bad in ("../evil.json", "/tmp/evil_abs.json"):
+        with pytest.raises(urllib.error.HTTPError):
+            post(port, "/options", {"save": bad})
+    assert not (tmp_path.parent / "evil.json").exists()
+    assert not os.path.exists("/tmp/evil_abs.json")
 
 
 def test_accumulation_reset_on_edit(served):
