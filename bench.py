@@ -99,31 +99,25 @@ def main():
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
 
         @jax.jit
-        def step(S, P, C, SC, cam_vec, seed, nframes):
-            acc = jnp.zeros((hpad, wpad, 3), jnp.float32)
-
-            def body(s, carry):
-                acc, nrays = carry
-                img, n = pallas_render_sample(
-                    S, P, C, SC, n_super, cam_vec, seed * 1024 + s, args.depth,
-                    width=args.width, height=args.height,
-                    pad_w=wpad, band_h=hpad, camera_model=camera_model,
-                    tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
-                    rr_start=args.rr_start, with_stats=True,
-                )
-                return acc + img, nrays + n
-
-            return jax.lax.fori_loop(
-                0, nframes * args.spp, body,
-                (acc, jnp.float32(0.0)),
+        def step(S, P, C, SC, cam_vec, seed, spp):
+            # one launch renders all spp samples: in-kernel path regeneration
+            # keeps the bounce waves at full occupancy across samples
+            return pallas_render_sample(
+                S, P, C, SC, n_super, cam_vec, seed, args.depth,
+                width=args.width, height=args.height,
+                pad_w=wpad, band_h=hpad, camera_model=camera_model,
+                tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+                spp=spp, rr_start=args.rr_start, with_stats=True,
             )
 
         def run_frame(f, nframes):
-            return step(S, P, C, SC, cam_vec, 1000 + f, nframes)[0]
+            return step(S, P, C, SC, cam_vec, 1000 + f, nframes * args.spp)[0]
 
-        # rays counted by the kernel itself
-        _, nprobe = step(S, P, C, SC, cam_vec, 999, 1)
-        rays_per_frame = float(nprobe)
+        # rays counted by the kernel itself; slope over batch sizes so the
+        # marginal per-frame ray count matches the slope-timed frame cost
+        _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp)
+        _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp)
+        rays_per_frame = (float(n_big) - float(n_one)) / 8.0
     else:
         hit_fn = None
         if accel == "bvh":

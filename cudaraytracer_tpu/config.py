@@ -32,7 +32,10 @@ class RenderConfig:
     #                      identical means at 16 spp, BASELINE.md)
     aperture: float = 0.0  # defocus-blur lens diameter (look_at camera)
     focus_dist: float = 10.0
-    progressive: bool = True  # 1-spp accumulation vs full-spp re-render
+    progressive: bool = True  # progressive accumulation vs full-spp re-render
+    progressive_spp: int = 4  # samples per progressive frame (pallas path:
+    #                             path regeneration makes extra samples per
+    #                             launch nearly marginal-cost)
     debug_nans: bool = False  # TPU analog of the reference Debug build -g -G
 
 
@@ -52,6 +55,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--aperture", type=float, default=d.aperture)
     parser.add_argument("--focus-dist", dest="focus_dist", type=float, default=d.focus_dist)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
+    parser.add_argument("--progressive-spp", dest="progressive_spp", type=int, default=d.progressive_spp)
     parser.add_argument("--debug-nans", dest="debug_nans", action="store_true", default=d.debug_nans)
     return parser
 

@@ -415,7 +415,7 @@ def _u01(shape):
 
 
 def _render_kernel(
-    cnt_ref,  # SMEM i32[5]: n_super, max_depth, y0 (band row offset), seed, stream
+    cnt_ref,  # SMEM i32[6]: n_super, max_depth, y0, seed, stream, spp
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
     p_ref,  # SMEM f32[16, NP]
@@ -445,6 +445,8 @@ def _render_kernel(
     n_super = cnt_ref[0]
     max_depth = cnt_ref[1]
     y0 = cnt_ref[2]  # first image row of this band (multi-chip row sharding)
+    spp_f = cnt_ref[5].astype(jnp.float32)
+    max_depth_f = max_depth.astype(jnp.float32)
     t_min = cam_ref[28]
 
     # 2D pixel tiles: spatially compact tiles keep a tile's rays coherent,
@@ -459,70 +461,88 @@ def _render_kernel(
         y0 + pi * tile_h
     ).astype(jnp.float32)
 
-    jx = _u01(shape)
-    jy = _u01(shape)
-
     def cam3(i):
         return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
 
-    if camera_model == "look_at":
-        s = (xs + jx) * (1.0 / width)
-        t = (height - 1.0 - ys + jy) * (1.0 / height)
-        lens_r = cam_ref[18]
-        u1 = _u01(shape)
-        u2 = _u01(shape)
-        rr = lens_r * jnp.sqrt(u1)
-        th = 2.0 * math.pi * u2
-        lx = rr * jnp.cos(th)
-        ly = rr * jnp.sin(th)
-        uax = cam3(12)
-        vax = cam3(15)
-        origin = cam3(0)
-        ll = cam3(3)
-        ho = cam3(6)
-        ve = cam3(9)
-        ox = origin[0] + lx * uax[0] + ly * vax[0]
-        oy = origin[1] + lx * uax[1] + ly * vax[1]
-        oz = origin[2] + lx * uax[2] + ly * vax[2]
-        dx = ll[0] + s * ho[0] + t * ve[0] - ox
-        dy = ll[1] + s * ho[1] + t * ve[1] - oy
-        dz = ll[2] + s * ho[2] + t * ve[2] - oz
-    else:  # two_plane (reference Kernel.cu:130-148)
-        u = ((xs - width / 2.0) + jx) * (1.0 / width)
-        v = ((height / 2.0 - ys) + jy) * (1.0 / width)
-        right = cam3(22)
-        up = cam3(25)
-        fwd = cam3(29)
-        origin = cam3(0)
-        near, far, fov = cam_ref[19], cam_ref[20], cam_ref[21]
-        distx = u * right[0] + v * up[0]
-        disty = u * right[1] + v * up[1]
-        distz = u * right[2] + v * up[2]
-        ox = near * distx + origin[0] + fov * fwd[0]
-        oy = near * disty + origin[1] + fov * fwd[1]
-        oz = near * distz + origin[2] + fov * fwd[2]
-        k2 = 1.0 / fov * 10.0
-        dx = far * distx + k2 * fwd[0] + origin[0] - ox
-        dy = far * disty + k2 * fwd[1] + origin[1] - oy
-        dz = far * distz + k2 * fwd[2] + origin[2] - oz
-
-    dn = lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
-    dx, dy, dz = dx * dn, dy * dn, dz * dn
+    def gen_ray():
+        """Fresh jittered primary ray for every lane's pixel (the per-sample
+        raygen of Kernel.cu:130-148); drawn in-loop so finished lanes can
+        start their next sample immediately (path regeneration)."""
+        jx = _u01(shape)
+        jy = _u01(shape)
+        if camera_model == "look_at":
+            s = (xs + jx) * (1.0 / width)
+            t = (height - 1.0 - ys + jy) * (1.0 / height)
+            lens_r = cam_ref[18]
+            u1 = _u01(shape)
+            u2 = _u01(shape)
+            rr = lens_r * jnp.sqrt(u1)
+            th = 2.0 * math.pi * u2
+            lx = rr * jnp.cos(th)
+            ly = rr * jnp.sin(th)
+            uax = cam3(12)
+            vax = cam3(15)
+            origin = cam3(0)
+            ll = cam3(3)
+            ho = cam3(6)
+            ve = cam3(9)
+            ox = origin[0] + lx * uax[0] + ly * vax[0]
+            oy = origin[1] + lx * uax[1] + ly * vax[1]
+            oz = origin[2] + lx * uax[2] + ly * vax[2]
+            dx = ll[0] + s * ho[0] + t * ve[0] - ox
+            dy = ll[1] + s * ho[1] + t * ve[1] - oy
+            dz = ll[2] + s * ho[2] + t * ve[2] - oz
+        else:  # two_plane (reference Kernel.cu:130-148)
+            u = ((xs - width / 2.0) + jx) * (1.0 / width)
+            v = ((height / 2.0 - ys) + jy) * (1.0 / width)
+            right = cam3(22)
+            up = cam3(25)
+            fwd = cam3(29)
+            origin = cam3(0)
+            near, far, fov = cam_ref[19], cam_ref[20], cam_ref[21]
+            distx = u * right[0] + v * up[0]
+            disty = u * right[1] + v * up[1]
+            distz = u * right[2] + v * up[2]
+            ox = near * distx + origin[0] + fov * fwd[0]
+            oy = near * disty + origin[1] + fov * fwd[1]
+            oz = near * distz + origin[2] + fov * fwd[2]
+            k2 = 1.0 / fov * 10.0
+            dx = far * distx + k2 * fwd[0] + origin[0] - ox
+            dy = far * disty + k2 * fwd[1] + origin[1] - oy
+            dz = far * distz + k2 * fwd[2] + origin[2] - oz
+        dn = lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12))
+        return ox, oy, oz, dx * dn, dy * dn, dz * dn
 
     bg0 = cam3(32)
     bg1 = cam3(35)
 
     zeros = jnp.zeros(shape, jnp.float32)
     ones = jnp.ones(shape, jnp.float32)
-    # tile-alignment pad pixels (x >= width or y >= height) start dead:
-    # they are cropped by the caller, trace no rays, and don't count
-    alive0 = jnp.where(
-        (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 1.0, 0.0
+    # tile-alignment pad pixels (x >= width or y >= height) never get
+    # samples: they are cropped by the caller, trace no rays, don't count
+    done0 = jnp.where(
+        (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 0.0, spp_f
     )
 
     def bounce_body(state):
-        (bounce, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
-         rx, ry, rz, alive_f) = state
+        (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+         rx, ry, rz, alive_f, done_f, depth_f) = state
+        # ---- path regeneration: a finished lane starts its next sample
+        # immediately, so deep waves stay at full occupancy instead of
+        # paying whole-tile vector cost for a few straggler paths ----
+        nox, noy, noz, ndx, ndy, ndz = gen_ray()
+        need = (alive_f < 0.5) & (done_f < spp_f)
+        ox = jnp.where(need, nox, ox)
+        oy = jnp.where(need, noy, oy)
+        oz = jnp.where(need, noz, oz)
+        dx = jnp.where(need, ndx, dx)
+        dy = jnp.where(need, ndy, dy)
+        dz = jnp.where(need, ndz, dz)
+        tpx = jnp.where(need, 1.0, tpx)
+        tpy = jnp.where(need, 1.0, tpy)
+        tpz = jnp.where(need, 1.0, tpz)
+        depth_f = jnp.where(need, 0.0, depth_f)
+        alive_f = jnp.where(need, 1.0, alive_f)
         # alive carried as f32 (Mosaic can't carry i1 vectors across scf loops)
         alive = alive_f > 0.5
         nrays = nrays + jnp.sum(alive_f)
@@ -698,7 +718,10 @@ def _render_kernel(
         att_b = jnp.where(is_diel, ones, texb)
         scat_ok = is_lamb | is_diel | (is_metal & metal_ok)
 
-        cont = lit & scat_ok
+        # a path may scatter again only while its NEXT trace index stays
+        # below max_depth (exact reference termination: color() returns
+        # black when the loop exhausts, Kernel.cu:79)
+        cont = lit & scat_ok & (depth_f + 1.0 < max_depth_f)
         if rr_start > 0:
             # Russian roulette (optional; the reference has no equivalent):
             # from bounce rr_start on, kill paths with probability 1 - p
@@ -710,7 +733,7 @@ def _render_kernel(
                 0.05, 1.0,
             )
             u_rr = _u01(shape)
-            do_rr = bounce >= rr_start
+            do_rr = depth_f >= jnp.float32(rr_start)
             # logic ops, not select: Mosaic can't select i1 vectors
             survive = ~do_rr | (u_rr < p_surv)
             inv_p = jnp.where(do_rr, 1.0 / p_surv, 1.0)
@@ -727,17 +750,27 @@ def _render_kernel(
         tpx = jnp.where(cont, tpx * att_r, tpx)
         tpy = jnp.where(cont, tpy * att_g, tpy)
         tpz = jnp.where(cont, tpz * att_b, tpz)
+        # sample bookkeeping: a path that was traced and did not continue is
+        # complete — its lane regenerates at the top of the next iteration
+        ended = alive & ~cont
+        done_f = done_f + jnp.where(ended, 1.0, 0.0)
+        depth_f = jnp.where(cont, depth_f + 1.0, depth_f)
 
-        return (bounce + 1, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
-                rx, ry, rz, jnp.where(cont, 1.0, 0.0))
+        return (it + 1, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+                rx, ry, rz, jnp.where(cont, 1.0, 0.0), done_f, depth_f)
 
     def bounce_cond(state):
-        bounce = state[0]
-        alive_f = state[14]
-        return (bounce < max_depth) & (jnp.max(alive_f) > 0.5)
+        it = state[0]
+        alive_f, done_f = state[14], state[15]
+        # every unfinished lane traces exactly one ray per iteration, so
+        # spp*max_depth bounds the loop; the vector exit fires much earlier
+        return (it < cnt_ref[5] * max_depth) & (
+            (jnp.max(alive_f) > 0.5) | (jnp.min(done_f) < spp_f)
+        )
 
-    init = (jnp.int32(0), jnp.float32(0.0), ox, oy, oz, dx, dy, dz,
-            ones, ones, ones, zeros, zeros, zeros, alive0)
+    init = (jnp.int32(0), jnp.float32(0.0),
+            zeros, zeros, zeros, zeros, zeros, ones,
+            ones, ones, ones, zeros, zeros, zeros, zeros, done0, zeros)
     final = lax.while_loop(bounce_cond, bounce_body, init)
     out_ref[0] = final[11]
     out_ref[1] = final[12]
@@ -770,10 +803,18 @@ def pallas_render_sample(
     band_h: int | None = None,
     pad_w: int | None = None,
     stream=0,
+    spp=1,
     rr_start: int = 0,
     with_stats: bool = False,
 ):
-    """One 1-spp radiance sample via the megakernel -> f32[band_h, pad_w, 3].
+    """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
+    (the SUM over samples; divide by spp to display).
+
+    Samples are path-regenerated in-kernel: a lane whose path terminates
+    immediately starts its next sample, so the bounce waves stay at full
+    vector occupancy — per-sample marginal cost is ~E[path length] full
+    waves instead of max_depth straggler-bound waves.  ``spp`` is a traced
+    scalar (no recompile).
 
     ``width``/``height`` are the TRUE image dimensions and drive the camera
     math; ``pad_w``/``band_h`` are the physical (tile-aligned) output
@@ -799,6 +840,7 @@ def pallas_render_sample(
         jnp.asarray(y0, jnp.int32),
         jnp.asarray(seed, jnp.int32),
         jnp.asarray(stream, jnp.int32),
+        jnp.asarray(spp, jnp.int32),
     ])
     kern = functools.partial(
         _render_kernel,

@@ -215,7 +215,13 @@ class RenderLayer(Layer):
                     cam, fkey, spp=1, max_depth=cfg.max_depth
                 )
             elif self._pallas is not None:
-                self._accum = self._pallas.accumulate(cam, self._frame_index, cfg.max_depth, self._accum)
+                # in-kernel path regeneration makes extra samples per launch
+                # nearly marginal-cost: render progressive_spp per frame
+                batch = max(1, int(getattr(cfg, "progressive_spp", 1)))
+                self._accum = self._pallas.accumulate(
+                    cam, self._frame_index, cfg.max_depth, self._accum, spp=batch
+                )
+                self._spp_done += batch - 1
             else:
                 self._accum = self.renderer.accumulate(
                     self._sd, cam, fkey, cfg.max_depth, self._accum, bvh=self._bvh
@@ -337,7 +343,7 @@ class _PallasPipeline:
         self._pack_camera = pack_camera
 
         @jax.jit
-        def _step(S, P, C, SC, cam_vec, seed, depth, accum):
+        def _step(S, P, C, SC, cam_vec, seed, depth, spp, accum):
             # true width/height drive the camera math; pad_w/band_h only
             # size the physical (tile-aligned) output, cropped below
             rad = pallas_render_sample(
@@ -346,20 +352,20 @@ class _PallasPipeline:
                 pad_w=self._wpad, band_h=self._hpad,
                 camera_model=cfg.camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
-                rr_start=getattr(cfg, "rr_start", 0),
+                spp=spp, rr_start=getattr(cfg, "rr_start", 0),
             )
             return accum + rad[: cfg.height, : cfg.width]
 
         self._step = _step
 
-    def accumulate(self, cam, frame_index: int, max_depth: int, accum):
+    def accumulate(self, cam, frame_index: int, max_depth: int, accum, spp: int = 1):
         cam_vec = self._pack_camera(
             cam, self._sky, self._cfg.width, self._cfg.height, self._cfg.t_min
         )
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
-        return self._step(*self._tabs, cam_vec, seed, max_depth, accum)
+        return self._step(*self._tabs, cam_vec, seed, max_depth, spp, accum)
 
 
 class Application:
