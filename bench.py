@@ -34,6 +34,8 @@ def main():
     p.add_argument("--accel", default="auto", choices=["auto", "brute", "bvh", "pallas", "wavefront"])
     p.add_argument("--scene", default="rtow_final")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--tile-h", dest="tile_h", type=int, default=32)
+    p.add_argument("--tile-w", dest="tile_w", type=int, default=256)
     p.add_argument("--rr-start", dest="rr_start", type=int, default=3,
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
@@ -92,7 +94,7 @@ def main():
 
         S, P, C, SC, n_super, _prim_map = pack_scene_tables(scene)
         S, P, C, SC = map(jnp.asarray, (S, P, C, SC))
-        tile_h, tile_w = 16, 256
+        tile_h, tile_w = args.tile_h, args.tile_w
         has_rects = bool((_np.asarray(sd.prim_type)[_np.asarray(sd.active)] != 0).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
