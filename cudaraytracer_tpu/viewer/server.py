@@ -38,13 +38,16 @@ _PAGE = """<!DOCTYPE html>
 <html><head><title>cudaraytracer-tpu</title><style>
 body{background:#15161e;color:#c0caf5;font-family:ui-monospace,monospace;margin:0;display:flex}
 #main{flex:1;padding:10px}
-#side{width:380px;padding:10px;background:#1a1b26;height:100vh;overflow-y:auto}
+#side{width:420px;padding:10px;background:#1a1b26;height:100vh;overflow-y:auto}
 canvas{border:1px solid #3b4261;image-rendering:pixelated;outline:none;max-width:100%}
 h3{color:#7aa2f7;border-bottom:1px solid #3b4261;margin:12px 0 6px}
 #console{background:#0f1017;height:180px;overflow-y:auto;font-size:11px;padding:4px;white-space:pre}
 table{font-size:12px;width:100%} td{padding:1px 4px}
 button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;border-radius:3px;margin:1px;font-size:12px}
+input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middle}
 .prim{border:1px solid #3b4261;margin:3px 0;padding:3px;font-size:11px}
+.prim summary{cursor:pointer;color:#9ece6a}
+.row{margin:2px 0} .lbl{display:inline-block;width:52px;color:#7dcfff}
 </style></head><body>
 <div id=main>
  <h3>Viewport (click to focus &mdash; WASD/Space/Ctrl move, Shift fast, right-drag look, wheel fov, C reset, P pause)</h3>
@@ -54,12 +57,12 @@ button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;bo
  <h3>Metrics</h3><table id=metrics></table>
  <h3>Options</h3>
  <div>
-  depth <input id=depth type=number min=0 max=50 style="width:50px">
-  spp <input id=spp type=number min=1 style="width:50px">
+  depth <input id=depth type=number min=0 max=50>
+  spp <input id=spp type=number min=1>
   <button onclick="setOpt()">apply</button>
   <button onclick="post('/options',{pause:true})">pause/resume</button>
  </div>
- <div>resize <input id=rw type=number style="width:55px" value=640>x<input id=rh type=number style="width:55px" value=360>
+ <div>resize <input id=rw type=number value=640>x<input id=rh type=number value=360>
   <button onclick="post('/options',{resize:[+document.getElementById('rw').value,+document.getElementById('rh').value]})">apply</button>
  </div>
  <input type=file id=texfile style="display:none" accept="image/*">
@@ -68,11 +71,16 @@ button,input,select{background:#24283b;color:#c0caf5;border:1px solid #3b4261;bo
   <button onclick="post('/options',{save:'scene.json'})">save scene</button>
  </div>
  <h3>Camera</h3>
- <div id=caminfo style="font-size:11px"></div>
- <div>pos <input id=cx type=number step=0.5 style="width:48px"><input id=cy type=number step=0.5 style="width:48px"><input id=cz type=number step=0.5 style="width:48px">
-  fov <input id=cfov type=number style="width:44px">
+ <div class=row><span class=lbl>pos</span><input id=cx type=number step=0.5><input id=cy type=number step=0.5><input id=cz type=number step=0.5></div>
+ <div class=row><span class=lbl>yaw</span><input id=cyaw type=number step=1>
+  <span class=lbl>pitch</span><input id=cpitch type=number step=1 min=-89 max=89></div>
+ <div class=row><span class=lbl>fov</span><input id=cfov type=number step=1 min=1 max=120>
   <button onclick="setCam()">set</button></div>
- <h3>Scene <button onclick="addPrim()">+ add</button> <button onclick="post('/edit',{op:'clear'})">clear</button></h3>
+ <h3>Scene</h3>
+ <div class=row>+ add <select id=addtype><option>sphere</option><option>xy_rect</option><option>xz_rect</option><option>yz_rect</option></select>
+  <select id=addmat><option>lambertian</option><option>metal</option><option>dielectric</option><option>diffuse_light</option></select>
+  <button onclick="addPrim()">add</button>
+  <button onclick="post('/edit',{op:'clear'})">clear</button></div>
  <div id=scene></div>
  <h3>Console</h3><div id=console></div>
 </div>
@@ -97,35 +105,59 @@ async function frame(){const img=new Image();img.onload=()=>{cv.width=img.width;
  img.src='/frame.png?'+Date.now()}
 frame();
 function esc(s){return s.replace(/&/g,'&amp;').replace(/</g,'&lt;')}
-async function state(){try{const r=await fetch('/state');const s=await r.json();
+let S={scene:[]},sceneSig='';
+function rgb2hex(c){return '#'+c.map(v=>Math.round(v*255).toString(16).padStart(2,'0')).join('')}
+function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
+function upd(id,field,value){post('/edit',{op:'update',id,field,value})}
+function updC(id,k,v){const p=S.scene.find(q=>q.id===id);p.center[k]=v;upd(id,'center',p.center)}
+function num(id,k,v,step){return `<input type=number step=${step||0.1} value=${v} onchange="updC(${id},${k},+this.value)">`}
+function primPanel(p){
+ const mats=['lambertian','metal','dielectric','diffuse_light'];
+ const texs=['constant','checker','image'];
+ let rows=`<div class=row><span class=lbl>pos</span>${[0,1,2].map(k=>num(p.id,k,p.center[k])).join('')}</div>`;
+ if(p.prim==='sphere')
+  rows+=`<div class=row><span class=lbl>radius</span><input type=number step=0.05 value=${p.size[0]} onchange="upd(${p.id},'radius',+this.value)"></div>`;
+ else
+  rows+=`<div class=row><span class=lbl>size</span><input type=number step=0.1 value=${p.size[0]} onchange="upd(${p.id},'width',+this.value)">x<input type=number step=0.1 value=${p.size[1]} onchange="upd(${p.id},'height',+this.value)"></div>`;
+ rows+=`<div class=row><span class=lbl>mat</span><select onchange="upd(${p.id},'mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
+  <select onchange="if(this.value==='image'){uploadTex(${p.id})}else{upd(${p.id},'tex',this.value)}">${texs.map(t=>`<option ${t===p.tex?'selected':''}>${t}</option>`).join('')}</select></div>`;
+ rows+=`<div class=row><span class=lbl>albedo</span><input type=color value=${rgb2hex(p.albedo)} onchange="upd(${p.id},'albedo',hex2rgb(this.value))">`;
+ if(p.tex==='checker')rows+=`<input type=color value=${rgb2hex(p.albedo2)} onchange="upd(${p.id},'albedo2',hex2rgb(this.value))">`;
+ rows+=`</div>`;
+ if(p.mat==='metal')rows+=`<div class=row><span class=lbl>fuzz</span><input type=range min=0 max=1 step=0.01 value=${p.fuzz} onchange="upd(${p.id},'fuzz',+this.value)"><span>${p.fuzz.toFixed(2)}</span></div>`;
+ if(p.mat==='dielectric')rows+=`<div class=row><span class=lbl>ior</span><input type=number step=0.05 value=${p.ior} onchange="upd(${p.id},'ior',+this.value)"></div>`;
+ if(p.mat==='diffuse_light')rows+=`<div class=row><span class=lbl>light</span><input type=range min=0 max=10 step=1 value=${p.light} onchange="upd(${p.id},'light',+this.value)"><span>${p.light}</span></div>`;
+ return `<details class=prim data-id=${p.id}><summary>#${p.id} ${p.prim} / ${p.mat}
+  <button onclick="event.preventDefault();post('/edit',{op:'delete',id:${p.id}})">x</button></summary>${rows}</details>`}
+function renderScene(){
+ const el=document.getElementById('scene');
+ const open=new Set([...el.querySelectorAll('details[open]')].map(d=>d.dataset.id));
+ el.innerHTML=S.scene.map(primPanel).join('');
+ for(const d of el.querySelectorAll('details'))if(open.has(d.dataset.id))d.open=true}
+async function state(){try{const r=await fetch('/state');const s=await r.json();S=s;
  document.getElementById('metrics').innerHTML=Object.entries(s.metrics).map(([k,v])=>`<tr><td>${k}</td><td>${v}</td></tr>`).join('');
  document.getElementById('console').innerHTML=s.console.map(esc).join('\\n');
- document.getElementById('scene').innerHTML=s.scene.map(p=>
-  `<div class=prim>#${p.id} ${p.prim} / ${p.mat} @ [${p.center.map(x=>x.toFixed(2))}]
-   <button onclick="editPrim(${p.id})">edit</button>
-   <button onclick="uploadTex(${p.id})">img</button>
-   <button onclick="post('/edit',{op:'delete',id:${p.id}})">x</button></div>`).join('');
+ const sig=JSON.stringify(s.scene);
+ if(sig!==sceneSig&&!document.getElementById('scene').contains(document.activeElement)){
+  sceneSig=sig;renderScene()}
  if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
  if(document.activeElement.id!=='spp')document.getElementById('spp').value=s.options.spp;
- document.getElementById('caminfo').textContent=`pos [${s.camera.position.map(v=>v.toFixed(2))}] yaw ${s.camera.yaw} pitch ${s.camera.pitch} fov ${s.camera.fov}`;
- for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],['cfov',s.camera.fov]])
+ for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
+  ['cyaw',s.camera.yaw],['cpitch',s.camera.pitch],['cfov',s.camera.fov]])
   if(document.activeElement.id!==el)document.getElementById(el).value=v;
 }catch(e){} setTimeout(state,700)}
 state();
-function setCam(){post('/options',{camera:{position:[+cx.value,+cy.value,+cz.value],fov:+cfov.value}})}
+function setCam(){post('/options',{camera:{position:[+cx.value,+cy.value,+cz.value],
+ yaw:+cyaw.value,pitch:+cpitch.value,fov:+cfov.value}})}
 function setOpt(){post('/options',{max_depth:+document.getElementById('depth').value,
  spp:+document.getElementById('spp').value})}
-function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
 function setBg(){post('/options',{background_start:hex2rgb(document.getElementById('bg0').value),
  background_end:hex2rgb(document.getElementById('bg1').value)})}
-function addPrim(){const t=prompt('type (sphere/xy_rect/xz_rect/yz_rect)','sphere');if(!t)return;
- const m=prompt('material (lambertian/metal/dielectric/diffuse_light)','lambertian');
- post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
+function addPrim(){post('/edit',{op:'add',prim:document.getElementById('addtype').value,
+ mat:document.getElementById('addmat').value,center:[0,1,0],radius:0.5,width:2,height:2})}
 function uploadTex(id){const f=document.getElementById('texfile');
  f.onchange=async()=>{if(f.files[0]){await fetch('/texture?id='+id,{method:'POST',body:f.files[0]})}};
  f.click()}
-function editPrim(id){const f=prompt('field=value (center=x,y,z | radius | fuzz | ior | light | albedo=r,g,b)','center=0,1,0');
- if(!f)return;const[k,v]=f.split('=');post('/edit',{op:'update',id,field:k,value:v.includes(',')?v.split(',').map(Number):+v})}
 </script></body></html>"""
 
 _PRIM_IDS = {v: k for k, v in scene_mod.PRIM_NAMES.items()}
@@ -163,9 +195,11 @@ class ViewerServer:
                 "tex": scene_mod.TEX_NAMES[int(scene.tex_type[i])],
                 "center": [round(float(v), 4) for v in scene.center[i]],
                 "size": [round(float(v), 4) for v in scene.size[i]],
-                "fuzz": float(scene.fuzz[i]),
-                "ior": float(scene.ior[i]),
-                "light": float(scene.light[i]),
+                "albedo": [round(float(v), 4) for v in scene.albedo[i]],
+                "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
+                "fuzz": round(float(scene.fuzz[i]), 4),
+                "ior": round(float(scene.ior[i]), 4),
+                "light": round(float(scene.light[i]), 4),
             })
         return {
             "metrics": rl.metrics.snapshot(),
@@ -222,11 +256,18 @@ class ViewerServer:
             i, field, value = int(data["id"]), data["field"], data["value"]
             if field == "radius":
                 scene.update(i, size=(float(value), float(value)))
+            elif field == "width":
+                scene.update(i, size=(float(value), float(scene.size[i][1])))
+            elif field == "height":
+                scene.update(i, size=(float(scene.size[i][0]), float(value)))
             elif field in ("mat", "material"):
                 scene.update(i, mat_type=_MAT_IDS[value])
             elif field in ("tex", "texture"):
                 # TextureNode combo switch (CudaLayer.cpp:806-872)
                 scene.update(i, tex_type=_TEX_IDS[value])
+            elif field == "fuzz":
+                # reference Metal ctor clamps fuzz to [0, 1] (Material.cuh:70)
+                scene.update(i, fuzz=min(1.0, max(0.0, float(value))))
             else:
                 scene.update(i, **{field: value})
             rtlog.rt_info("Updated hittable %d: %s", i, field)

@@ -164,3 +164,46 @@ def test_numeric_camera_edit(served):
     # camera edit resets accumulation
     app.run(max_frames=1)
     assert app.render_layer._spp_done == 1
+
+
+def test_widget_ui_page(served):
+    """The page must carry real widget editors (the reference's drag
+    editors, combos, color pickers, sliders — CudaLayer.cpp:470-686,
+    719-872) instead of prompt() dialogs."""
+    app, server, port = served
+    page = get(port, "/").decode()
+    assert "prompt(" not in page
+    for marker in ("type=color", "type=range", "primPanel", "cyaw", "cpitch",
+                   "addtype", "addmat", "upd("):
+        assert marker in page, marker
+
+
+def test_widget_edit_fields(served):
+    """Per-field editing the widget panels post: width/height components,
+    fuzz clamp (Material.cuh:70), material/texture combos, albedo picker."""
+    app, server, port = served
+    rl = app.render_layer
+    scene = rl.scene
+    i = int(scene.active_indices()[0])
+    post(port, "/edit", {"op": "update", "id": i, "field": "width", "value": 7.5})
+    post(port, "/edit", {"op": "update", "id": i, "field": "height", "value": 2.5})
+    assert tuple(scene.size[i][:2]) == (7.5, 2.5)
+    post(port, "/edit", {"op": "update", "id": i, "field": "fuzz", "value": 3.0})
+    assert scene.fuzz[i] == 1.0  # clamped like the reference Metal ctor
+    post(port, "/edit", {"op": "update", "id": i, "field": "mat", "value": "metal"})
+    post(port, "/edit", {"op": "update", "id": i, "field": "albedo",
+                         "value": [0.25, 0.5, 0.75]})
+    assert np.allclose(scene.albedo[i], [0.25, 0.5, 0.75])
+    s = json.loads(get(port, "/state"))
+    me = [p for p in s["scene"] if p["id"] == i][0]
+    assert me["mat"] == "metal" and me["albedo"] == [0.25, 0.5, 0.75]
+    assert "albedo2" in me
+
+
+def test_camera_yaw_pitch_fields(served):
+    app, server, port = served
+    rl = app.render_layer
+    post(port, "/options", {"camera": {"yaw": 45.0, "pitch": 95.0, "fov": 30.0}})
+    assert rl.fly.yaw == 45.0
+    assert rl.fly.pitch == 89.0  # clamped (Camera.cpp pitch clamp)
+    assert rl.fly.fov_deg == 30.0
