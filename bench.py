@@ -23,6 +23,111 @@ import time
 NOMINAL_BASELINE_MRAYS = 100.0
 
 
+def bench_multichip(args):
+    """Sharded-megakernel frame over an N-device (rows x samples) mesh.
+
+    Self-provisions a virtual CPU mesh (interpret-mode kernels) when the
+    platform has fewer devices, so the multi-chip measurement path exists
+    before real multi-chip hardware does; on a real N-chip TPU the same
+    code runs the compiled kernel and the numbers become the headline.
+    Prints one JSON line: per-frame wall time, per-band resolution, and
+    statistical agreement with the single-device render.
+    """
+    from __graft_entry__ import _provision_devices
+
+    n = args.multichip
+    devices = _provision_devices(n)
+    on_cpu = devices[0].platform == "cpu"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cudaraytracer_tpu.models import scenes
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+    from cudaraytracer_tpu.parallel import make_mesh, render_sharded_pallas
+
+    n_samples = 2 if n % 2 == 0 and n >= 2 else 1
+    n_rows = n // n_samples
+    mesh = make_mesh(n_rows=n_rows, n_samples=n_samples, devices=devices)
+
+    # interpret-mode CPU kernels are slow: shrink the workload accordingly
+    W = 128 if on_cpu else args.width
+    H = (16 * n_rows) if on_cpu else args.height
+    depth = 3 if on_cpu else args.depth
+    tile_w = 128 if on_cpu else 256
+
+    scene = scenes.rtow_final_scene()
+    sd = scene.device()
+    cam = scenes.rtow_final_camera()
+    t = pack_scene_tables(scene)
+    tables = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+
+    def frame(seed):
+        return render_sharded_pallas(
+            tables, t.n_super, cam_vec, seed, depth,
+            width=W, height=H, mesh=mesh, camera_model="look_at",
+            tile_h=16, tile_w=tile_w,
+        )
+
+    def run(seed):
+        if on_cpu:
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                return frame(seed)
+        return frame(seed)
+
+    t0 = time.perf_counter()
+    out = run(7)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = run(8)
+    ref = np.asarray(out) / n_samples  # sample streams summed over the mesh
+    frame_s = time.perf_counter() - t0
+
+    # single-device reference for statistical agreement
+    def single_frame():
+        return pallas_render_sample(
+            *tables, t.n_super, cam_vec, 9, depth,
+            width=W, height=H, camera_model="look_at",
+            tile_h=16, tile_w=tile_w,
+        )
+
+    if on_cpu:
+        # plain interpret=True can't lower TPU prims (prng_seed); the
+        # interpret MODE runs them on CPU (CLAUDE.md Mosaic notes)
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            single = single_frame()
+    else:
+        single = single_frame()
+    single = np.asarray(single)[:H, :W]
+    blocks = lambda a: a.reshape(H // 16, 16, W // 16, 16, 3).mean((1, 3))
+    block_err = float(np.abs(blocks(ref) - blocks(single)).max())
+
+    result = {
+        "metric": f"multichip sharded megakernel {W}x{H} depth{depth} "
+                  f"mesh {n_rows}x{n_samples} ({devices[0].platform})",
+        "value": round(frame_s * 1000.0, 2),
+        "unit": "ms/frame",
+        "vs_baseline": 0.0,
+        "n_devices": n,
+        "mesh": {"rows": n_rows, "samples": n_samples},
+        "band_rows": H // n_rows,
+        "block_err_vs_single": round(block_err, 4),
+        "finite": bool(np.isfinite(ref).all()),
+        "compile_s": round(compile_s, 1),
+        "interpret": on_cpu,
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--width", type=int, default=1280)
@@ -40,7 +145,14 @@ def main():
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
                         "0 disables for exact reference-estimator parity")
+    p.add_argument("--multichip", type=int, default=0, metavar="N",
+                   help="run the sharded megakernel over an N-device mesh "
+                        "(virtual CPU mesh when the platform is smaller; "
+                        "the measurement path for real multi-chip hardware)")
     args = p.parse_args()
+
+    if args.multichip:
+        return bench_multichip(args)
 
     import jax
 
@@ -79,13 +191,11 @@ def main():
                 acc = r if acc is None else acc + r
             return acc
 
-        probe, nprobe = jax.jit(
-            lambda k: render_radiance(
-                sd, cam, k, args.spp, args.depth, width=args.width // 4,
-                height=args.height // 4, camera_model=camera_model,
-                with_stats=True)
-        )(key)
-        rays_per_frame = float(nprobe) * 16.0
+        # rays counted in-path by the wavefront loop (exact, not estimated)
+        _, nprobe = wr.render(cam, jax.random.fold_in(key, 9),
+                              spp=args.spp, max_depth=args.depth,
+                              with_stats=True)
+        rays_per_frame = float(nprobe)
     elif accel == "pallas":
         from cudaraytracer_tpu.ops.pallas.render_kernel import (
             pack_camera, pack_scene_tables, pallas_render_sample)

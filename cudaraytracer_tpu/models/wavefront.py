@@ -106,8 +106,10 @@ def render_wavefront_sample(
     has_rects: bool = True,
     sort: bool = True,
     interpret: bool = False,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
-    """One 1-spp radiance sample, f32[H,W,3]."""
+    """One 1-spp radiance sample, f32[H,W,3] (with ``with_stats``, also the
+    exact number of live rays traced — counted in-path, not estimated)."""
     npix = width * height
     r = -(-npix // TILE) * TILE  # pad the wavefront to whole tiles
     max_depth = jnp.asarray(max_depth, jnp.int32)
@@ -126,7 +128,8 @@ def render_wavefront_sample(
         return (st[0] < max_depth) & (st[7] > 0)
 
     def body(st):
-        bounce, org, dirn, tp, rad, alive, pix, _ = st
+        bounce, org, dirn, tp, rad, alive, pix, _, rays_total = st
+        rays_total = rays_total + jnp.sum(alive, dtype=jnp.float32)
 
         if sort:
             order = jnp.argsort(_sort_keys(org, dirn, alive, tables))
@@ -181,20 +184,23 @@ def render_wavefront_sample(
         tp = jnp.where(cont[:, None], tp * sc.attenuation, tp)
 
         return (bounce + 1, org, dirn, tp, rad, cont, pix,
-                jnp.sum(cont, dtype=jnp.int32))
+                jnp.sum(cont, dtype=jnp.int32), rays_total)
 
     init = (
         jnp.int32(0), org, dirn,
         jnp.ones((r, 3), jnp.float32), jnp.zeros((r, 3), jnp.float32),
-        alive, pix, jnp.sum(alive, dtype=jnp.int32),
+        alive, pix, jnp.sum(alive, dtype=jnp.int32), jnp.float32(0.0),
     )
-    _, _, _, _, rad, _, pix, _ = lax.while_loop(cond, body, init)
+    _, _, _, _, rad, _, pix, _, rays_total = lax.while_loop(cond, body, init)
 
     # un-permute: scatter per-ray radiance back to pixel order
     img = jnp.zeros((npix, 3), jnp.float32).at[jnp.clip(pix, 0, npix - 1)].add(
         jnp.where((pix < npix)[:, None], rad, 0.0)
     )
-    return img.reshape(height, width, 3)
+    img = img.reshape(height, width, 3)
+    if with_stats:
+        return img, rays_total
+    return img
 
 
 class WavefrontRenderer:
@@ -225,6 +231,7 @@ class WavefrontRenderer:
                 width=self.width, height=self.height,
                 camera_model=self.camera_model, t_min=self.t_min,
                 has_rects=has_rects, sort=self.sort, interpret=self.interpret,
+                with_stats=True,
             )
 
         self._sample = _sample
@@ -233,12 +240,18 @@ class WavefrontRenderer:
         self.tables, self.n_super, self.has_rects = pack_wavefront_tables(scene)
         self.scene_data = scene.device()
 
-    def render(self, cam, key, spp=1, max_depth=12):
-        """Radiance SUM over spp samples, f32[H,W,3]."""
+    def render(self, cam, key, spp=1, max_depth=12, with_stats: bool = False):
+        """Radiance SUM over spp samples, f32[H,W,3]; with ``with_stats``
+        also the exact ray count (in-path, not estimated)."""
         acc = jnp.zeros((self.height, self.width, 3), jnp.float32)
+        rays = jnp.float32(0.0)
         for s in range(int(spp)):
-            acc = acc + self._sample(
+            img, n = self._sample(
                 self.scene_data, self.tables, cam, rngu.frame_key(key, s),
                 max_depth, n_super=self.n_super, has_rects=self.has_rects,
             )
+            acc = acc + img
+            rays = rays + n
+        if with_stats:
+            return acc, rays
         return acc

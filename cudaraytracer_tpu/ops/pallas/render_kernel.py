@@ -22,10 +22,12 @@ as soon as every one of its rays has terminated.
 RNG is the hardware PRNG (pltpu.prng_*), seeded per (tile, sample); the
 closed-form unit-sphere sampling matches utils/rng.py semantics.
 
-Limitation (documented): image textures are not sampled in-kernel (their
-random atlas gathers don't vectorize); scenes that use IMAGE textures
-fall back to the XLA path — constant + checker cover the reference's
-default world and the RTOW benchmark scenes.
+Image textures (Texture.cuh:70-109) use FIRST-HIT DEFERRAL: per-lane atlas
+gathers don't vectorize on the VPU, so the kernel records each path's first
+image-texture (u, v, slot), splits radiance into pre/post accumulators, and
+one XLA gather per frame applies the texel — exact for the first image hit
+on a path (the overwhelmingly common case; image prims are usually convex),
+mean-color approximate for later hits.  Requires spp=1 per launch.
 """
 
 from __future__ import annotations
@@ -43,16 +45,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 # ----------------------------------------------------------------- tables
 # Search table S: f32[16, NP] — one column per primitive (Morton-sorted).
+# S_K = |c|^2 - r^2, precomputed so the sphere quadratic needs only two
+# center dot products per primitive (origin terms hoisted per wave).
 S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
-    S_AAX, S_BAX, S_ACTIVE, S_RINV, S_UNUSED = range(16)
+    S_AAX, S_BAX, S_ACTIVE, S_RINV, S_K = range(16)
 # Payload table P: f32[8, NP] — attributes of the winning primitive, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
 #   MPARAM = fuzz|ior|light (mutually exclusive by material type, exact)
 #   PACKA/PACKB = albedo/albedo2 RGB as 8:8:8 in an exact-integer f32
-#   PACKC = mat + 4*tex + 16*ptype (small ints, exact)
-P_CX, P_CY, P_CZ, P_RINV, P_MPARAM, P_PACKA, P_PACKB, P_PACKC = range(8)
+#   PACKC = mat + 4*tex + 16*ptype + 64*(tex_id+1) (small ints, exact)
+# With image-texture support (pack_scene_tables(with_uv=True)) two extra
+# rows carry the rect half-extents for in-kernel UV computation.
+P_CX, P_CY, P_CZ, P_RINV, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, \
+    P_HA, P_HB = range(10)
 P_ROWS = 8
+P_ROWS_UV = 10
 
 CLUSTER = 8  # primitives per cluster
 SUPER = 8  # clusters per supercluster
@@ -85,12 +93,15 @@ class SceneTables(_t.NamedTuple):
     prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
 
 
-def pack_scene_tables(scene) -> SceneTables:
+def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
     """Host-side packing of the ACTIVE primitives into kernel tables.
 
     Morton-ordered and padded to a multiple of CLUSTER*SUPER.  Rebuild per
     scene edit — kilobytes of upload, no recompilation (NP is padded to the
-    scene's fixed capacity).
+    scene's fixed capacity).  ``with_uv=True`` adds the rect half-extent
+    rows for in-kernel UV computation (image-texture scenes) and packs the
+    atlas mean color as the albedo of image-textured primitives (used for
+    second-and-later image hits along a path — see _render_kernel).
     """
     from ...models.bvh import primitive_aabbs
 
@@ -103,7 +114,7 @@ def pack_scene_tables(scene) -> SceneTables:
     npad = ((cap + span - 1) // span) * span
 
     S = np.zeros((16, npad), np.float32)
-    P = np.zeros((P_ROWS, npad), np.float32)
+    P = np.zeros((P_ROWS_UV if with_uv else P_ROWS, npad), np.float32)
     # padding lanes can never hit: r^2 = -1 makes the sphere discriminant
     # strictly negative (Cauchy-Schwarz) and half-extents of -1 fail the
     # rect bounds test, so the kernel needs no per-primitive active test
@@ -111,6 +122,9 @@ def pack_scene_tables(scene) -> SceneTables:
     S[S_HA, :] = -1.0
     S[S_HB, :] = -1.0
     S[S_RINV, :] = 1.0
+    # K = |c|^2 - r^2; with r^2 = -1 and c = 0, cq = |o|^2 + 1 > (o.d)^2
+    # for unit d (Cauchy-Schwarz), so pad columns can never sphere-hit
+    S[S_K, :] = 1.0
 
     n = len(idx)
     clusters = np.zeros((7, max(1, npad // CLUSTER)), np.float32)
@@ -178,6 +192,7 @@ def pack_scene_tables(scene) -> SceneTables:
         S[S_HB, rdst] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
         S[S_ACTIVE, rdst] = 1.0
         S[S_RINV, rdst] = 1.0 / np.where(sz[:, 0] != 0, sz[:, 0], 1.0)
+        S[S_K, rdst] = (c * c).sum(1) - S[S_R2, rdst]
 
         mat = scene.mat_type[sidx].astype(np.int64)
         # one row for the material's single parameter (mutually exclusive:
@@ -191,13 +206,30 @@ def pack_scene_tables(scene) -> SceneTables:
             q = np.clip(np.rint(a * 255.0), 0, 255).astype(np.int64)
             return (q[:, 0] * 65536 + q[:, 1] * 256 + q[:, 2]).astype(np.float32)
 
-        P[P_PACKA, rdst] = pack_rgb(scene.albedo[sidx])
+        tex_t = scene.tex_type[sidx].astype(np.int64)
+        tex_id = scene.tex_id[sidx].astype(np.int64)
+        albedo = np.array(scene.albedo[sidx], np.float32)
+        if with_uv:
+            # image-textured prims carry the atlas slot's mean color as
+            # albedo: used when a path hits a SECOND image texture (only the
+            # first is sampled exactly via deferred multiply)
+            for row, (tt, tid) in enumerate(zip(tex_t, tex_id)):
+                if tt == 2 and 0 <= tid < scene.atlas.shape[0]:
+                    h, w = scene.tex_hw[tid]
+                    if h > 0 and w > 0:
+                        albedo[row] = (
+                            scene.atlas[tid, :h, :w].astype(np.float32) / 255.0
+                        ).mean((0, 1))
+        P[P_PACKA, rdst] = pack_rgb(albedo)
         P[P_PACKB, rdst] = pack_rgb(scene.albedo2[sidx])
         P[P_PACKC, rdst] = (
-            mat + 4 * scene.tex_type[sidx].astype(np.int64) + 16 * t
+            mat + 4 * tex_t + 16 * t + 64 * (np.maximum(tex_id, -1) + 1)
         ).astype(np.float32)
         P[P_CX, rdst], P[P_CY, rdst], P[P_CZ, rdst] = c.T
         P[P_RINV, rdst] = S[S_RINV, rdst]
+        if with_uv:
+            P[P_HA, rdst] = S[S_HA, rdst]
+            P[P_HB, rdst] = S[S_HB, rdst]
         prim_map[rdst] = sidx
 
         bmin = bmin0[rsel]
@@ -287,6 +319,10 @@ def hierarchical_search(
     inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    # per-wave origin terms of the sphere quadratic (hoisted out of the
+    # per-primitive loop; per prim only the two CENTER dot products remain)
+    od = ox * dx + oy * dy + oz * dz
+    oo = ox * ox + oy * oy + oz * oz
 
     def _box_any(ref, ci, best_t):
         """Does ANY lane hit box `ci` of `ref` closer than its best_t?"""
@@ -309,11 +345,14 @@ def hierarchical_search(
         return jnp.any(tfar > tnear)
 
     def _sphere_test(j, best_t):
-        # sphere quadratic (Hittable.cuh:80-110) with a == 1
+        # sphere quadratic (Hittable.cuh:80-110) with a == 1, expanded:
+        # bq = o.d - c.d, cq = o.o - 2 c.o + (|c|^2 - r^2) — the origin
+        # terms are per-wave, so each primitive costs two dot products
         cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
-        ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
-        bq = ocx * dx + ocy * dy + ocz * dz
-        cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
+        cd = cxj * dx + cyj * dy + czj * dz
+        co = cxj * ox + cyj * oy + czj * oz
+        bq = od - cd
+        cq = oo - 2.0 * co + s_ref[S_K, j]
         disc = bq * bq - cq
         # x*rsqrt(x) measured ~3% faster than sqrt(x) on v5e (same math
         # to 1 ulp; hardware rsqrt outpaces hardware sqrt)
@@ -440,6 +479,30 @@ def _u01(shape):
     return pltpu.bitcast(mant | one, jnp.float32) - 1.0
 
 
+def _atan2(y, x):
+    """Polynomial atan2 (Mosaic has no atan2 lowering): octant reduction +
+    Hastings minimax for atan on [0,1], |err| < 1.5e-4 rad — at a 512px
+    texture that is < 0.02 texel of UV error."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.maximum(mx, 1e-30)
+    s = t * t
+    r = t * (0.999866 + s * (-0.3302995 + s * (0.180141
+             + s * (-0.085133 + s * 0.0208351))))
+    r = jnp.where(ay > ax, (math.pi / 2.0) - r, r)
+    r = jnp.where(x < 0.0, math.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(x):
+    """Polynomial acos (Abramowitz-Stegun 4.4.45), |err| < 7e-5 rad."""
+    ax = jnp.abs(x)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * (
+        1.5707288 + ax * (-0.2121144 + ax * (0.074261 - 0.0187293 * ax)))
+    return jnp.where(x < 0.0, math.pi - r, r)
+
+
 def _render_kernel(
     cnt_ref,  # SMEM i32[6]: n_super, max_depth, y0, seed, stream, spp
     cam_ref,  # SMEM f32[38]
@@ -456,6 +519,7 @@ def _render_kernel(
     height: int,
     camera_model: str,
     has_rects: bool,
+    has_images: bool,
     rr_start: int,
 ):
     pi = pl.program_id(0)
@@ -550,9 +614,17 @@ def _render_kernel(
         (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 0.0, spp_f
     )
 
+    p_rows = P_ROWS_UV if has_images else P_ROWS
+
     def bounce_body(state):
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
-         rx, ry, rz, alive_f, done_f, depth_f) = state
+         rx, ry, rz, alive_f, done_f, depth_f, *img_state) = state
+        if has_images:
+            # first-image-hit deferral state (requires spp == 1):
+            # post_f flags lanes past their first image-texture hit; their
+            # radiance accumulates in rp* and is multiplied by the sampled
+            # texel in the XLA epilogue.  iu/iv/iid record the lookup.
+            post_f, iu, iv, iid, rpx, rpy, rpz = img_state
         # ---- path regeneration: a finished lane starts its next sample
         # immediately, so deep waves stay at full occupancy instead of
         # paying whole-tile vector cost for a few straggler paths ----
@@ -599,7 +671,7 @@ def _render_kernel(
             def prim_pay(j, pay):
                 m = best_j == jnp.float32(j)
                 return tuple(
-                    jnp.where(m, p_ref[k, j], pay[k]) for k in range(P_ROWS)
+                    jnp.where(m, p_ref[k, j], pay[k]) for k in range(p_rows)
                 )
 
             def run(pay):
@@ -616,14 +688,20 @@ def _render_kernel(
 
             return lax.cond(in_super, run, lambda p: p, pay)
 
-        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * P_ROWS)
+        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * p_rows)
 
         # -------- unpack the packed payload rows (once per wave) --------
         packc = pay[P_PACKC]
-        ptype16 = jnp.floor(packc * (1.0 / 16.0))
-        rem_c = packc - ptype16 * 16.0
+        tidp1 = jnp.floor(packc * (1.0 / 64.0))  # tex_id + 1 (0 = no image)
+        rem64 = packc - tidp1 * 64.0
+        ptype16 = jnp.floor(rem64 * (1.0 / 16.0))
+        rem_c = rem64 - ptype16 * 16.0
         tex = jnp.floor(rem_c * 0.25)
         mat = rem_c - tex * 4.0
+        is_lamb = mat < 0.5
+        is_metal = (mat >= 0.5) & (mat < 1.5)
+        is_diel = (mat >= 1.5) & (mat < 2.5)
+        is_light = mat >= 2.5
 
         def unpack_rgb(v):
             r = jnp.floor(v * (1.0 / 65536.0))
@@ -668,9 +746,23 @@ def _render_kernel(
         skyr = (1.0 - sky_t) * bg0[0] + sky_t * bg1[0]
         skyg = (1.0 - sky_t) * bg0[1] + sky_t * bg1[1]
         skyb = (1.0 - sky_t) * bg0[2] + sky_t * bg1[2]
-        rx = rx + jnp.where(miss, tpx * skyr, 0.0)
-        ry = ry + jnp.where(miss, tpy * skyg, 0.0)
-        rz = rz + jnp.where(miss, tpz * skyb, 0.0)
+        addx = jnp.where(miss, tpx * skyr, 0.0)
+        addy = jnp.where(miss, tpy * skyg, 0.0)
+        addz = jnp.where(miss, tpz * skyb, 0.0)
+        if has_images:
+            # a missing lane cannot be this wave's first image hit, so the
+            # carried post flag routes its sky term correctly
+            postb = post_f > 0.5
+            rx = rx + jnp.where(postb, 0.0, addx)
+            ry = ry + jnp.where(postb, 0.0, addy)
+            rz = rz + jnp.where(postb, 0.0, addz)
+            rpx = rpx + jnp.where(postb, addx, 0.0)
+            rpy = rpy + jnp.where(postb, addy, 0.0)
+            rpz = rpz + jnp.where(postb, addz, 0.0)
+        else:
+            rx = rx + addx
+            ry = ry + addy
+            rz = rz + addz
 
         # -------- texture (constant/checker, Texture.cuh:32-68) --------
         sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
@@ -679,6 +771,57 @@ def _render_kernel(
         texr = jnp.where(is_checker & ~odd, a2r, alr)
         texg = jnp.where(is_checker & ~odd, a2g, alg)
         texb = jnp.where(is_checker & ~odd, a2b, alb)
+
+        if has_images:
+            # -------- image texture (Texture.cuh:70-109), deferred --------
+            # The atlas cannot be gathered per-lane in-kernel; instead the
+            # FIRST image-texture factor along each path is deferred: the
+            # kernel records (u, v, slot), treats the albedo as white, and
+            # routes all later radiance through rp* — the XLA epilogue
+            # multiplies by the sampled texel.  Exact for paths with one
+            # image hit; later image hits use the atlas mean color packed
+            # into PACKA (dielectrics ignore textures, Material.cuh:97-146).
+            lit_i = alive & hit
+            has_data = tidp1 > 0.5
+            is_img = (tex > 1.5) & lit_i
+            first = is_img & has_data & ~(post_f > 0.5) & ~is_diel
+            # sphere UV (GetSphereUV, Hittable.cuh:119-125) from the
+            # outward unit normal (pre face-flip)
+            phi = _atan2(-snz, snx) + math.pi
+            sph_u = phi * (1.0 / (2.0 * math.pi))
+            sph_v = _acos(jnp.clip(-sny, -1.0, 1.0)) * (1.0 / math.pi)
+            if has_rects:
+                # rect UV = offset within extents along the a/b axes
+                # (Hittable.cuh:128-294); axis choice from the prim type:
+                # XY(1): a=x,b=y; XZ(2): a=x,b=z; YZ(3): a=y,b=z
+                ha = pay[P_HA]
+                hb = pay[P_HB]
+                p_a = jnp.where(ptype16 < 2.5, px, py)
+                p_b = jnp.where(ptype16 < 1.5, py, pz)
+                c_a = jnp.where(ptype16 < 2.5, pay[P_CX], pay[P_CY])
+                c_b = jnp.where(ptype16 < 1.5, pay[P_CY], pay[P_CZ])
+                rect_u = (p_a - c_a + ha) / jnp.maximum(2.0 * ha, 1e-12)
+                rect_v = (p_b - c_b + hb) / jnp.maximum(2.0 * hb, 1e-12)
+                is_sph_uv = ptype16 < 0.5
+                uu = jnp.where(is_sph_uv, sph_u, rect_u)
+                vv = jnp.where(is_sph_uv, sph_v, rect_v)
+            else:
+                uu, vv = sph_u, sph_v
+            iu = jnp.where(first, uu, iu)
+            iv = jnp.where(first, vv, iv)
+            iid = jnp.where(first, tidp1 - 1.0, iid)
+            post_f = jnp.where(first, 1.0, post_f)
+            # image albedo: white at the deferred first hit, atlas mean
+            # color later; cyan when the slot is empty (Texture.cuh:88-89)
+            imr = jnp.where(first, 1.0, alr)
+            img_g = jnp.where(first, 1.0, alg)
+            imb = jnp.where(first, 1.0, alb)
+            imr = jnp.where(has_data, imr, 0.0)
+            img_g = jnp.where(has_data, img_g, 1.0)
+            imb = jnp.where(has_data, imb, 1.0)
+            texr = jnp.where(is_img, imr, texr)
+            texg = jnp.where(is_img, img_g, texg)
+            texb = jnp.where(is_img, imb, texb)
 
         # -------- scatter (Material.cuh:34-177) --------
         u_sel = _u01(shape)
@@ -693,11 +836,6 @@ def _render_kernel(
         sx = rs * jnp.cos(phs) * scale
         sy = rs * jnp.sin(phs) * scale
         sz_ = zs * scale
-
-        is_lamb = mat < 0.5
-        is_metal = (mat >= 0.5) & (mat < 1.5)
-        is_diel = (mat >= 1.5) & (mat < 2.5)
-        is_light = mat >= 2.5
 
         # lambertian: n + s
         ldx, ldy, ldz = nx + sx, ny + sy, nz + sz_
@@ -750,9 +888,23 @@ def _render_kernel(
         li = mparam
         lit = alive & hit
         emit = lit & is_light
-        rx = rx + jnp.where(emit, tpx * li * texr, 0.0)
-        ry = ry + jnp.where(emit, tpy * li * texg, 0.0)
-        rz = rz + jnp.where(emit, tpz * li * texb, 0.0)
+        emx = jnp.where(emit, tpx * li * texr, 0.0)
+        emy = jnp.where(emit, tpy * li * texg, 0.0)
+        emz = jnp.where(emit, tpz * li * texb, 0.0)
+        if has_images:
+            # post flag updated above: emission AT the first image hit is
+            # itself scaled by the texel, so it routes post
+            postb = post_f > 0.5
+            rx = rx + jnp.where(postb, 0.0, emx)
+            ry = ry + jnp.where(postb, 0.0, emy)
+            rz = rz + jnp.where(postb, 0.0, emz)
+            rpx = rpx + jnp.where(postb, emx, 0.0)
+            rpy = rpy + jnp.where(postb, emy, 0.0)
+            rpz = rpz + jnp.where(postb, emz, 0.0)
+        else:
+            rx = rx + emx
+            ry = ry + emy
+            rz = rz + emz
 
         ndx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, gdx))
         ndy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, gdy))
@@ -802,8 +954,11 @@ def _render_kernel(
         done_f = done_f + jnp.where(ended, 1.0, 0.0)
         depth_f = jnp.where(cont, depth_f + 1.0, depth_f)
 
-        return (it + 1, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
-                rx, ry, rz, jnp.where(cont, 1.0, 0.0), done_f, depth_f)
+        out = (it + 1, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
+               rx, ry, rz, jnp.where(cont, 1.0, 0.0), done_f, depth_f)
+        if has_images:
+            out = out + (post_f, iu, iv, iid, rpx, rpy, rpz)
+        return out
 
     def bounce_cond(state):
         it = state[0]
@@ -817,10 +972,20 @@ def _render_kernel(
     init = (jnp.int32(0), jnp.float32(0.0),
             zeros, zeros, zeros, zeros, zeros, ones,
             ones, ones, ones, zeros, zeros, zeros, zeros, done0, zeros)
+    if has_images:
+        init = init + (zeros, zeros, zeros, jnp.full(shape, -1.0), zeros,
+                       zeros, zeros)
     final = lax.while_loop(bounce_cond, bounce_body, init)
     out_ref[0] = final[11]
     out_ref[1] = final[12]
     out_ref[2] = final[13]
+    if has_images:
+        out_ref[3] = final[21]  # rpx
+        out_ref[4] = final[22]
+        out_ref[5] = final[23]
+        out_ref[6] = final[18]  # iu
+        out_ref[7] = final[19]  # iv
+        out_ref[8] = final[20]  # iid
     # mask write instead of .at[].set (Mosaic has no scatter)
     rr_i = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cc_i = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -851,10 +1016,21 @@ def pallas_render_sample(
     stream=0,
     spp=1,
     rr_start: int = 0,
+    atlas: jnp.ndarray | None = None,  # uint8[S,AH,AW,3] (image textures)
+    tex_hw: jnp.ndarray | None = None,  # i32[S,2]
     with_stats: bool = False,
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
+
+    When ``atlas``/``tex_hw`` are given (p_tab packed with
+    ``pack_scene_tables(with_uv=True)``) image textures are sampled via
+    first-hit deferral: the kernel records each path's first image-texture
+    (u, v, slot) and splits radiance into pre/post accumulators; one XLA
+    gather per frame applies the texel (exact nearest-neighbor semantics of
+    Texture.cuh:70-109 for the first hit; later image hits along the same
+    path use the texture's mean color).  Image mode requires ``spp == 1``
+    (the deferred multiply cannot span samples).
 
     Samples are path-regenerated in-kernel: a lane whose path terminates
     immediately starts its next sample, so the bounce waves stay at full
@@ -879,6 +1055,10 @@ def pallas_render_sample(
     assert tile_w % 128 == 0, tile_w
     assert pad_w % tile_w == 0 and pad_w >= width, (width, pad_w, tile_w)
     assert band_h % tile_h == 0, (band_h, tile_h)
+    has_images = atlas is not None
+    expect_rows = P_ROWS_UV if has_images else P_ROWS
+    assert p_tab.shape[0] == expect_rows, (p_tab.shape, has_images)
+    nchan = 9 if has_images else 3
     grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([
         jnp.asarray(n_super, jnp.int32),
@@ -891,7 +1071,8 @@ def pallas_render_sample(
     kern = functools.partial(
         _render_kernel,
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
-        camera_model=camera_model, has_rects=has_rects, rr_start=rr_start,
+        camera_model=camera_model, has_rects=has_rects,
+        has_images=has_images, rr_start=rr_start,
     )
     out = pl.pallas_call(
         kern,
@@ -908,21 +1089,39 @@ def pallas_render_sample(
         ],
         out_specs=(
             pl.BlockSpec(
-                (3, tile_h, tile_w), lambda i, j: (0, i, j),
+                (nchan, tile_h, tile_w), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             # per-tile scalar padded to the minimum (8,128) VMEM block
             pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, band_h, pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((nchan, band_h, pad_w), jnp.float32),
             jax.ShapeDtypeStruct(
                 (band_h // tile_h * 8, pad_w // tile_w * 128), jnp.float32
             ),
         ),
         interpret=interpret,
     )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
-    img = jnp.transpose(out[0], (1, 2, 0))
+    if has_images:
+        # XLA epilogue: apply the deferred first-hit texel (nearest-neighbor
+        # lookup of Texture.cuh:83-105, matching ops/textures.py)
+        pre = out[0][0:3]
+        post = out[0][3:6]
+        iu, iv, iid = out[0][6], out[0][7], out[0][8]
+        slot = jnp.maximum(iid.astype(jnp.int32), 0)
+        hw = tex_hw[slot]  # [band_h, pad_w, 2]
+        th = hw[..., 0]
+        tw = hw[..., 1]
+        uu = jnp.clip(iu, 0.0, 1.0)
+        vv = 1.0 - jnp.clip(iv, 0.0, 1.0)
+        ti = jnp.clip((uu * tw.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(tw - 1, 0))
+        tj = jnp.clip((vv * th.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(th - 1, 0))
+        texel = atlas[slot, tj, ti].astype(jnp.float32) * (1.0 / 255.0)
+        rad = pre + jnp.transpose(texel, (2, 0, 1)) * post
+        img = jnp.transpose(rad, (1, 2, 0))
+    else:
+        img = jnp.transpose(out[0], (1, 2, 0))
     if with_stats:
         return img, jnp.sum(out[1])
     return img

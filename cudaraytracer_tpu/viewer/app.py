@@ -145,7 +145,7 @@ class RenderLayer(Layer):
                 try:
                     self._pallas = _PallasPipeline(self.scene, self.cfg)
                 except Exception as e:
-                    # image textures or a non-TPU backend: fall back to the
+                    # non-TPU backend or kernel failure: fall back to the
                     # fully-featured XLA BVH path rather than dying
                     rtlog.rt_warn("pallas accel unavailable (%s); using bvh", e)
                     self.cfg.accel = "bvh"
@@ -217,7 +217,10 @@ class RenderLayer(Layer):
             elif self._pallas is not None:
                 # in-kernel path regeneration makes extra samples per launch
                 # nearly marginal-cost: render progressive_spp per frame
+                # (image-texture scenes render 1 spp per launch)
                 batch = max(1, int(getattr(cfg, "progressive_spp", 1)))
+                if self._pallas.has_images:
+                    batch = 1
                 self._accum = self._pallas.accumulate(
                     cam, self._frame_index, cfg.max_depth, self._accum, spp=batch
                 )
@@ -318,11 +321,14 @@ class _PallasPipeline:
         from ..ops.pallas.render_kernel import (
             pack_camera, pack_scene_tables, pallas_render_sample)
 
-        if (scene.tex_type[scene.active_indices()] == 2).any():
-            raise ValueError(
-                "pallas accel does not support IMAGE textures; use accel=bvh"
-            )
-        S, P, C, SC, n_super, _prim_map = pack_scene_tables(scene)
+        # image-texture scenes use first-hit deferral in-kernel (atlas
+        # sampled by an XLA epilogue) and render 1 spp per launch
+        idx0 = scene.active_indices()
+        self.has_images = bool((scene.tex_type[idx0] == 2).any())
+        S, P, C, SC, n_super, _prim_map = pack_scene_tables(
+            scene, with_uv=self.has_images)
+        atlas = jnp.asarray(scene.atlas) if self.has_images else None
+        tex_hw = jnp.asarray(scene.tex_hw) if self.has_images else None
         self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C), jnp.asarray(SC))
         self._n_super = n_super
         self._cfg = cfg
@@ -353,12 +359,15 @@ class _PallasPipeline:
                 camera_model=cfg.camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 spp=spp, rr_start=getattr(cfg, "rr_start", 0),
+                atlas=atlas, tex_hw=tex_hw,
             )
             return accum + rad[: cfg.height, : cfg.width]
 
         self._step = _step
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum, spp: int = 1):
+        if self.has_images:
+            spp = 1  # deferred texel multiply cannot span samples
         cam_vec = self._pack_camera(
             cam, self._sky, self._cfg.width, self._cfg.height, self._cfg.t_min
         )

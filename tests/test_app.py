@@ -55,17 +55,27 @@ def test_progressive_accumulation_and_reset():
 
 
 def test_pause_skips_updates():
+    """The run loop must actually idle while paused (the P-key semantics,
+    Window.h:24): frames stop advancing, and resume continues them."""
+    import threading
+    import time
+
     app = Application(small_cfg())
     rl = app.setup_default_layers()
-    app.run(max_frames=1)
+    app.run(max_frames=1)  # compile + one frame
+    app.paused = True
+    t = threading.Thread(target=app.run, daemon=True)  # live loop, no cap
+    t.start()
+    time.sleep(0.6)
+    assert rl._frame_index == 1  # the loop ran but rendered nothing
     app.toggle_pause()
-    assert app.paused
-    frames_before = rl._frame_index
-    # run loop with pause active: use a thread-free trick — pause then
-    # request frames; run() would spin forever, so call on_update directly
-    app.toggle_pause()
-    assert not app.paused
-    assert rl._frame_index == frames_before
+    deadline = time.time() + 30
+    while rl._frame_index == 1 and time.time() < deadline:
+        time.sleep(0.05)
+    assert rl._frame_index > 1  # resume renders again
+    app.running = False
+    t.join(timeout=10)
+    assert not t.is_alive()
     app.close()
 
 
@@ -198,4 +208,26 @@ def test_profiler_trace_hooks(tmp_path):
     import os
 
     assert any(os.scandir(logdir)), "profiler trace wrote nothing"
+    app.close()
+
+
+def test_pallas_accel_image_texture_no_demotion():
+    """A scene with an IMAGE texture must stay on the pallas megakernel
+    (first-hit deferral, render_kernel.py) instead of demoting the whole
+    pipeline to the slow bvh path (round-1 regression, VERDICT missing #2)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    app = Application(small_cfg(accel="pallas", width=128, height=16))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        tex = np.full((8, 8, 3), 180, np.uint8)
+        slot = rl.scene.load_image_texture(tex)
+        i = int(rl.scene.active_indices()[0])
+        rl.scene.update(i, tex_type=2, tex_id=slot)
+        app.run(max_frames=2)
+    assert rl.cfg.accel == "pallas"  # no demotion
+    assert rl._pallas is not None and rl._pallas.has_images
+    assert rl._spp_done == 2  # image mode forces 1 spp per launch
+    img = rl.framebuffer_rgba8()
+    assert img[..., :3].sum() > 0
     app.close()

@@ -103,3 +103,96 @@ def test_pallas_framing_at_non_tile_multiple():
     xb = xla.reshape(3, 8, 12, 8, 3).mean((1, 3))
     assert np.abs(pb - xb).max() < 0.3
     assert abs(pal.mean() - xla.mean()) < 0.02
+
+
+def test_pallas_image_texture_matches_xla():
+    """In-kernel image textures via first-hit deferral (render_kernel.py):
+    a two-band image-textured sphere must render like the XLA path
+    (Texture.cuh:70-109 nearest-neighbor semantics).  Interpret-mode PRNG
+    is effectively single-sample, so tolerances are MC-noise loose; the
+    tight comparison (block err < 0.025 at 64 spp) runs on real TPU."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import IMAGE, LAMBERTIAN, Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = Scene(capacity=8)
+    scene.add_xz_rect((0, -0.5, 0), 100, 100, mat_type=LAMBERTIAN,
+                      albedo=(0.5, 0.5, 0.5))
+    tex = np.zeros((32, 64, 3), np.uint8)
+    tex[:16] = (255, 40, 40)
+    tex[16:] = (40, 40, 255)
+    slot = scene.load_image_texture(tex)
+    scene.add_sphere((0, 1, -3), 1.2, mat_type=LAMBERTIAN,
+                     tex_type=IMAGE, tex_id=slot)
+    sd = scene.device()
+    cam = make_camera_params(origin=(0.0, 1.5, 3.0), forward=(0.0, -0.05, -1.0))
+    W, H, SPP, D = 96, 48, 8, 4
+    t = pack_scene_tables(scene, with_uv=True)
+    assert t.P.shape[0] == 10  # uv rows present
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    acc = 0.0
+    with pltpu.force_tpu_interpret_mode():
+        for s in range(SPP):
+            img = pallas_render_sample(
+                *tabs, t.n_super, cam_vec, 11 + s, D,
+                width=W, height=H, camera_model="look_at",
+                tile_h=16, tile_w=256, atlas=sd.atlas, tex_hw=sd.tex_hw,
+            )
+            acc = acc + img[:H, :W]
+    pal = np.asarray(acc) / SPP
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), SPP * 2, D,
+                        width=W, height=H, camera_model="look_at")
+    ) / (SPP * 2)
+    assert np.isfinite(pal).all()
+    pb = pal.reshape(6, 8, 12, 8, 3).mean((1, 3))
+    xb = xla.reshape(6, 8, 12, 8, 3).mean((1, 3))
+    assert np.abs(pb - xb).max() < 0.2
+    assert abs(pal.mean() - xla.mean()) < 0.03
+    # the texture's two bands must land on the right hemispheres:
+    # upper sphere region red-dominant, lower region blue-dominant
+    top = pal[15:24, 42:54]
+    bot = pal[28:36, 42:54]
+    assert top[..., 0].mean() > top[..., 2].mean()
+    assert bot[..., 2].mean() > bot[..., 0].mean()
+
+
+def test_look_at_camera_geometry():
+    """Geometric golden test for the look_at camera (camera.py:90-116):
+    a bright sphere at a known world position must project to the pixel
+    predicted by independent pinhole math (s = 0.5 + x/(2 d tan(fov/2) a),
+    t = 0.5 + y/(2 d tan(fov/2)); row 0 is the image top for look_at)."""
+    import math
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import DIFFUSE_LIGHT, Scene
+
+    W, H, FOV = 64, 32, 60.0
+    P = (2.0, 1.0, -10.0)
+    scene = Scene(capacity=4, background_start=(0, 0, 0),
+                  background_end=(0, 0, 0))
+    scene.add_sphere(P, 0.4, mat_type=DIFFUSE_LIGHT, albedo=(1, 1, 1),
+                     light=5.0)
+    sd = scene.device()
+    cam = make_camera_params(origin=(0.0, 0.0, 0.0), forward=(0.0, 0.0, -1.0),
+                             fov_deg=FOV)
+    img = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), 8, 2, width=W, height=H,
+                        camera_model="look_at")
+    )
+    half_h = math.tan(math.radians(FOV) / 2.0)
+    half_w = (W / H) * half_h
+    d = -P[2]
+    s = 0.5 + P[0] / (2.0 * d * half_w)
+    t = 0.5 + P[1] / (2.0 * d * half_h)
+    exp_x = s * W
+    exp_y = H - t * H  # look_at renders row 0 at the image top
+    bright = img.sum(-1)
+    cy, cx = np.unravel_index(np.argmax(bright), bright.shape)
+    assert abs(cx - exp_x) <= 2.0, (cx, exp_x)
+    assert abs(cy - exp_y) <= 2.0, (cy, exp_y)
