@@ -139,9 +139,9 @@ def main():
     p.add_argument("--accel", default="auto", choices=["auto", "brute", "bvh", "pallas", "wavefront"])
     p.add_argument("--scene", default="rtow_final")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    p.add_argument("--tile-h", dest="tile_h", type=int, default=32)
+    p.add_argument("--tile-h", dest="tile_h", type=int, default=16)
     p.add_argument("--tile-w", dest="tile_w", type=int, default=256)
-    p.add_argument("--rr-start", dest="rr_start", type=int, default=3,
+    p.add_argument("--rr-start", dest="rr_start", type=int, default=2,
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
                         "0 disables for exact reference-estimator parity")

@@ -27,9 +27,10 @@ class RenderConfig:
     #   auto = megakernel on TPU (the fast path), BVH on CPU — the benchmark
     #   and the out-of-box viewer run the same engine (VERDICT r1 weak #3)
     block: int = 64  # primitives per intersection block (brute force)
-    rr_start: int = 3  # Russian-roulette start bounce (0 = off; unbiased
+    rr_start: int = 2  # Russian-roulette start bounce (0 = off; unbiased
     #                      path termination, pallas accel only — measured
-    #                      identical means at 16 spp, BASELINE.md)
+    #                      identical means at 16 spp; rr=2 beats rr=3 on
+    #                      both ms/frame and Mrays/s with path regeneration)
     aperture: float = 0.0  # defocus-blur lens diameter (look_at camera)
     focus_dist: float = 10.0
     progressive: bool = True  # progressive accumulation vs full-spp re-render

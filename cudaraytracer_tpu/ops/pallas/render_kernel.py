@@ -62,9 +62,14 @@ P_CX, P_CY, P_CZ, P_RINV, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, \
 P_ROWS = 8
 P_ROWS_UV = 10
 
-CLUSTER = 8  # primitives per cluster
+# Measured optimum on v5e RTOW 720p depth12 (Mrays/s): the parameters
+# interact — coarser clusters cut box/cond overhead, finer tiles keep
+# culling selective.  CLUSTER sweep at tile 16x256: 8->89, 12->105,
+# 16->111, 24->106, 32->89.  Tile sweep at CLUSTER=16: 8x256->81,
+# 16x256->111, 32x256->98, 48x256->87, 16x128->86.
+CLUSTER = 16  # primitives per cluster
 SUPER = 8  # clusters per supercluster
-DEF_TILE_H = 32  # measured optimum on v5e (16: 82.2, 32: 84.2, 48: 79.1 Mrays/s)
+DEF_TILE_H = 16
 BIG = 3.0e38
 
 

@@ -342,7 +342,7 @@ class _PallasPipeline:
             background_start=jnp.asarray(scene.background_start),
             background_end=jnp.asarray(scene.background_end),
         )
-        tile_h, tile_w = 32, 256  # measured optimum on v5e (render_kernel.py)
+        tile_h, tile_w = 16, 256  # measured optimum on v5e (render_kernel.py)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
