@@ -289,7 +289,7 @@ def main():
     ms_per_frame = frame_s * 1000.0
     mrays = rays_per_frame / frame_s / 1e6
     result = {
-        "metric": f"Mrays/s RTOW final {args.width}x{args.height} "
+        "metric": f"Mrays/s {args.scene} {args.width}x{args.height} "
                   f"{args.spp}spp depth{args.depth} ({accel}, {jax.default_backend()})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
