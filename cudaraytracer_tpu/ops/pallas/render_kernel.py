@@ -55,12 +55,16 @@ S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
 #   MPARAM = fuzz|ior|light (mutually exclusive by material type, exact)
 #   PACKA/PACKB = albedo/albedo2 RGB as 8:8:8 in an exact-integer f32
 #   PACKC = mat + 4*tex + 16*ptype + 64*(tex_id+1) (small ints, exact)
+# No radius row: the sphere normal is normalize(p - c), identical to
+# (p - c)/r at the hit point — one rsqrt per wave instead of a payload row
+# (payload reconstruction costs one select PER ROW per prim of every
+# entered cluster, measured at 34% of frame time at 8 rows).
 # With image-texture support (pack_scene_tables(with_uv=True)) two extra
 # rows carry the rect half-extents for in-kernel UV computation.
-P_CX, P_CY, P_CZ, P_RINV, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, \
-    P_HA, P_HB = range(10)
-P_ROWS = 8
-P_ROWS_UV = 10
+P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, \
+    P_HA, P_HB = range(9)
+P_ROWS = 7
+P_ROWS_UV = 9
 
 # Measured optimum on v5e RTOW 720p depth12 (Mrays/s): the parameters
 # interact — coarser clusters cut box/cond overhead, finer tiles keep
@@ -231,7 +235,6 @@ def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
             mat + 4 * tex_t + 16 * t + 64 * (np.maximum(tex_id, -1) + 1)
         ).astype(np.float32)
         P[P_CX, rdst], P[P_CY, rdst], P[P_CZ, rdst] = c.T
-        P[P_RINV, rdst] = S[S_RINV, rdst]
         if with_uv:
             P[P_HA, rdst] = S[S_HA, rdst]
             P[P_HB, rdst] = S[S_HB, rdst]
@@ -724,10 +727,14 @@ def _render_kernel(
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
-        rinv = pay[P_RINV]
-        snx = (px - pay[P_CX]) * rinv
-        sny = (py - pay[P_CY]) * rinv
-        snz = (pz - pay[P_CZ]) * rinv
+        # unit outward normal = normalize(p - c) == (p - c)/r at the hit
+        ncx = px - pay[P_CX]
+        ncy = py - pay[P_CY]
+        ncz = pz - pay[P_CZ]
+        rinv = lax.rsqrt(jnp.maximum(ncx * ncx + ncy * ncy + ncz * ncz, 1e-20))
+        snx = ncx * rinv
+        sny = ncy * rinv
+        snz = ncz * rinv
         if has_rects:
             is_sphere = ptype16 < 0.5
             # rect outward normal = one-hot(k axis); SetFaceNormal flip
