@@ -131,8 +131,10 @@ def test_pallas_image_texture_matches_xla():
     sd = scene.device()
     cam = make_camera_params(origin=(0.0, 1.5, 3.0), forward=(0.0, -0.05, -1.0))
     W, H, SPP, D = 96, 48, 8, 4
+    from cudaraytracer_tpu.ops.pallas.render_kernel import P_ROWS_UV
+
     t = pack_scene_tables(scene, with_uv=True)
-    assert t.P.shape[0] == 10  # uv rows present
+    assert t.P.shape[0] == P_ROWS_UV  # uv rows present
     tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
     cam_vec = pack_camera(cam, sd, W, H, 1e-3)
     acc = 0.0
