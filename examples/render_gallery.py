@@ -45,15 +45,35 @@ def main():
     }
     import numpy as np
 
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     for name, (cam_model, _) in jobs.items():
         make_scene, make_cam = scenes.SCENES[name]
         scene = make_scene()
         cam = make_cam()
-        r = Renderer(args.width, args.height, camera_model=cam_model)
-        bvh = build_bvh(scene)
+        sd = scene.device()
         t0 = time.perf_counter()
-        rad = r.render(scene.device(), cam, rngu.base_key(), spp=args.spp,
-                       max_depth=args.depth, bvh=bvh)
+        if on_tpu:
+            # the fast path: Pallas megakernel, all spp in one launch
+            from cudaraytracer_tpu.ops.pallas.render_kernel import (
+                pack_camera, pack_scene_tables, pallas_render_sample)
+
+            t = pack_scene_tables(scene)
+            import jax.numpy as jnp
+
+            tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+            cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
+            rad = pallas_render_sample(
+                *tabs, t.n_super, cam_vec, 7, args.depth,
+                width=args.width, height=args.height, camera_model=cam_model,
+                spp=args.spp, rr_start=2,
+            )[: args.height, : args.width]
+        else:
+            r = Renderer(args.width, args.height, camera_model=cam_model)
+            bvh = build_bvh(scene)
+            rad = r.render(sd, cam, rngu.base_key(), spp=args.spp,
+                           max_depth=args.depth, bvh=bvh)
         img = np.asarray(pack_rgba8(rad, args.spp))
         dt = time.perf_counter() - t0
         path = os.path.join(outdir, f"{name}.png")
