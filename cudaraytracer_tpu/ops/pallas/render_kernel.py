@@ -67,12 +67,14 @@ P_ROWS = 7
 P_ROWS_UV = 9
 
 # Measured optimum on v5e RTOW 720p depth12 (Mrays/s): the parameters
-# interact — coarser clusters cut box/cond overhead, finer tiles keep
-# culling selective.  CLUSTER sweep at tile 16x256: 8->89, 12->105,
-# 16->111, 24->106, 32->89.  Tile sweep at CLUSTER=16: 8x256->81,
-# 16x256->111, 32x256->98, 48x256->87, 16x128->86.
+# interact — coarser clusters cut box/cond overhead, finer tiles and
+# finer superclusters keep culling selective.  CLUSTER sweep at tile
+# 16x256: 8->89, 12->105, 16->111, 24->106, 32->89 (SUPER=8); tile sweep
+# at CLUSTER=16: 8x256->81, 16x256->111, 32x256->98, 48x256->87,
+# 16x128->86; SUPER sweep at CLUSTER=16/tile16: 2->107, 4->118, 8->114,
+# 16->111; CLUSTER=20/SUPER=4: 112.
 CLUSTER = 16  # primitives per cluster
-SUPER = 8  # clusters per supercluster
+SUPER = 4  # clusters per supercluster
 DEF_TILE_H = 16
 BIG = 3.0e38
 

@@ -231,3 +231,28 @@ def test_pallas_accel_image_texture_no_demotion():
     img = rl.framebuffer_rgba8()
     assert img[..., :3].sum() > 0
     app.close()
+
+
+def test_pallas_scene_growth():
+    """Slab growth (the reference's alloc-copy-swap, CudaLayer.cpp:1131-1150)
+    must carry the pallas pipeline through a capacity change: the packed
+    tables change shape (one recompile), rendering continues on pallas."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.scene import LAMBERTIAN, Scene
+
+    scene = Scene(capacity=4)
+    scene.add_xz_rect((0, -0.5, 0), 50, 50, mat_type=LAMBERTIAN)
+    app = Application(small_cfg(accel="pallas", width=128, height=16))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        rl.scene = scene
+        rl._scene_version = -1
+        app.run(max_frames=1)
+        for i in range(6):  # exceeds capacity 4 -> growth
+            rl.scene.add_sphere((i * 0.3, 0.6, -2.0), 0.2, mat_type=LAMBERTIAN)
+        app.run(max_frames=1)
+    assert rl.scene.capacity > 4 and rl.scene.num_active == 7
+    assert rl.cfg.accel == "pallas"
+    assert rl.framebuffer_rgba8()[..., :3].sum() > 0
+    app.close()
