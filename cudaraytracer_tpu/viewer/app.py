@@ -294,15 +294,19 @@ class RenderLayer(Layer):
                       path, self._spp_done)
 
     # -------------------------------------------------------- output
-    def framebuffer_rgba8(self) -> np.ndarray:
-        """uint8[H,W,4], display-oriented (row 0 = top).
+    def framebuffer_rgba8(self, scale: int = 1) -> np.ndarray:
+        """uint8[H/scale,W/scale,4], display-oriented (row 0 = top).
 
         The two_plane camera renders in the reference's GL convention
         (row 0 = bottom) and is flipped at display time like the
         reference's uv blit (CudaLayer.cpp:402); look_at renders row 0 =
-        top already."""
+        top already.  ``scale`` downsamples ON DEVICE before the host
+        transfer — remote/tunneled links pay scale^2 less bandwidth."""
         spp = max(self._spp_done, 1)
-        img = np.asarray(to_rgba8(tonemap(self._accum, spp)))
+        acc = self._accum
+        if scale > 1:
+            acc = acc[:: int(scale), :: int(scale)]
+        img = np.asarray(to_rgba8(tonemap(acc, spp)))
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
     def display_float(self) -> np.ndarray:

@@ -338,13 +338,22 @@ class ViewerServer:
         rtlog.rt_info("Loaded %dx%d image texture into slot %d (hittable %d)",
                       img.width, img.height, slot, prim_id)
 
-    def frame_png(self) -> bytes:
+    def frame_png(self, scale: int = 1) -> bytes:
+        """Encode the current framebuffer; cached per (spp, scale) so
+        repeated polls between progressive frames cost no device pull."""
         from PIL import Image
 
-        img = self.app.render_layer.framebuffer_rgba8()
+        rl = self.app.render_layer
+        key = (rl._spp_done, rl._frame_index, int(scale))
+        cached = getattr(self, "_png_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        img = rl.framebuffer_rgba8(scale=int(scale))
         buf = io.BytesIO()
         Image.fromarray(img, "RGBA").save(buf, "PNG")
-        return buf.getvalue()
+        data = buf.getvalue()
+        self._png_cache = (key, data)
+        return data
 
     # ------------------------------------------------------------ server
     def make_handler(self):
@@ -364,7 +373,11 @@ class ViewerServer:
             def do_GET(self):
                 try:
                     if self.path.startswith("/frame.png"):
-                        self._send(200, viewer.frame_png(), "image/png")
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        scale = max(1, int(q.get("scale", ["1"])[0]))
+                        self._send(200, viewer.frame_png(scale), "image/png")
                     elif self.path.startswith("/state"):
                         self._send(200, json.dumps(viewer.state_json()).encode(), "application/json")
                     else:

@@ -207,3 +207,17 @@ def test_camera_yaw_pitch_fields(served):
     assert rl.fly.yaw == 45.0
     assert rl.fly.pitch == 89.0  # clamped (Camera.cpp pitch clamp)
     assert rl.fly.fov_deg == 30.0
+
+
+def test_frame_scale_and_cache(served):
+    app, server, port = served
+    full = get(port, "/frame.png")
+    small = get(port, "/frame.png?scale=2")
+    from PIL import Image
+    import io as _io
+
+    wf, hf = Image.open(_io.BytesIO(full)).size
+    ws, hs = Image.open(_io.BytesIO(small)).size
+    assert (ws, hs) == (-(-wf // 2), -(-hf // 2))
+    # identical request between frames is served from the cache
+    assert get(port, "/frame.png?scale=2") == small
