@@ -36,7 +36,7 @@ def main():
     from cudaraytracer_tpu.viewer.app import Application
 
     cfg = RenderConfig(width=args.width, height=args.height, scene="default",
-                       accel="bvh", max_depth=6, progressive=True)
+                       accel="auto", max_depth=6, progressive=True)
     app = Application(cfg)
     rl = app.setup_default_layers()
 
