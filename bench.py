@@ -52,9 +52,11 @@ def bench_multichip(args):
     n_rows = n // n_samples
     mesh = make_mesh(n_rows=n_rows, n_samples=n_samples, devices=devices)
 
-    # interpret-mode CPU kernels are slow: shrink the workload accordingly
+    # interpret-mode CPU kernels are slow: shrink the workload accordingly;
+    # on real hardware, round the height down to a band multiple
     W = 128 if on_cpu else args.width
-    H = (16 * n_rows) if on_cpu else args.height
+    band = 16 * n_rows
+    H = band if on_cpu else max(band, args.height // band * band)
     depth = 3 if on_cpu else args.depth
     tile_w = 128 if on_cpu else 256
 

@@ -45,16 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 # ----------------------------------------------------------------- tables
 # Search table S: f32[16, NP] — one column per primitive (Morton-sorted).
-# S_K = |c|^2 - r^2, precomputed so the sphere quadratic needs only two
-# center dot products per primitive (origin terms hoisted per wave).
 S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
-    S_AAX, S_BAX, S_ACTIVE, S_RINV, S_K = range(16)
-# Payload table P: f32[8, NP] — attributes of the winning primitive, packed
+    S_AAX, S_BAX, S_ACTIVE, S_RINV, S_UNUSED = range(16)
+# Payload table P: f32[P_ROWS, NP] — winning-primitive attributes, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
 #   MPARAM = fuzz|ior|light (mutually exclusive by material type, exact)
 #   PACKA/PACKB = albedo/albedo2 RGB as 8:8:8 in an exact-integer f32
-#   PACKC = mat + 4*tex + 16*ptype + 64*(tex_id+1) (small ints, exact)
+#   PACKC = mat + 4*tex + 16*ptype + 64*neg_r + 128*(tex_id+1) (exact
+#   small ints; neg_r carries the sphere-radius sign for the hollow-glass
+#   idiom — the normal is (p-c)/r with SIGNED r, Hittable.cuh:96)
 # No radius row: the sphere normal is normalize(p - c), identical to
 # (p - c)/r at the hit point — one rsqrt per wave instead of a payload row
 # (payload reconstruction costs one select PER ROW per prim of every
@@ -97,7 +97,7 @@ class SceneTables(_t.NamedTuple):
     """Packed kernel tables (NumPy, Morton-ordered, padded)."""
 
     S: "np.ndarray"  # f32[16, NP] search table
-    P: "np.ndarray"  # f32[8, NP] payload table (packed, see P_* rows)
+    P: "np.ndarray"  # f32[P_ROWS(_UV), NP] payload table (packed, see P_* rows)
     clusters: "np.ndarray"  # f32[7, NC] cluster AABBs + kind row (0 sph, 1 rect, 2 mixed)
     supers: "np.ndarray"  # f32[6, NSC] supercluster AABBs
     n_super: int
@@ -133,9 +133,6 @@ def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
     S[S_HA, :] = -1.0
     S[S_HB, :] = -1.0
     S[S_RINV, :] = 1.0
-    # K = |c|^2 - r^2; with r^2 = -1 and c = 0, cq = |o|^2 + 1 > (o.d)^2
-    # for unit d (Cauchy-Schwarz), so pad columns can never sphere-hit
-    S[S_K, :] = 1.0
 
     n = len(idx)
     clusters = np.zeros((7, max(1, npad // CLUSTER)), np.float32)
@@ -203,7 +200,6 @@ def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
         S[S_HB, rdst] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
         S[S_ACTIVE, rdst] = 1.0
         S[S_RINV, rdst] = 1.0 / np.where(sz[:, 0] != 0, sz[:, 0], 1.0)
-        S[S_K, rdst] = (c * c).sum(1) - S[S_R2, rdst]
 
         mat = scene.mat_type[sidx].astype(np.int64)
         # one row for the material's single parameter (mutually exclusive:
@@ -233,8 +229,10 @@ def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
                         ).mean((0, 1))
         P[P_PACKA, rdst] = pack_rgb(albedo)
         P[P_PACKB, rdst] = pack_rgb(scene.albedo2[sidx])
+        neg_r = (sz[:, 0] < 0).astype(np.int64)
         P[P_PACKC, rdst] = (
-            mat + 4 * tex_t + 16 * t + 64 * (np.maximum(tex_id, -1) + 1)
+            mat + 4 * tex_t + 16 * t + 64 * neg_r
+            + 128 * (np.maximum(tex_id, -1) + 1)
         ).astype(np.float32)
         P[P_CX, rdst], P[P_CY, rdst], P[P_CZ, rdst] = c.T
         if with_uv:
@@ -329,10 +327,6 @@ def hierarchical_search(
     inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-    # per-wave origin terms of the sphere quadratic (hoisted out of the
-    # per-primitive loop; per prim only the two CENTER dot products remain)
-    od = ox * dx + oy * dy + oz * dz
-    oo = ox * ox + oy * oy + oz * oz
 
     def _box_any(ref, ci, best_t):
         """Does ANY lane hit box `ci` of `ref` closer than its best_t?"""
@@ -355,14 +349,14 @@ def hierarchical_search(
         return jnp.any(tfar > tnear)
 
     def _sphere_test(j, best_t):
-        # sphere quadratic (Hittable.cuh:80-110) with a == 1, expanded:
-        # bq = o.d - c.d, cq = o.o - 2 c.o + (|c|^2 - r^2) — the origin
-        # terms are per-wave, so each primitive costs two dot products
+        # sphere quadratic (Hittable.cuh:80-110) with a == 1; the direct
+        # o-c form is f32-stable at any distance from the world origin
+        # (the expanded o.o - 2 c.o + |c|^2 form cancels catastrophically
+        # for far-away geometry, and measured no faster)
         cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
-        cd = cxj * dx + cyj * dy + czj * dz
-        co = cxj * ox + cyj * oy + czj * oz
-        bq = od - cd
-        cq = oo - 2.0 * co + s_ref[S_K, j]
+        ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
         disc = bq * bq - cq
         # x*rsqrt(x) measured ~3% faster than sqrt(x) on v5e (same math
         # to 1 ulp; hardware rsqrt outpaces hardware sqrt)
@@ -517,7 +511,7 @@ def _render_kernel(
     cnt_ref,  # SMEM i32[6]: n_super, max_depth, y0, seed, stream, spp
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
-    p_ref,  # SMEM f32[16, NP]
+    p_ref,  # SMEM f32[P_ROWS(_UV), NP] payload table
     clus_ref,  # SMEM f32[6, NC]
     super_ref,  # SMEM f32[6, NSC]
     out_ref,  # VMEM f32[3, TH, TW] block
@@ -702,8 +696,10 @@ def _render_kernel(
 
         # -------- unpack the packed payload rows (once per wave) --------
         packc = pay[P_PACKC]
-        tidp1 = jnp.floor(packc * (1.0 / 64.0))  # tex_id + 1 (0 = no image)
-        rem64 = packc - tidp1 * 64.0
+        tidp1 = jnp.floor(packc * (1.0 / 128.0))  # tex_id + 1 (0 = no image)
+        rem128 = packc - tidp1 * 128.0
+        neg_r = jnp.floor(rem128 * (1.0 / 64.0))  # 1 = negative radius
+        rem64 = rem128 - neg_r * 64.0
         ptype16 = jnp.floor(rem64 * (1.0 / 16.0))
         rem_c = rem64 - ptype16 * 16.0
         tex = jnp.floor(rem_c * 0.25)
@@ -729,11 +725,14 @@ def _render_kernel(
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
-        # unit outward normal = normalize(p - c) == (p - c)/r at the hit
+        # unit normal = normalize(p - c) * sign(r) == (p - c)/r at the hit
+        # (negative radii flip the normal inward: the hollow-glass idiom,
+        # Hittable.cuh:96 divides by the SIGNED radius)
         ncx = px - pay[P_CX]
         ncy = py - pay[P_CY]
         ncz = pz - pay[P_CZ]
         rinv = lax.rsqrt(jnp.maximum(ncx * ncx + ncy * ncy + ncz * ncz, 1e-20))
+        rinv = rinv * (1.0 - 2.0 * neg_r)
         snx = ncx * rinv
         sny = ncy * rinv
         snz = ncz * rinv
@@ -781,7 +780,7 @@ def _render_kernel(
         # -------- texture (constant/checker, Texture.cuh:32-68) --------
         sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
         odd = sines < 0.0
-        is_checker = tex > 0.5
+        is_checker = (tex > 0.5) & (tex < 1.5)
         texr = jnp.where(is_checker & ~odd, a2r, alr)
         texg = jnp.where(is_checker & ~odd, a2g, alg)
         texb = jnp.where(is_checker & ~odd, a2b, alb)
@@ -1009,7 +1008,7 @@ def _render_kernel(
 # ----------------------------------------------------------------- wrapper
 def pallas_render_sample(
     s_tab: jnp.ndarray,  # f32[16, NP]
-    p_tab: jnp.ndarray,  # f32[16, NP]
+    p_tab: jnp.ndarray,  # f32[P_ROWS(_UV), NP]
     clusters: jnp.ndarray,  # f32[6, NC]
     supers: jnp.ndarray,  # f32[6, NSC]
     n_super,  # i32 scalar
@@ -1072,6 +1071,10 @@ def pallas_render_sample(
     has_images = atlas is not None
     expect_rows = P_ROWS_UV if has_images else P_ROWS
     assert p_tab.shape[0] == expect_rows, (p_tab.shape, has_images)
+    if has_images:
+        # the deferred texel multiply cannot span samples: the first-hit
+        # state is per-sample, so image mode renders 1 spp per launch
+        spp = jnp.minimum(jnp.asarray(spp, jnp.int32), 1)
     nchan = 9 if has_images else 3
     grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([

@@ -132,6 +132,8 @@ def render_sharded_pallas(
     n_samp = mesh.shape["samples"]
     if height % (n_rows * tile_h):
         raise ValueError(f"height {height} not divisible by rows*tile_h")
+    if width % tile_w:
+        raise ValueError(f"width {width} not divisible by tile_w {tile_w}")
     band_h = height // n_rows
 
     @partial(

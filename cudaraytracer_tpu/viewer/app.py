@@ -226,11 +226,13 @@ class RenderLayer(Layer):
                 )
                 self._spp_done += batch - 1
             else:
+                batch = 1
                 self._accum = self.renderer.accumulate(
                     self._sd, cam, fkey, cfg.max_depth, self._accum, bvh=self._bvh
                 )
             self._spp_done += 1
-            rays = cfg.width * cfg.height  # primary count (lower bound)
+            # primary count (lower bound), spp-batch aware
+            rays = cfg.width * cfg.height * batch
         else:
             rad, nrays = self.renderer.render(
                 self._sd, cam, fkey, spp=cfg.spp, max_depth=cfg.max_depth,

@@ -198,3 +198,46 @@ def test_look_at_camera_geometry():
     cy, cx = np.unravel_index(np.argmax(bright), bright.shape)
     assert abs(cx - exp_x) <= 2.0, (cx, exp_x)
     assert abs(cy - exp_y) <= 2.0, (cy, exp_y)
+
+
+def test_pallas_negative_radius_hollow_glass():
+    """Negative radii flip the normal inward ((p-c)/r with SIGNED r,
+    Hittable.cuh:96) — the RTOW hollow-glass idiom.  The megakernel must
+    agree with the XLA path, which divides by the signed radius."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import DIELECTRIC, LAMBERTIAN, Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = Scene(capacity=8)
+    scene.add_xz_rect((0, -0.5, 0), 100, 100, mat_type=LAMBERTIAN,
+                      albedo=(0.8, 0.3, 0.3))
+    scene.add_sphere((0, 0.5, -2.5), 0.9, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((0, 0.5, -2.5), -0.8, mat_type=DIELECTRIC, ior=1.5)
+    sd = scene.device()
+    cam = make_camera_params(origin=(0.0, 0.6, 1.0), forward=(0.0, 0.0, -1.0))
+    W, H, SPP, D = 96, 48, 8, 8
+    t = pack_scene_tables(scene)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    acc = 0.0
+    with pltpu.force_tpu_interpret_mode():
+        for s in range(SPP):
+            acc = acc + pallas_render_sample(
+                *tabs, t.n_super, cam_vec, 3 + s, D,
+                width=W, height=H, camera_model="look_at",
+                tile_h=16, tile_w=256,
+            )[:H, :W]
+    pal = np.asarray(acc) / SPP
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), SPP * 2, D,
+                        width=W, height=H, camera_model="look_at")
+    ) / (SPP * 2)
+    assert np.isfinite(pal).all()
+    pb = pal.reshape(6, 8, 12, 8, 3).mean((1, 3))
+    xb = xla.reshape(6, 8, 12, 8, 3).mean((1, 3))
+    assert np.abs(pb - xb).max() < 0.25
+    assert abs(pal.mean() - xla.mean()) < 0.03
