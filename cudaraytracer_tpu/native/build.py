@@ -15,14 +15,15 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "bvh_builder.cpp")
+SRCS = [os.path.join(HERE, "bvh_builder.cpp"),
+        os.path.join(HERE, "table_packer.cpp")]
 LIB = os.path.join(HERE, "libcrt_native.so")
 
 
 def build(verbose: bool = True) -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", LIB, SRC,
+        "-o", LIB, *SRCS,
     ]
     if verbose:
         print(" ".join(cmd))

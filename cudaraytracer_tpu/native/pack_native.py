@@ -1,0 +1,87 @@
+"""ctypes binding for the C++ scene-table packer (table_packer.cpp).
+
+ops/pallas/render_kernel.py::pack_scene_tables calls ``pack`` here first
+and falls back to the NumPy packer when the shared library hasn't been
+compiled (python -m cudaraytracer_tpu.native.build).  The outputs are
+bit-identical to the NumPy packer (tests/test_native.py enforces it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcrt_native.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(_LIB_PATH)
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.crt_pack_tables.restype = ctypes.c_int
+        lib.crt_pack_tables.argtypes = [
+            fp, fp, ip, ip, fp, ip, ip, fp, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            fp, fp, fp, fp, ip, ip, ip,
+        ]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        return hasattr(_load(), "crt_pack_tables")
+    except (OSError, AttributeError):
+        return False
+
+
+def pack(center, size, ptype, mtype, mparam, textype, texid,
+         albedo, albedo2, bmin, bmax, slot_ids,
+         npad: int, cluster: int, super_: int, p_rows: int):
+    """Fill (S, P, clusters, supers, prim_map, n_super) for the megakernel.
+
+    All inputs are the ACTIVE-primitive arrays in scene-active order;
+    ``slot_ids`` maps row -> scene slot for prim_map.
+    """
+    lib = _load()
+    n = len(slot_ids)
+    f32 = lambda a: np.ascontiguousarray(a, np.float32)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    center, size, mparam = f32(center), f32(size), f32(mparam)
+    albedo, albedo2, bmin, bmax = f32(albedo), f32(albedo2), f32(bmin), f32(bmax)
+    ptype, mtype, textype, texid, slot_ids = map(
+        i32, (ptype, mtype, textype, texid, slot_ids))
+
+    S = np.empty((16, npad), np.float32)
+    P = np.empty((p_rows, npad), np.float32)
+    clusters = np.empty((7, npad // cluster), np.float32)
+    supers = np.empty((6, npad // (cluster * super_)), np.float32)
+    prim_map = np.empty(npad, np.int32)
+    n_super = np.zeros(1, np.int32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    rc = lib.crt_pack_tables(
+        center.ctypes.data_as(fp), size.ctypes.data_as(fp),
+        ptype.ctypes.data_as(ip), mtype.ctypes.data_as(ip),
+        mparam.ctypes.data_as(fp),
+        textype.ctypes.data_as(ip), texid.ctypes.data_as(ip),
+        albedo.ctypes.data_as(fp), albedo2.ctypes.data_as(fp),
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        n, npad, cluster, super_, p_rows,
+        S.ctypes.data_as(fp), P.ctypes.data_as(fp),
+        clusters.ctypes.data_as(fp), supers.ctypes.data_as(fp),
+        slot_ids.ctypes.data_as(ip), prim_map.ctypes.data_as(ip),
+        n_super.ctypes.data_as(ip),
+    )
+    if rc != 0:
+        raise RuntimeError(f"crt_pack_tables failed (rc={rc})")
+    return S, P, clusters, supers, int(n_super[0]), prim_map

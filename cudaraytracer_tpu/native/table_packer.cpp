@@ -1,0 +1,259 @@
+// Native scene-table packer: the host-side "scene compiler" that turns the
+// SoA scene into the Pallas megakernel's packed search/payload/cluster
+// tables (the analog of the reference's host scene build + BVH construction,
+// CudaRayTracer/src/Cuda/CudaLayer.cpp:103-362 + Hittables/Hittable.cuh:303).
+//
+// Must produce BIT-IDENTICAL output to the NumPy packer in
+// ops/pallas/render_kernel.py::_pack_scene_tables_numpy — an equivalence
+// test enforces this.  Runs on every interactive scene edit, so it is a
+// latency-sensitive runtime component.
+//
+// Build: python -m cudaraytracer_tpu.native.build  (part of libcrt_native.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr float BIG = 3.0e38f;
+
+inline uint64_t spread3(uint64_t v) {
+    v = (v | (v << 16)) & 0x30000FFull;
+    v = (v | (v << 8)) & 0x300F00Full;
+    v = (v | (v << 4)) & 0x30C30C3ull;
+    v = (v | (v << 2)) & 0x9249249ull;
+    return v;
+}
+
+inline uint64_t morton3(float x, float y, float z) {
+    auto q = [](float v) -> uint64_t {
+        long long t = (long long)(v * 1024.0f);  // trunc, like numpy astype
+        if (t < 0) t = 0;
+        if (t > 1023) t = 1023;
+        return (uint64_t)t;
+    };
+    return (spread3(q(x)) << 2) | (spread3(q(y)) << 1) | spread3(q(z));
+}
+
+// median over f32 values (np.median of a float32 array stays float32)
+float median_f32(std::vector<float> v) {
+    if (v.empty()) return 0.0f;
+    size_t m = v.size() / 2;
+    std::nth_element(v.begin(), v.begin() + m, v.end());
+    float hi = v[m];
+    if (v.size() % 2) return hi;
+    std::nth_element(v.begin(), v.begin() + m - 1, v.begin() + m);
+    float lo = v[m - 1];
+    return 0.5f * (lo + hi);
+}
+
+inline float pack_rgb(const float* a) {
+    auto q = [](float c) -> long {
+        float s = std::nearbyintf(c * 255.0f);  // rint, banker's rounding
+        if (s < 0.0f) s = 0.0f;
+        if (s > 255.0f) s = 255.0f;
+        return (long)s;
+    };
+    return (float)(q(a[0]) * 65536 + q(a[1]) * 256 + q(a[2]));
+}
+
+// S-table row indices (render_kernel.py)
+enum { S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB,
+       S_HA, S_HB, S_AAX, S_BAX, S_ACTIVE, S_RINV, S_UNUSED, S_ROWS };
+// P-table row indices
+enum { P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, P_HA, P_HB };
+
+}  // namespace
+
+extern "C" int crt_pack_tables(
+    const float* center,   // [n,3] active prims, scene order
+    const float* size,     // [n,2]
+    const int* ptype,      // [n] 0 sphere, 1 xy, 2 xz, 3 yz
+    const int* mtype,      // [n]
+    const float* mparam,   // [n] fuzz|ior|light by material (precomputed)
+    const int* textype,    // [n]
+    const int* texid,      // [n]
+    const float* albedo,   // [n,3] effective (atlas mean already applied)
+    const float* albedo2,  // [n,3]
+    const float* bmin,     // [n,3] primitive AABBs
+    const float* bmax,     // [n,3]
+    int n, int npad, int cluster, int nsuper_clusters, int p_rows,
+    float* S,              // [16, npad] out
+    float* P,              // [p_rows, npad] out
+    float* clus,           // [7, npad/cluster] out
+    float* supers,         // [6, npad/span] out
+    const int* slot_ids,   // [n] packed row -> scene slot
+    int* prim_map,         // [npad] out
+    int* out_n_super) {    // [1] out
+    const int span = cluster * nsuper_clusters;
+    if (npad % span || n > npad || cluster % 4) return -1;
+    const int nc = npad / cluster;
+    const int nsc = npad / span;
+
+    // ---- default init (pad columns can never hit) ----
+    std::memset(S, 0, sizeof(float) * S_ROWS * npad);
+    std::memset(P, 0, sizeof(float) * p_rows * npad);
+    for (int j = 0; j < npad; ++j) {
+        S[S_R2 * npad + j] = -1.0f;
+        S[S_HA * npad + j] = -1.0f;
+        S[S_HB * npad + j] = -1.0f;
+        S[S_RINV * npad + j] = 1.0f;
+        prim_map[j] = -1;
+    }
+    for (int c = 0; c < nc; ++c) {
+        for (int k = 0; k < 3; ++k) clus[k * nc + c] = BIG;
+        for (int k = 3; k < 6; ++k) clus[k * nc + c] = -BIG;
+        clus[6 * nc + c] = 0.0f;
+    }
+    for (int s2 = 0; s2 < nsc; ++s2) {
+        for (int k = 0; k < 3; ++k) supers[k * nsc + s2] = BIG;
+        for (int k = 3; k < 6; ++k) supers[k * nsc + s2] = -BIG;
+    }
+    *out_n_super = 1;
+    if (n == 0) return 0;
+
+    // ---- Morton codes over normalized AABB centroids ----
+    std::vector<float> cent(3 * n);
+    float cmin[3] = {1e30f, 1e30f, 1e30f}, cmax[3] = {-1e30f, -1e30f, -1e30f};
+    for (int i = 0; i < n; ++i)
+        for (int k = 0; k < 3; ++k) {
+            float c = 0.5f * (bmin[i * 3 + k] + bmax[i * 3 + k]);
+            cent[i * 3 + k] = c;
+            cmin[k] = std::min(cmin[k], c);
+            cmax[k] = std::max(cmax[k], c);
+        }
+    float ext[3];
+    for (int k = 0; k < 3; ++k) {
+        float e = cmax[k] - cmin[k];
+        ext[k] = e > 0.0f ? e : 1.0f;
+    }
+    std::vector<uint64_t> code(n);
+    for (int i = 0; i < n; ++i)
+        code[i] = morton3((cent[i * 3 + 0] - cmin[0]) / ext[0],
+                          (cent[i * 3 + 1] - cmin[1]) / ext[1],
+                          (cent[i * 3 + 2] - cmin[2]) / ext[2]);
+    std::vector<int> order(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int a, int b) { return code[a] < code[b]; });
+
+    // ---- segment: BIG first, then spheres, then rects (CLUSTER-aligned) --
+    std::vector<float> area(n);
+    for (int i = 0; i < n; ++i) {
+        float dx = bmax[i * 3 + 0] - bmin[i * 3 + 0];
+        float dy = bmax[i * 3 + 1] - bmin[i * 3 + 1];
+        float dz = bmax[i * 3 + 2] - bmin[i * 3 + 2];
+        area[i] = dx * dy + dy * dz + dz * dx;
+    }
+    float thresh = 50.0f * median_f32(area);
+    std::vector<int> cols;  // row index in [0,n) or -1 alignment padding
+    cols.reserve(npad);
+    for (int seg = 0; seg < 3; ++seg) {
+        for (int oi = 0; oi < n; ++oi) {
+            int i = order[oi];
+            bool big = area[i] > thresh;
+            bool rect = ptype[i] != 0;
+            bool take = seg == 0 ? big
+                      : seg == 1 ? (!big && !rect)
+                                 : (!big && rect);
+            if (take) cols.push_back(i);
+        }
+        while (cols.size() % cluster) cols.push_back(-1);
+    }
+    const int ncols = (int)cols.size();
+    if (ncols > npad) return -2;
+
+    static const int K_AX[4] = {0, 2, 1, 0};
+    static const int A_AX[4] = {0, 0, 0, 1};
+    static const int B_AX[4] = {0, 1, 2, 2};
+    static const int EA[4] = {0, 0, 0, 1};
+
+    for (int j = 0; j < ncols; ++j) {
+        int i = cols[j];
+        if (i < 0) continue;
+        int t = ptype[i];
+        const float* c = &center[i * 3];
+        float r = size[i * 2 + 0];
+        float ha = 0.5f * (EA[t] == 0 ? size[i * 2 + 0] : size[i * 2 + 1]);
+        float hb = 0.5f * (EA[t] == 0 ? size[i * 2 + 1] : size[i * 2 + 0]);
+        S[S_CX * npad + j] = c[0];
+        S[S_CY * npad + j] = c[1];
+        S[S_CZ * npad + j] = c[2];
+        S[S_R2 * npad + j] = r * r;
+        S[S_PTYPE * npad + j] = (float)t;
+        S[S_KAX * npad + j] = (float)K_AX[t];
+        S[S_AAX * npad + j] = (float)A_AX[t];
+        S[S_BAX * npad + j] = (float)B_AX[t];
+        S[S_CK * npad + j] = c[K_AX[t]];
+        S[S_CA * npad + j] = c[A_AX[t]];
+        S[S_CB * npad + j] = c[B_AX[t]];
+        S[S_HA * npad + j] = ha;
+        S[S_HB * npad + j] = hb;
+        S[S_ACTIVE * npad + j] = 1.0f;
+        S[S_RINV * npad + j] = 1.0f / (r != 0.0f ? r : 1.0f);
+
+        P[P_CX * npad + j] = c[0];
+        P[P_CY * npad + j] = c[1];
+        P[P_CZ * npad + j] = c[2];
+        P[P_MPARAM * npad + j] = mparam[i];
+        P[P_PACKA * npad + j] = pack_rgb(&albedo[i * 3]);
+        P[P_PACKB * npad + j] = pack_rgb(&albedo2[i * 3]);
+        int tid = texid[i] < -1 ? -1 : texid[i];
+        int neg = r < 0.0f ? 1 : 0;
+        P[P_PACKC * npad + j] =
+            (float)(mtype[i] + 4 * textype[i] + 16 * t + 64 * neg +
+                    128 * (tid + 1));
+        if (p_rows > P_HA) {
+            P[P_HA * npad + j] = ha;
+            P[P_HB * npad + j] = hb;
+        }
+        prim_map[j] = slot_ids[i];
+    }
+
+    // ---- cluster AABBs + kind, supercluster AABBs ----
+    int n_super = std::max(1, (ncols + span - 1) / span);
+    for (int ci = 0; ci * cluster < ncols; ++ci) {
+        bool any = false, has_sph = false, has_rect = false;
+        float lo[3] = {BIG, BIG, BIG}, hi[3] = {-BIG, -BIG, -BIG};
+        for (int j = ci * cluster; j < (ci + 1) * cluster && j < ncols; ++j) {
+            int i = cols[j];
+            if (i < 0) continue;
+            any = true;
+            (ptype[i] != 0 ? has_rect : has_sph) = true;
+            for (int k = 0; k < 3; ++k) {
+                lo[k] = std::min(lo[k], bmin[i * 3 + k]);
+                hi[k] = std::max(hi[k], bmax[i * 3 + k]);
+            }
+        }
+        if (!any) continue;
+        for (int k = 0; k < 3; ++k) {
+            clus[k * nc + ci] = lo[k];
+            clus[(k + 3) * nc + ci] = hi[k];
+        }
+        clus[6 * nc + ci] =
+            (has_sph && has_rect) ? 2.0f : (has_rect ? 1.0f : 0.0f);
+    }
+    for (int si = 0; si < n_super; ++si) {
+        bool any = false;
+        float lo[3] = {BIG, BIG, BIG}, hi[3] = {-BIG, -BIG, -BIG};
+        for (int j = si * span; j < (si + 1) * span && j < ncols; ++j) {
+            int i = cols[j];
+            if (i < 0) continue;
+            any = true;
+            for (int k = 0; k < 3; ++k) {
+                lo[k] = std::min(lo[k], bmin[i * 3 + k]);
+                hi[k] = std::max(hi[k], bmax[i * 3 + k]);
+            }
+        }
+        if (!any) continue;
+        for (int k = 0; k < 3; ++k) {
+            supers[k * nsc + si] = lo[k];
+            supers[(k + 3) * nsc + si] = hi[k];
+        }
+    }
+    *out_n_super = n_super;
+    return 0;
+}

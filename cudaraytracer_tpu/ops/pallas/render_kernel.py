@@ -104,25 +104,83 @@ class SceneTables(_t.NamedTuple):
     prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
 
 
-def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
+def _npad_for(scene) -> int:
+    span = CLUSTER * SUPER
+    # + 3*(CLUSTER-1): segment alignment padding in the worst case — each
+    # of the three segments (big, spheres, rects) pads to a CLUSTER multiple
+    cap = max(scene.capacity, span) + 3 * (CLUSTER - 1)
+    return ((cap + span - 1) // span) * span
+
+
+def _image_mean_albedo(scene, tex_t, tex_id, albedo):
+    """Replace image-textured prims' albedo with the atlas slot's mean color
+    (used for second-and-later image hits along a path, see _render_kernel).
+    Shared by the NumPy and native packers so outputs stay bit-identical."""
+    albedo = np.array(albedo, np.float32)
+    for row, (tt, tid) in enumerate(zip(tex_t, tex_id)):
+        if tt == 2 and 0 <= tid < scene.atlas.shape[0]:
+            h, w = scene.tex_hw[tid]
+            if h > 0 and w > 0:
+                albedo[row] = (
+                    scene.atlas[tid, :h, :w].astype(np.float32) / 255.0
+                ).mean((0, 1))
+    return albedo
+
+
+def pack_scene_tables(scene, with_uv: bool = False,
+                      force_numpy: bool = False) -> SceneTables:
     """Host-side packing of the ACTIVE primitives into kernel tables.
 
     Morton-ordered and padded to a multiple of CLUSTER*SUPER.  Rebuild per
     scene edit — kilobytes of upload, no recompilation (NP is padded to the
     scene's fixed capacity).  ``with_uv=True`` adds the rect half-extent
-    rows for in-kernel UV computation (image-texture scenes) and packs the
-    atlas mean color as the albedo of image-textured primitives (used for
-    second-and-later image hits along a path — see _render_kernel).
+    rows for in-kernel UV computation (image-texture scenes).
+
+    Dispatches to the native C++ packer (native/table_packer.cpp) when
+    built — this runs on every interactive edit, the reference's
+    drag-edit -> BVH-rebuild hot path (CudaLayer.cpp:484-563) — with the
+    NumPy implementation as a bit-identical fallback.
     """
+    from ...native import pack_native
+
+    if not force_numpy and pack_native.available():
+        from ...models.bvh import primitive_aabbs
+
+        idx = scene.active_indices()
+        npad = _npad_for(scene)
+        p_rows = P_ROWS_UV if with_uv else P_ROWS
+        n = len(idx)
+        if n == 0:
+            return _pack_scene_tables_numpy(scene, with_uv)
+        bmin0, bmax0 = primitive_aabbs(scene, idx)
+        mat = scene.mat_type[idx].astype(np.int64)
+        mparam = np.choose(
+            mat, [np.zeros(n), scene.fuzz[idx], scene.ior[idx],
+                  scene.light[idx]],
+        )
+        tex_t = scene.tex_type[idx].astype(np.int64)
+        tex_id = scene.tex_id[idx].astype(np.int64)
+        albedo = scene.albedo[idx]
+        if with_uv:
+            albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
+        S, P, clusters, supers, n_super, prim_map = pack_native.pack(
+            scene.center[idx], scene.size[idx], scene.prim_type[idx],
+            scene.mat_type[idx], mparam, scene.tex_type[idx],
+            scene.tex_id[idx], albedo, scene.albedo2[idx],
+            bmin0, bmax0, idx, npad, CLUSTER, SUPER, p_rows,
+        )
+        return SceneTables(S, P, clusters, supers, n_super, prim_map)
+
+    return _pack_scene_tables_numpy(scene, with_uv)
+
+
+def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
+    """Pure-NumPy packer (the reference implementation for the native one)."""
     from ...models.bvh import primitive_aabbs
 
     idx = scene.active_indices()
     span = CLUSTER * SUPER
-    # + 3*(CLUSTER-1): segment alignment padding (below) in the worst case —
-    # each of the three segments (big, spheres, rects) is padded to a
-    # CLUSTER multiple independently
-    cap = max(scene.capacity, span) + 3 * (CLUSTER - 1)
-    npad = ((cap + span - 1) // span) * span
+    npad = _npad_for(scene)
 
     S = np.zeros((16, npad), np.float32)
     P = np.zeros((P_ROWS_UV if with_uv else P_ROWS, npad), np.float32)
@@ -217,16 +275,7 @@ def pack_scene_tables(scene, with_uv: bool = False) -> SceneTables:
         tex_id = scene.tex_id[sidx].astype(np.int64)
         albedo = np.array(scene.albedo[sidx], np.float32)
         if with_uv:
-            # image-textured prims carry the atlas slot's mean color as
-            # albedo: used when a path hits a SECOND image texture (only the
-            # first is sampled exactly via deferred multiply)
-            for row, (tt, tid) in enumerate(zip(tex_t, tex_id)):
-                if tt == 2 and 0 <= tid < scene.atlas.shape[0]:
-                    h, w = scene.tex_hw[tid]
-                    if h > 0 and w > 0:
-                        albedo[row] = (
-                            scene.atlas[tid, :h, :w].astype(np.float32) / 255.0
-                        ).mean((0, 1))
+            albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
         P[P_PACKA, rdst] = pack_rgb(albedo)
         P[P_PACKB, rdst] = pack_rgb(scene.albedo2[sidx])
         neg_r = (sz[:, 0] < 0).astype(np.int64)
