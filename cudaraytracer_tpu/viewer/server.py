@@ -100,9 +100,15 @@ cv.addEventListener('wheel',e=>{wheel+=Math.sign(e.deltaY);e.preventDefault()});
 async function post(u,b){await fetch(u,{method:'POST',body:JSON.stringify(b)})}
 setInterval(()=>{if(keys.size||mdx||mdy||wheel){
  post('/input',{keys:[...keys],shift,mouse_dx:mdx,mouse_dy:mdy,scroll:-wheel});mdx=mdy=wheel=0}},33);
-async function frame(){const img=new Image();img.onload=()=>{cv.width=img.width;cv.height=img.height;
- ctx2.drawImage(img,0,0);setTimeout(frame,50)};img.onerror=()=>setTimeout(frame,500);
- img.src='/frame.png?'+Date.now()}
+let fscale=1;
+async function frame(){const t0=performance.now();const img=new Image();
+ img.onload=()=>{const dt=performance.now()-t0;
+  // adaptive downscale for slow links: keep frame fetches under ~600ms
+  if(dt>600&&fscale<8)fscale*=2;else if(dt<120&&fscale>1)fscale/=2;
+  cv.width=img.width*fscale;cv.height=img.height*fscale;
+  ctx2.imageSmoothingEnabled=false;ctx2.drawImage(img,0,0,cv.width,cv.height);
+  setTimeout(frame,50)};img.onerror=()=>setTimeout(frame,500);
+ img.src='/frame.png?scale='+fscale+'&t='+Date.now()}
 frame();
 function esc(s){return s.replace(/&/g,'&amp;').replace(/</g,'&lt;')}
 let S={scene:[]},sceneSig='';

@@ -241,3 +241,50 @@ def test_pallas_negative_radius_hollow_glass():
     xb = xla.reshape(6, 8, 12, 8, 3).mean((1, 3))
     assert np.abs(pb - xb).max() < 0.25
     assert abs(pal.mean() - xla.mean()) < 0.03
+
+
+def test_pallas_rect_image_uv_matches_xla():
+    """Rect image-texture UV (axis selection by prim type, Hittable.cuh:
+    128-294) in the megakernel's deferred path must match the XLA sampler:
+    a half-green/half-magenta XY rect keeps its halves on the right sides."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import IMAGE, LAMBERTIAN, Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = Scene(capacity=8, background_start=(0.1, 0.1, 0.1),
+                  background_end=(0.1, 0.1, 0.1))
+    tex = np.zeros((16, 32, 3), np.uint8)
+    tex[:, :16] = (40, 220, 40)
+    tex[:, 16:] = (220, 40, 220)
+    slot = scene.load_image_texture(tex)
+    scene.add_xy_rect((0, 1, -4), 4, 2, mat_type=LAMBERTIAN,
+                      tex_type=IMAGE, tex_id=slot)
+    sd = scene.device()
+    cam = make_camera_params(origin=(0.0, 1.0, 0.0), forward=(0.0, 0.0, -1.0))
+    W, H, SPP, D = 96, 48, 4, 2
+    t = pack_scene_tables(scene, with_uv=True)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    acc = 0.0
+    with pltpu.force_tpu_interpret_mode():
+        for s in range(SPP):
+            acc = acc + pallas_render_sample(
+                *tabs, t.n_super, cam_vec, 5 + s, D,
+                width=W, height=H, camera_model="look_at",
+                tile_h=16, tile_w=256, atlas=sd.atlas, tex_hw=sd.tex_hw,
+            )[:H, :W]
+    pal = np.asarray(acc) / SPP
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), SPP * 2, D,
+                        width=W, height=H, camera_model="look_at")
+    ) / (SPP * 2)
+    pb = pal.reshape(6, 8, 12, 8, 3).mean((1, 3))
+    xb = xla.reshape(6, 8, 12, 8, 3).mean((1, 3))
+    assert np.abs(pb - xb).max() < 0.1
+    lp, rp = pal[20:28, 30:44], pal[20:28, 52:66]
+    assert lp[..., 1].mean() > lp[..., 0].mean()  # left: green dominant
+    assert rp[..., 0].mean() > rp[..., 1].mean()  # right: magenta dominant
