@@ -116,6 +116,33 @@ def generate_rays_two_plane(
     return start.reshape(r, 3), dirn.reshape(r, 3)
 
 
+def look_at_frame(cam: CameraParams, aspect: float):
+    """Thin-lens frustum of the RTOW look_at camera: returns
+    (u_axis, v_axis, lower_left, horizontal, vertical).  SHARED by the XLA
+    raygen below and the megakernel's pack_camera so the two paths can
+    never drift in framing.
+
+    RTOW convention: w points backward; basis built from WORLD up, not the
+    reference's inverted camera-up uniform (which generate_rays_two_plane
+    keeps for parity).
+    """
+    half_h = jnp.tan(cam.fov / 2.0)
+    half_w = aspect * half_h
+    w = normalize(-cam.forward)
+    world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    u_axis = normalize(cross(world_up, w))
+    v_axis = cross(w, u_axis)
+    lower_left = (
+        cam.origin
+        - half_w * cam.focus_dist * u_axis
+        - half_h * cam.focus_dist * v_axis
+        - cam.focus_dist * w
+    )
+    horizontal = 2.0 * half_w * cam.focus_dist * u_axis
+    vertical = 2.0 * half_h * cam.focus_dist * v_axis
+    return u_axis, v_axis, lower_left, horizontal, vertical
+
+
 def generate_rays_look_at(
     cam: CameraParams, width: int, height: int, key: jax.Array,
     y0=0, tile_h: int | None = None,
@@ -128,32 +155,14 @@ def generate_rays_look_at(
     if tile_h is None:
         tile_h = height
     kj, ka = jax.random.split(key)
-    aspect = width / height
-    half_h = jnp.tan(cam.fov / 2.0)
-    half_w = aspect * half_h
-
-    # RTOW convention: w points backward; basis built from WORLD up, not the
-    # reference's inverted camera-up uniform (which generate_rays_two_plane
-    # keeps for parity).
-    w = normalize(-cam.forward)
-    world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    u_axis = normalize(cross(world_up, w))
-    v_axis = cross(w, u_axis)
+    u_axis, v_axis, lower_left, horizontal, vertical = look_at_frame(
+        cam, width / height)
 
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
     y = (jnp.arange(tile_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
     xi = jax.random.uniform(kj, (2, tile_h, width))
     s = (x + xi[0]) / width  # [H,W] in [0,1)
     t = (height - 1.0 - y + xi[1]) / height  # image row 0 = top of screen
-
-    lower_left = (
-        cam.origin
-        - half_w * cam.focus_dist * u_axis
-        - half_h * cam.focus_dist * v_axis
-        - cam.focus_dist * w
-    )
-    horizontal = 2.0 * half_w * cam.focus_dist * u_axis
-    vertical = 2.0 * half_h * cam.focus_dist * v_axis
 
     lens = (cam.aperture / 2.0) * rngu.in_unit_disk(ka, (tile_h, width))  # [H,W,3]
     offset = lens[..., 0:1] * u_axis + lens[..., 1:2] * v_axis

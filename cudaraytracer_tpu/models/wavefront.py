@@ -42,7 +42,7 @@ from .camera import RAY_GENERATORS
 
 class WavefrontTables(NamedTuple):
     S: jax.Array  # f32[16, NP]
-    clusters: jax.Array  # f32[6, NC]
+    clusters: jax.Array  # f32[7, NC] (rows 0-5 AABB, row 6 kind)
     supers: jax.Array  # f32[6, NSC]
     prim_map: jax.Array  # i32[NP] packed column -> scene slot
     bbox_lo: jax.Array  # f32[3] scene bounds (for origin-cell sort keys)

@@ -62,7 +62,8 @@ inline float pack_rgb(const float* a) {
 
 // S-table row indices (render_kernel.py)
 enum { S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB,
-       S_HA, S_HB, S_AAX, S_BAX, S_ACTIVE, S_RINV, S_UNUSED, S_ROWS };
+       S_HA, S_HB, S_AAX, S_BAX, S_ROWS_USED };
+constexpr int S_ROWS = 16;  // rows 13-15 spare (shape stability)
 // P-table row indices
 enum { P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, P_HA, P_HB };
 
@@ -100,18 +101,17 @@ extern "C" int crt_pack_tables(
         S[S_R2 * npad + j] = -1.0f;
         S[S_HA * npad + j] = -1.0f;
         S[S_HB * npad + j] = -1.0f;
-        S[S_RINV * npad + j] = 1.0f;
         prim_map[j] = -1;
     }
+    // degenerate point boxes at +BIG: the strict tfar > tnear slab test
+    // rejects them for every ray (an inverted box would be re-sorted by
+    // the per-axis min/max and PASS, wasting full prim loops per wave)
     for (int c = 0; c < nc; ++c) {
-        for (int k = 0; k < 3; ++k) clus[k * nc + c] = BIG;
-        for (int k = 3; k < 6; ++k) clus[k * nc + c] = -BIG;
+        for (int k = 0; k < 6; ++k) clus[k * nc + c] = BIG;
         clus[6 * nc + c] = 0.0f;
     }
-    for (int s2 = 0; s2 < nsc; ++s2) {
-        for (int k = 0; k < 3; ++k) supers[k * nsc + s2] = BIG;
-        for (int k = 3; k < 6; ++k) supers[k * nsc + s2] = -BIG;
-    }
+    for (int s2 = 0; s2 < nsc; ++s2)
+        for (int k = 0; k < 6; ++k) supers[k * nsc + s2] = BIG;
     *out_n_super = 1;
     if (n == 0) return 0;
 
@@ -192,8 +192,6 @@ extern "C" int crt_pack_tables(
         S[S_CB * npad + j] = c[B_AX[t]];
         S[S_HA * npad + j] = ha;
         S[S_HB * npad + j] = hb;
-        S[S_ACTIVE * npad + j] = 1.0f;
-        S[S_RINV * npad + j] = 1.0f / (r != 0.0f ? r : 1.0f);
 
         P[P_CX * npad + j] = c[0];
         P[P_CY * npad + j] = c[1];

@@ -38,7 +38,7 @@ def _hit_kernel(
     cnt_ref,  # SMEM i32[2]: n_super, n_alive
     fparam_ref,  # SMEM f32[1]: t_min
     s_ref,  # SMEM f32[16, NP]
-    clus_ref,  # SMEM f32[6, NC]
+    clus_ref,  # SMEM f32[7, NC] (rows 0-5 AABB, row 6 kind)
     super_ref,  # SMEM f32[6, NSC]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM (8,128) blocks
     t_ref, j_ref,  # VMEM (8,128) outputs
@@ -76,7 +76,7 @@ def _hit_kernel(
 
 def pallas_closest_hit(
     s_tab: jnp.ndarray,  # f32[16, NP]
-    clusters: jnp.ndarray,  # f32[6, NC]
+    clusters: jnp.ndarray,  # f32[7, NC]
     supers: jnp.ndarray,  # f32[6, NSC]
     n_super,  # i32 scalar
     n_alive,  # i32 scalar (rays must be compacted: live rays first)

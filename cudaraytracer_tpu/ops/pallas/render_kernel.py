@@ -45,8 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # ----------------------------------------------------------------- tables
 # Search table S: f32[16, NP] — one column per primitive (Morton-sorted).
+# Rows 13-15 are spare (padded to 16 for SMEM-friendly shape stability).
 S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
-    S_AAX, S_BAX, S_ACTIVE, S_RINV, S_UNUSED = range(16)
+    S_AAX, S_BAX = range(13)
 # Payload table P: f32[P_ROWS, NP] — winning-primitive attributes, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
@@ -112,6 +113,20 @@ def _npad_for(scene) -> int:
     return ((cap + span - 1) // span) * span
 
 
+def _valid_tex_ids(scene, tex_id):
+    """Remap out-of-range or EMPTY atlas slots to -1 so the kernel's single
+    has_data test covers them: the reference returns cyan for missing image
+    data (Texture.cuh:88-89); without the remap an unloaded slot would
+    defer and then sample a zeroed atlas (black) in the epilogue."""
+    tid = np.array(tex_id, np.int64)
+    slots = scene.atlas.shape[0]
+    bad = (tid < 0) | (tid >= slots)
+    safe = np.clip(tid, 0, slots - 1)
+    empty = (scene.tex_hw[safe, 0] <= 0) | (scene.tex_hw[safe, 1] <= 0)
+    tid[bad | empty] = -1
+    return tid
+
+
 def _image_mean_albedo(scene, tex_t, tex_id, albedo):
     """Replace image-textured prims' albedo with the atlas slot's mean color
     (used for second-and-later image hits along a path, see _render_kernel).
@@ -159,14 +174,14 @@ def pack_scene_tables(scene, with_uv: bool = False,
                   scene.light[idx]],
         )
         tex_t = scene.tex_type[idx].astype(np.int64)
-        tex_id = scene.tex_id[idx].astype(np.int64)
+        tex_id = _valid_tex_ids(scene, scene.tex_id[idx])
         albedo = scene.albedo[idx]
         if with_uv:
             albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
         S, P, clusters, supers, n_super, prim_map = pack_native.pack(
             scene.center[idx], scene.size[idx], scene.prim_type[idx],
             scene.mat_type[idx], mparam, scene.tex_type[idx],
-            scene.tex_id[idx], albedo, scene.albedo2[idx],
+            tex_id, albedo, scene.albedo2[idx],
             bmin0, bmax0, idx, npad, CLUSTER, SUPER, p_rows,
         )
         return SceneTables(S, P, clusters, supers, n_super, prim_map)
@@ -190,15 +205,15 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
     S[S_R2, :] = -1.0
     S[S_HA, :] = -1.0
     S[S_HB, :] = -1.0
-    S[S_RINV, :] = 1.0
 
     n = len(idx)
     clusters = np.zeros((7, max(1, npad // CLUSTER)), np.float32)
-    clusters[0:3, :] = BIG  # empty clusters can never be hit
-    clusters[3:6, :] = -BIG
+    # degenerate point box at +BIG: _box_any's strict tfar > tnear rejects
+    # it for every ray (an INVERTED box would be re-sorted by the slab
+    # min/max and pass, running 16 wasted prim tests per wave)
+    clusters[0:6, :] = BIG
     supers = np.zeros((6, max(1, npad // span)), np.float32)
-    supers[0:3, :] = BIG
-    supers[3:6, :] = -BIG
+    supers[0:6, :] = BIG
     prim_map = np.full(npad, -1, np.int32)
     n_super = 1
 
@@ -256,8 +271,6 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
         S[S_CB, rdst] = c[rows, b_ax]
         S[S_HA, rdst] = 0.5 * np.where(ea == 0, sz[:, 0], sz[:, 1])
         S[S_HB, rdst] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
-        S[S_ACTIVE, rdst] = 1.0
-        S[S_RINV, rdst] = 1.0 / np.where(sz[:, 0] != 0, sz[:, 0], 1.0)
 
         mat = scene.mat_type[sidx].astype(np.int64)
         # one row for the material's single parameter (mutually exclusive:
@@ -272,7 +285,7 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
             return (q[:, 0] * 65536 + q[:, 1] * 256 + q[:, 2]).astype(np.float32)
 
         tex_t = scene.tex_type[sidx].astype(np.int64)
-        tex_id = scene.tex_id[sidx].astype(np.int64)
+        tex_id = _valid_tex_ids(scene, scene.tex_id[sidx])
         albedo = np.array(scene.albedo[sidx], np.float32)
         if with_uv:
             albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
@@ -317,24 +330,15 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
 
 
 def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
-    """Flatten CameraParams + sky into the f32[32] uniform vector the kernel
-    reads from SMEM (the analog of InputStruct, SharedStructs.h:3-24)."""
+    """Flatten CameraParams + sky into the f32[38] uniform vector the kernel
+    reads from SMEM (the analog of InputStruct, SharedStructs.h:3-24).  The
+    look_at frustum comes from the SAME helper the XLA raygen uses
+    (models/camera.py::look_at_frame), so the paths cannot drift."""
+    from ...models.camera import look_at_frame
     from ...utils.vec import cross, normalize
 
-    w_axis = normalize(-cam.forward)
-    world_up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    u_axis = normalize(cross(world_up, w_axis))
-    v_axis = cross(w_axis, u_axis)
-    half_h = jnp.tan(cam.fov / 2.0)
-    half_w = (width / height) * half_h
-    lower_left = (
-        cam.origin
-        - half_w * cam.focus_dist * u_axis
-        - half_h * cam.focus_dist * v_axis
-        - cam.focus_dist * w_axis
-    )
-    horizontal = 2.0 * half_w * cam.focus_dist * u_axis
-    vertical = 2.0 * half_h * cam.focus_dist * v_axis
+    u_axis, v_axis, lower_left, horizontal, vertical = look_at_frame(
+        cam, width / height)
 
     # two-plane model vectors (reference Kernel.cu:130-148)
     right_tp = normalize(cross(cam.up, cam.forward))
@@ -561,7 +565,7 @@ def _render_kernel(
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
     p_ref,  # SMEM f32[P_ROWS(_UV), NP] payload table
-    clus_ref,  # SMEM f32[6, NC]
+    clus_ref,  # SMEM f32[7, NC] (rows 0-5 AABB, row 6 kind)
     super_ref,  # SMEM f32[6, NSC]
     out_ref,  # VMEM f32[3, TH, TW] block
     cnt_out_ref,  # VMEM f32[8, 128] block: [0,0] = rays traced by this tile
@@ -698,9 +702,6 @@ def _render_kernel(
         alive = alive_f > 0.5
         nrays = nrays + jnp.sum(alive_f)
 
-        inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-        inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-        inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
         # ray directions are kept unit length (raygen + scatter both
         # normalize), so the quadratic's a coefficient is 1: the two
         # divisions per sphere test and the |d| terms in the dielectric
@@ -1058,7 +1059,7 @@ def _render_kernel(
 def pallas_render_sample(
     s_tab: jnp.ndarray,  # f32[16, NP]
     p_tab: jnp.ndarray,  # f32[P_ROWS(_UV), NP]
-    clusters: jnp.ndarray,  # f32[6, NC]
+    clusters: jnp.ndarray,  # f32[7, NC] (rows 0-5 AABB, row 6 kind)
     supers: jnp.ndarray,  # f32[6, NSC]
     n_super,  # i32 scalar
     cam_vec: jnp.ndarray,  # f32[38]
@@ -1091,8 +1092,9 @@ def pallas_render_sample(
     (u, v, slot) and splits radiance into pre/post accumulators; one XLA
     gather per frame applies the texel (exact nearest-neighbor semantics of
     Texture.cuh:70-109 for the first hit; later image hits along the same
-    path use the texture's mean color).  Image mode requires ``spp == 1``
-    (the deferred multiply cannot span samples).
+    path use the texture's mean color).  Image mode CLAMPS spp to 1 (the
+    deferred multiply cannot span samples): callers must divide by the
+    EFFECTIVE spp, i.e. 1, when atlas is given.
 
     Samples are path-regenerated in-kernel: a lane whose path terminates
     immediately starts its next sample, so the bounce waves stay at full

@@ -55,7 +55,10 @@ def sample_texture(
     j = jnp.maximum(j, 0)
     texel = atlas[slot, j, i].astype(jnp.float32) * (1.0 / 255.0)  # [R,3]
     missing = jnp.asarray(_MISSING_IMAGE_COLOR, jnp.float32)
-    image = jnp.where((tex_id >= 0)[:, None], texel, missing[None, :])
+    # empty slots (never loaded / freed) count as missing data like the
+    # reference's nullptr check (Texture.cuh:88-89)
+    valid = (tex_id >= 0) & (h > 0) & (w > 0)
+    image = jnp.where(valid[:, None], texel, missing[None, :])
 
     out = albedo
     out = jnp.where((tex_type == CHECKER)[:, None], checker, out)
