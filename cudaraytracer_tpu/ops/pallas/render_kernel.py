@@ -366,6 +366,7 @@ def hierarchical_search(
     s_ref, clus_ref, super_ref, n_super,
     ox, oy, oz, dx, dy, dz,
     t_min, best_t0, has_rects: bool,
+    order_ref=None,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -376,6 +377,13 @@ def hierarchical_search(
     sphere quadratic).  ``best_t0`` encodes liveness: dead lanes enter with
     best_t == t_min and can never record a hit.  Returns (best_t, best_j)
     with best_j = packed primitive column as f32, -1 for miss.
+
+    ``order_ref`` (optional SMEM i32[NSC]) remaps supercluster visit order —
+    front-to-back visiting tightens best_t early so later box gates cull
+    more.  Closest-hit is visit-order independent (every accept re-checks
+    t < best_t), so any permutation returns identical results.  (Ordering
+    clusters within supers too was measured SLOWER: the per-super sort
+    costs more scalar work than 4-element segments can prune.)
     """
     inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
@@ -513,7 +521,8 @@ def hierarchical_search(
         )
         return bt, bj
 
-    def super_scan(si, carry):
+    def super_scan(k, carry):
+        si = k if order_ref is None else order_ref[k]
         best_t, _ = carry
         any_hit = _box_any(super_ref, si, best_t)
 
@@ -569,6 +578,8 @@ def _render_kernel(
     super_ref,  # SMEM f32[6, NSC]
     out_ref,  # VMEM f32[3, TH, TW] block
     cnt_out_ref,  # VMEM f32[8, 128] block: [0,0] = rays traced by this tile
+    key_ref,  # SMEM f32[NSC] scratch: per-super front-to-back sort keys
+    ord_ref,  # SMEM i32[NSC] scratch: supercluster visit order
     *,
     tile_h: int,
     tile_w: int,
@@ -708,11 +719,56 @@ def _render_kernel(
         # fold away.  Same directions, same hit points as the reference's
         # unnormalized rays — t is just measured in world units.
 
+        # -------- front-to-back supercluster order for this wave --------
+        # Sort superclusters by clamped squared distance from the mean live
+        # ray origin to their AABB (0 when the origin is inside).  Visiting
+        # near boxes first tightens best_t early, so the any() gates cull
+        # far clusters that an arbitrary (Morton) visit order would enter.
+        # Pure perf: closest-hit is visit-order independent.  All scalar
+        # SMEM work: ~n_super^2 ops per wave, negligible vs the prim loops.
+        na = 1.0 / jnp.maximum(jnp.sum(alive_f), 1.0)
+        mox = jnp.sum(ox * alive_f) * na
+        moy = jnp.sum(oy * alive_f) * na
+        moz = jnp.sum(oz * alive_f) * na
+        def fill_key(si, carry):
+            # clamped squared point-to-box distance (0 inside the box); a
+            # direction-aware key (mean-ray slab entry t) was measured
+            # SLOWER: more scalar work per super, no additional pruning
+            ax = jnp.maximum(jnp.maximum(super_ref[0, si] - mox,
+                                         mox - super_ref[3, si]), 0.0)
+            ay = jnp.maximum(jnp.maximum(super_ref[1, si] - moy,
+                                         moy - super_ref[4, si]), 0.0)
+            az = jnp.maximum(jnp.maximum(super_ref[2, si] - moz,
+                                         moz - super_ref[5, si]), 0.0)
+            key_ref[si] = ax * ax + ay * ay + az * az
+            ord_ref[si] = si
+            return carry
+
+        lax.fori_loop(0, n_super, fill_key, 0)
+
+        def sort_outer(i, carry):
+            def sort_inner(j, carry2):
+                ki = key_ref[i]
+                kj = key_ref[j]
+                oi = ord_ref[i]
+                oj = ord_ref[j]
+                sw = kj < ki
+                key_ref[i] = jnp.where(sw, kj, ki)
+                key_ref[j] = jnp.where(sw, ki, kj)
+                ord_ref[i] = jnp.where(sw, oj, oi)
+                ord_ref[j] = jnp.where(sw, oi, oj)
+                return carry2
+
+            return lax.fori_loop(i + 1, n_super, sort_inner, carry)
+
+        lax.fori_loop(0, n_super - 1, sort_outer, 0)
+
         # -------- closest hit (shared hierarchical search) --------
         best_t, best_j = hierarchical_search(
             s_ref, clus_ref, super_ref, n_super,
             ox, oy, oz, dx, dy, dz,
             t_min, jnp.where(alive, BIG, t_min), has_rects,
+            order_ref=ord_ref,
         )
         hit = best_j >= 0.0
 
@@ -1169,6 +1225,10 @@ def pallas_render_sample(
                 (band_h // tile_h * 8, pad_w // tile_w * 128), jnp.float32
             ),
         ),
+        scratch_shapes=[
+            pltpu.SMEM((supers.shape[1],), jnp.float32),
+            pltpu.SMEM((supers.shape[1],), jnp.int32),
+        ],
         interpret=interpret,
     )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
     if has_images:
