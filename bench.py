@@ -175,8 +175,8 @@ def main():
     make_scene, make_cam = scenes.SCENES[args.scene]
     scene = make_scene()
     sd = scene.device()
-    cam = make_cam() if args.scene != "rtow_final" else scenes.rtow_final_camera()
-    camera_model = "look_at" if args.scene == "rtow_final" else "two_plane"
+    cam = make_cam()
+    camera_model = "look_at" if args.scene.startswith("rtow") else "two_plane"
 
     key = rngu.base_key()
     if accel == "wavefront":
@@ -204,10 +204,15 @@ def main():
 
         import numpy as _np
 
-        S, P, C, SC, n_super, _prim_map = pack_scene_tables(scene)
+        active = _np.asarray(sd.active)
+        has_images = bool((_np.asarray(sd.tex_type)[active] == 2).any())
+        S, P, C, SC, n_super, _prim_map = pack_scene_tables(
+            scene, with_uv=has_images)
         S, P, C, SC = map(jnp.asarray, (S, P, C, SC))
+        atlas = jnp.asarray(scene.atlas) if has_images else None
+        tex_hw = jnp.asarray(scene.tex_hw) if has_images else None
         tile_h, tile_w = args.tile_h, args.tile_w
-        has_rects = bool((_np.asarray(sd.prim_type)[_np.asarray(sd.active)] != 0).any())
+        has_rects = bool((_np.asarray(sd.prim_type)[active] != 0).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -222,16 +227,32 @@ def main():
                 pad_w=wpad, band_h=hpad, camera_model=camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 spp=spp, rr_start=args.rr_start, with_stats=True,
+                atlas=atlas, tex_hw=tex_hw,
             )
 
-        def run_frame(f, nframes):
-            return step(S, P, C, SC, cam_vec, 1000 + f, nframes * args.spp)[0]
+        if has_images:
+            # image mode clamps to 1 spp per launch (first-hit deferral):
+            # a "frame batch" is nframes sequential launches; dispatches
+            # are async so the slope still cancels per-call host overhead
+            def run_frame(f, nframes):
+                acc = None
+                for s in range(nframes * args.spp):
+                    r = step(S, P, C, SC, cam_vec,
+                             1000 + f * 64 + s, 1)[0]
+                    acc = r if acc is None else acc + r
+                return acc
 
-        # rays counted by the kernel itself; slope over batch sizes so the
-        # marginal per-frame ray count matches the slope-timed frame cost
-        _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp)
-        _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp)
-        rays_per_frame = (float(n_big) - float(n_one)) / 8.0
+            _, n_one = step(S, P, C, SC, cam_vec, 999, 1)
+            rays_per_frame = float(n_one) * args.spp
+        else:
+            def run_frame(f, nframes):
+                return step(S, P, C, SC, cam_vec, 1000 + f, nframes * args.spp)[0]
+
+            # rays counted by the kernel itself; slope over batch sizes so the
+            # marginal per-frame ray count matches the slope-timed frame cost
+            _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp)
+            _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp)
+            rays_per_frame = (float(n_big) - float(n_one)) / 8.0
     else:
         hit_fn = None
         if accel == "bvh":

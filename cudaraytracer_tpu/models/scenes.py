@@ -23,6 +23,7 @@ from .scene import (
     CHECKER,
     DIELECTRIC,
     DIFFUSE_LIGHT,
+    IMAGE,
     LAMBERTIAN,
     METAL,
     Scene,
@@ -111,6 +112,44 @@ def rtow_final_camera(aperture: float = 0.1, **kw):
     )
 
 
+def procedural_globe_image(h: int = 256, w: int = 512) -> np.ndarray:
+    """Deterministic earth-like RGB test image (no image files needed):
+    latitude color bands + longitude 'continents' from low-frequency
+    sinusoids.  Used by ``rtow_image_scene`` so the image-texture render
+    path (Texture.cuh:70-109 semantics) has a first-class benchmark scene."""
+    yy = np.linspace(0.0, np.pi, h)[:, None]
+    xx = np.linspace(0.0, 2.0 * np.pi, w)[None, :]
+    land = (
+        np.sin(3.0 * xx + 1.7) * np.sin(2.0 * yy + 0.3)
+        + 0.6 * np.sin(7.0 * xx) * np.sin(5.0 * yy)
+    ) > 0.35
+    lat = np.sin(yy) * np.ones_like(xx)
+    r = np.where(land, 0.35 + 0.25 * lat, 0.05 + 0.05 * lat)
+    g = np.where(land, 0.45 + 0.30 * lat, 0.15 + 0.20 * lat)
+    b = np.where(land, 0.25 + 0.15 * lat, 0.45 + 0.35 * lat)
+    ice = np.abs(np.cos(yy)) > 0.92
+    rgb = np.stack([r, g, b], -1)
+    rgb = np.where(ice[..., None] & np.ones_like(rgb, bool), 0.9, rgb)
+    return (np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def rtow_image_scene(seed: int = 1984, capacity: int = 512) -> Scene:
+    """RTOW final scene with the big lambertian sphere image-textured
+    (a procedural globe): the benchmark workload for the megakernel's
+    first-hit-deferral image path (render_kernel.py)."""
+    scene = rtow_final_scene(seed=seed, capacity=capacity)
+    slot = scene.load_image_texture(procedural_globe_image())
+    # the big lambertian sphere at (-4, 1, 0)
+    for i in scene.active_indices():
+        if (
+            scene.prim_type[i] == 0
+            and np.allclose(scene.center[i], (-4.0, 1.0, 0.0))
+        ):
+            scene.update(i, tex_type=IMAGE, tex_id=slot)
+            break
+    return scene
+
+
 def cornell_like_scene(capacity: int = 64) -> Scene:
     """A box room from xy/xz/yz rects + an emissive ceiling light + spheres.
 
@@ -139,5 +178,6 @@ def cornell_like_camera(**kw):
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
+    "rtow_image": (rtow_image_scene, rtow_final_camera),
     "cornell": (cornell_like_scene, cornell_like_camera),
 }

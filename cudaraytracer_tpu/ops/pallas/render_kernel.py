@@ -74,7 +74,7 @@ P_ROWS_UV = 9
 # at CLUSTER=16: 8x256->81, 16x256->111, 32x256->98, 48x256->87,
 # 16x128->86; SUPER sweep at CLUSTER=16/tile16: 2->107, 4->118, 8->114,
 # 16->111; CLUSTER=20/SUPER=4: 112.
-CLUSTER = 16  # primitives per cluster
+CLUSTER = 28  # primitives per cluster
 SUPER = 4  # clusters per supercluster
 DEF_TILE_H = 16
 BIG = 3.0e38
