@@ -220,8 +220,10 @@ def main():
         @jax.jit
         def step(S, P, C, SC, cam_vec, seed, spp):
             # one launch renders all spp samples: in-kernel path regeneration
-            # keeps the bounce waves at full occupancy across samples
-            return pallas_render_sample(
+            # keeps the bounce waves at full occupancy across samples (image
+            # scenes park lanes at their first image hit and return per-pixel
+            # counts — unused here, the ray counter is exact either way)
+            out = pallas_render_sample(
                 S, P, C, SC, n_super, cam_vec, seed, args.depth,
                 width=args.width, height=args.height,
                 pad_w=wpad, band_h=hpad, camera_model=camera_model,
@@ -229,30 +231,19 @@ def main():
                 spp=spp, rr_start=args.rr_start, with_stats=True,
                 atlas=atlas, tex_hw=tex_hw,
             )
+            if has_images:
+                img, _counts, nrays = out
+                return img, nrays
+            return out
 
-        if has_images:
-            # image mode clamps to 1 spp per launch (first-hit deferral):
-            # a "frame batch" is nframes sequential launches; dispatches
-            # are async so the slope still cancels per-call host overhead
-            def run_frame(f, nframes):
-                acc = None
-                for s in range(nframes * args.spp):
-                    r = step(S, P, C, SC, cam_vec,
-                             1000 + f * 64 + s, 1)[0]
-                    acc = r if acc is None else acc + r
-                return acc
+        def run_frame(f, nframes):
+            return step(S, P, C, SC, cam_vec, 1000 + f, nframes * args.spp)[0]
 
-            _, n_one = step(S, P, C, SC, cam_vec, 999, 1)
-            rays_per_frame = float(n_one) * args.spp
-        else:
-            def run_frame(f, nframes):
-                return step(S, P, C, SC, cam_vec, 1000 + f, nframes * args.spp)[0]
-
-            # rays counted by the kernel itself; slope over batch sizes so the
-            # marginal per-frame ray count matches the slope-timed frame cost
-            _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp)
-            _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp)
-            rays_per_frame = (float(n_big) - float(n_one)) / 8.0
+        # rays counted by the kernel itself; slope over batch sizes so the
+        # marginal per-frame ray count matches the slope-timed frame cost
+        _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp)
+        _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp)
+        rays_per_frame = (float(n_big) - float(n_one)) / 8.0
     else:
         hit_fn = None
         if accel == "bvh":

@@ -27,7 +27,9 @@ gathers don't vectorize on the VPU, so the kernel records each path's first
 image-texture (u, v, slot), splits radiance into pre/post accumulators, and
 one XLA gather per frame applies the texel — exact for the first image hit
 on a path (the overwhelmingly common case; image prims are usually convex),
-mean-color approximate for later hits.  Requires spp=1 per launch.
+mean-color approximate for later hits.  Samples still batch per launch:
+lanes path-regenerate until their first image hit, then park, and the
+launch returns per-pixel sample counts (see pallas_render_sample).
 """
 
 from __future__ import annotations
@@ -698,6 +700,15 @@ def _render_kernel(
         # paying whole-tile vector cost for a few straggler paths ----
         nox, noy, noz, ndx, ndy, ndz = gen_ray()
         need = (alive_f < 0.5) & (done_f < spp_f)
+        if has_images:
+            # the deferral record (iu/iv/iid) is single-use: a lane that has
+            # recorded its first image-texture hit parks after that sample
+            # instead of regenerating.  The launch returns per-pixel sample
+            # COUNTS; the caller accumulates sums and counts and divides at
+            # display — a ratio estimator that is consistent by Wald's
+            # identity (stopping time over iid samples), so progressive
+            # accumulation converges to the exact mean.
+            need = need & ~(post_f > 0.5)
         ox = jnp.where(need, nox, ox)
         oy = jnp.where(need, noy, oy)
         oz = jnp.where(need, noz, oz)
@@ -1082,6 +1093,9 @@ def _render_kernel(
     def bounce_cond(state):
         it = state[0]
         alive_f, done_f = state[14], state[15]
+        if has_images:
+            # parked lanes (deferral record used) count as finished
+            done_f = jnp.where(state[17] > 0.5, spp_f, done_f)
         # every unfinished lane traces exactly one ray per iteration, so
         # spp*max_depth bounds the loop; the vector exit fires much earlier
         return (it < cnt_ref[5] * max_depth) & (
@@ -1105,6 +1119,7 @@ def _render_kernel(
         out_ref[6] = final[18]  # iu
         out_ref[7] = final[19]  # iv
         out_ref[8] = final[20]  # iid
+        out_ref[9] = final[15]  # per-pixel completed-sample counts
     # mask write instead of .at[].set (Mosaic has no scatter)
     rr_i = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cc_i = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -1144,13 +1159,18 @@ def pallas_render_sample(
 
     When ``atlas``/``tex_hw`` are given (p_tab packed with
     ``pack_scene_tables(with_uv=True)``) image textures are sampled via
-    first-hit deferral: the kernel records each path's first image-texture
+    first-hit deferral: the kernel records each lane's first image-texture
     (u, v, slot) and splits radiance into pre/post accumulators; one XLA
     gather per frame applies the texel (exact nearest-neighbor semantics of
     Texture.cuh:70-109 for the first hit; later image hits along the same
-    path use the texture's mean color).  Image mode CLAMPS spp to 1 (the
-    deferred multiply cannot span samples): callers must divide by the
-    EFFECTIVE spp, i.e. 1, when atlas is given.
+    path use the texture's mean color).  The record is single-use, so in
+    image mode a lane path-regenerates across samples only until its first
+    image hit, then parks; the call returns ``(img, counts)`` (plus the ray
+    total with ``with_stats``) where ``counts`` is the per-pixel number of
+    completed samples in [1, spp].  Callers must accumulate radiance sums
+    AND counts and divide sum/count at display: that ratio estimator is
+    consistent (Wald's identity — the park rule is a stopping time over iid
+    samples), so progressive accumulation converges to the exact mean.
 
     Samples are path-regenerated in-kernel: a lane whose path terminates
     immediately starts its next sample, so the bounce waves stay at full
@@ -1178,11 +1198,7 @@ def pallas_render_sample(
     has_images = atlas is not None
     expect_rows = P_ROWS_UV if has_images else P_ROWS
     assert p_tab.shape[0] == expect_rows, (p_tab.shape, has_images)
-    if has_images:
-        # the deferred texel multiply cannot span samples: the first-hit
-        # state is per-sample, so image mode renders 1 spp per launch
-        spp = jnp.minimum(jnp.asarray(spp, jnp.int32), 1)
-    nchan = 9 if has_images else 3
+    nchan = 10 if has_images else 3
     grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([
         jnp.asarray(n_super, jnp.int32),
@@ -1248,8 +1264,11 @@ def pallas_render_sample(
         texel = atlas[slot, tj, ti].astype(jnp.float32) * (1.0 / 255.0)
         rad = pre + jnp.transpose(texel, (2, 0, 1)) * post
         img = jnp.transpose(rad, (1, 2, 0))
-    else:
-        img = jnp.transpose(out[0], (1, 2, 0))
+        counts = out[0][9]
+        if with_stats:
+            return img, counts, jnp.sum(out[1])
+        return img, counts
+    img = jnp.transpose(out[0], (1, 2, 0))
     if with_stats:
         return img, jnp.sum(out[1])
     return img

@@ -105,6 +105,7 @@ class RenderLayer(Layer):
         self._bvh = None
         self._sd = None
         self._accum = None
+        self._counts = None  # per-pixel sample counts (image-texture scenes)
         self._pallas = None  # lazily-built pallas pipeline
         self._wavefront = None  # lazily-built sorted-wavefront renderer
 
@@ -174,6 +175,16 @@ class RenderLayer(Layer):
         if self.renderer is not None:
             self._accum = self.renderer.zeros_accum()
         self._spp_done = 0
+        # image-texture scenes track per-pixel sample counts (lanes park at
+        # their first image hit, so counts per launch vary; display divides
+        # sum/count — see pallas_render_sample)
+        if self._pallas is not None and self._pallas.has_images:
+            import jax.numpy as jnp
+
+            self._counts = jnp.zeros(
+                (self.cfg.height, self.cfg.width), jnp.float32)
+        else:
+            self._counts = None
 
     def resize(self, width: int, height: int):
         """Viewport resize: rebuild the renderer at the new shape (the
@@ -217,12 +228,10 @@ class RenderLayer(Layer):
             elif self._pallas is not None:
                 # in-kernel path regeneration makes extra samples per launch
                 # nearly marginal-cost: render progressive_spp per frame
-                # (image-texture scenes render 1 spp per launch)
                 batch = max(1, int(getattr(cfg, "progressive_spp", 1)))
-                if self._pallas.has_images:
-                    batch = 1
-                self._accum = self._pallas.accumulate(
-                    cam, self._frame_index, cfg.max_depth, self._accum, spp=batch
+                self._accum, self._counts = self._pallas.accumulate(
+                    cam, self._frame_index, cfg.max_depth, self._accum,
+                    self._counts, spp=batch
                 )
                 self._spp_done += batch - 1
             else:
@@ -252,6 +261,9 @@ class RenderLayer(Layer):
         progressive accumulator (the reference cannot persist anything but
         the ImGui dock layout — SURVEY.md §5 names this as a gap)."""
         self.scene.save(path + ".scene.json")
+        extra = {}
+        if self._counts is not None:
+            extra["counts"] = np.asarray(self._counts)
         np.savez_compressed(
             path,
             accum=np.asarray(self._accum),
@@ -259,6 +271,7 @@ class RenderLayer(Layer):
             frame_index=self._frame_index,
             position=np.asarray(self.fly.position),
             yaw=self.fly.yaw, pitch=self.fly.pitch, fov=self.fly.fov_deg,
+            **extra,
         )
         rtlog.rt_info("Checkpoint saved to %s (%d spp)", path, self._spp_done)
 
@@ -290,6 +303,9 @@ class RenderLayer(Layer):
         import jax.numpy as jnp
 
         self._accum = jnp.asarray(blob["accum"])
+        self._counts = (
+            jnp.asarray(blob["counts"]) if "counts" in blob.files else None
+        )
         self._spp_done = int(blob["spp"])
         self._frame_index = int(blob["frame_index"])
         rtlog.rt_info("Checkpoint loaded from %s (resuming at %d spp)",
@@ -304,17 +320,27 @@ class RenderLayer(Layer):
         reference's uv blit (CudaLayer.cpp:402); look_at renders row 0 =
         top already.  ``scale`` downsamples ON DEVICE before the host
         transfer — remote/tunneled links pay scale^2 less bandwidth."""
-        spp = max(self._spp_done, 1)
         acc = self._accum
+        div = self._display_divisor()
         if scale > 1:
             acc = acc[:: int(scale), :: int(scale)]
-        img = np.asarray(to_rgba8(tonemap(acc, spp)))
+            if not np.isscalar(div):
+                div = div[:: int(scale), :: int(scale)]
+        img = np.asarray(to_rgba8(tonemap(acc, div)))
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
     def display_float(self) -> np.ndarray:
-        spp = max(self._spp_done, 1)
-        img = np.asarray(tonemap(self._accum, spp))
+        img = np.asarray(tonemap(self._accum, self._display_divisor()))
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
+
+    def _display_divisor(self):
+        """Per-pixel sample counts for image-texture scenes (sum/count is
+        the Wald-consistent estimator), scalar accumulated spp otherwise."""
+        if self._counts is not None and self._spp_done > 0:
+            import jax.numpy as jnp
+
+            return jnp.maximum(self._counts, 1.0)[..., None]
+        return max(self._spp_done, 1)
 
 
 class _PallasPipeline:
@@ -355,10 +381,10 @@ class _PallasPipeline:
         self._pack_camera = pack_camera
 
         @jax.jit
-        def _step(S, P, C, SC, cam_vec, seed, depth, spp, accum):
+        def _step(S, P, C, SC, cam_vec, seed, depth, spp, accum, caccum):
             # true width/height drive the camera math; pad_w/band_h only
             # size the physical (tile-aligned) output, cropped below
-            rad = pallas_render_sample(
+            out = pallas_render_sample(
                 S, P, C, SC, n_super, cam_vec, seed, depth,
                 width=cfg.width, height=cfg.height,
                 pad_w=self._wpad, band_h=self._hpad,
@@ -367,20 +393,28 @@ class _PallasPipeline:
                 spp=spp, rr_start=getattr(cfg, "rr_start", 0),
                 atlas=atlas, tex_hw=tex_hw,
             )
-            return accum + rad[: cfg.height, : cfg.width]
+            if self.has_images:
+                rad, counts = out
+                return (accum + rad[: cfg.height, : cfg.width],
+                        caccum + counts[: cfg.height, : cfg.width])
+            return accum + out[: cfg.height, : cfg.width], caccum
 
         self._step = _step
 
-    def accumulate(self, cam, frame_index: int, max_depth: int, accum, spp: int = 1):
-        if self.has_images:
-            spp = 1  # deferred texel multiply cannot span samples
+    def accumulate(self, cam, frame_index: int, max_depth: int, accum,
+                   caccum, spp: int = 1):
+        """Add ``spp`` megakernel samples to ``accum`` (radiance sums) and
+        ``caccum`` (per-pixel sample counts; only meaningful for image
+        scenes — lanes park at their first image hit, so counts per launch
+        lie in [1, spp]).  Display = accum / counts (Wald-consistent)."""
         cam_vec = self._pack_camera(
             cam, self._sky, self._cfg.width, self._cfg.height, self._cfg.t_min
         )
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
-        return self._step(*self._tabs, cam_vec, seed, max_depth, spp, accum)
+        return self._step(*self._tabs, cam_vec, seed, max_depth, spp,
+                          accum, caccum)
 
 
 class Application:

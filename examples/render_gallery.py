@@ -41,6 +41,7 @@ def main():
     jobs = {
         "default": ("two_plane", None),
         "rtow_final": ("look_at", None),
+        "rtow_image": ("look_at", None),
         "cornell": ("two_plane", None),
     }
     import numpy as np
@@ -59,16 +60,27 @@ def main():
             from cudaraytracer_tpu.ops.pallas.render_kernel import (
                 pack_camera, pack_scene_tables, pallas_render_sample)
 
-            t = pack_scene_tables(scene)
             import jax.numpy as jnp
 
+            has_images = bool(
+                (scene.tex_type[scene.active_indices()] == 2).any())
+            t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
-            rad = pallas_render_sample(
+            out = pallas_render_sample(
                 *tabs, t.n_super, cam_vec, 7, args.depth,
                 width=args.width, height=args.height, camera_model=cam_model,
                 spp=args.spp, rr_start=2,
-            )[: args.height, : args.width]
+                atlas=jnp.asarray(scene.atlas) if has_images else None,
+                tex_hw=jnp.asarray(scene.tex_hw) if has_images else None,
+            )
+            if has_images:
+                # sum/count ratio (lanes park at their first image hit)
+                img_sum, counts = out
+                rad = (img_sum / jnp.maximum(counts, 1.0)[..., None]
+                       * args.spp)[: args.height, : args.width]
+            else:
+                rad = out[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)
             bvh = build_bvh(scene)

@@ -227,7 +227,14 @@ def test_pallas_accel_image_texture_no_demotion():
         app.run(max_frames=2)
     assert rl.cfg.accel == "pallas"  # no demotion
     assert rl._pallas is not None and rl._pallas.has_images
-    assert rl._spp_done == 2  # image mode forces 1 spp per launch
+    # image mode batches samples like any other scene (lanes park at their
+    # first image hit); 2 frames x progressive_spp nominal samples, and the
+    # per-pixel completed-sample counts lie in [1, batch] per launch
+    batch = rl.cfg.progressive_spp
+    assert rl._spp_done == 2 * batch
+    assert rl._counts is not None
+    counts = np.asarray(rl._counts)
+    assert counts.min() >= 2 and counts.max() <= 2 * batch
     img = rl.framebuffer_rgba8()
     assert img[..., :3].sum() > 0
     app.close()

@@ -138,15 +138,18 @@ def test_pallas_image_texture_matches_xla():
     tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
     cam_vec = pack_camera(cam, sd, W, H, 1e-3)
     acc = 0.0
+    cnt = 0.0
     with pltpu.force_tpu_interpret_mode():
         for s in range(SPP):
-            img = pallas_render_sample(
+            img, counts = pallas_render_sample(
                 *tabs, t.n_super, cam_vec, 11 + s, D,
                 width=W, height=H, camera_model="look_at",
                 tile_h=16, tile_w=256, atlas=sd.atlas, tex_hw=sd.tex_hw,
             )
             acc = acc + img[:H, :W]
-    pal = np.asarray(acc) / SPP
+            cnt = cnt + counts[:H, :W]
+    # sum/count ratio (lanes park at their first image hit; Wald-consistent)
+    pal = np.asarray(acc) / np.maximum(np.asarray(cnt), 1.0)[..., None]
     xla = np.asarray(
         render_radiance(sd, cam, rngu.base_key(), SPP * 2, D,
                         width=W, height=H, camera_model="look_at")
@@ -270,14 +273,17 @@ def test_pallas_rect_image_uv_matches_xla():
     tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
     cam_vec = pack_camera(cam, sd, W, H, 1e-3)
     acc = 0.0
+    cnt = 0.0
     with pltpu.force_tpu_interpret_mode():
         for s in range(SPP):
-            acc = acc + pallas_render_sample(
+            img, counts = pallas_render_sample(
                 *tabs, t.n_super, cam_vec, 5 + s, D,
                 width=W, height=H, camera_model="look_at",
                 tile_h=16, tile_w=256, atlas=sd.atlas, tex_hw=sd.tex_hw,
-            )[:H, :W]
-    pal = np.asarray(acc) / SPP
+            )
+            acc = acc + img[:H, :W]
+            cnt = cnt + counts[:H, :W]
+    pal = np.asarray(acc) / np.maximum(np.asarray(cnt), 1.0)[..., None]
     xla = np.asarray(
         render_radiance(sd, cam, rngu.base_key(), SPP * 2, D,
                         width=W, height=H, camera_model="look_at")
