@@ -118,13 +118,21 @@ def render_sharded_pallas(
     has_rects: bool = True,
     tile_h: int = 16,
     tile_w: int = 256,
+    spp=1,
+    rr_start: int = 0,
+    atlas=None,
+    tex_hw=None,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
     streams psum over ICI.  Same mesh/communication layout as the XLA path.
 
     ``tables`` is (S, P, clusters, supers) as device arrays; returns the
-    SUM over the samples axis of 1-spp radiance, f32[H,W,3] sharded by rows.
+    SUM over the samples axis of spp-per-chip radiance, f32[H,W,3] sharded
+    by rows.  With ``atlas``/``tex_hw`` (image-texture scenes) returns
+    (radiance_sum, counts_sum): per-pixel completed-sample counts, summed
+    over the samples axis with the same single psum — callers display
+    sum/count (the Wald-consistent ratio, see pallas_render_sample).
     """
     from ..ops.pallas.render_kernel import pallas_render_sample
 
@@ -135,27 +143,35 @@ def render_sharded_pallas(
     if width % tile_w:
         raise ValueError(f"width {width} not divisible by tile_w {tile_w}")
     band_h = height // n_rows
+    has_images = atlas is not None
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=P("rows", None, None),
+        out_specs=(P("rows", None, None), P("rows", None))
+        if has_images else P("rows", None, None),
         check_vma=False,
     )
     def _local(S, Ptab, C, SC, cam_vec, seed, max_depth):
         ri = lax.axis_index("rows")
         si = lax.axis_index("samples")
-        rad = pallas_render_sample(
+        out = pallas_render_sample(
             S, Ptab, C, SC, n_super, cam_vec, seed, max_depth,
             width=width, height=height, camera_model=camera_model,
             tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
-            y0=ri * band_h, band_h=band_h,
+            y0=ri * band_h, band_h=band_h, spp=spp, rr_start=rr_start,
+            atlas=atlas, tex_hw=tex_hw,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,
         )
-        return lax.psum(rad, "samples")
+        if has_images:
+            rad, counts = out
+            # one psum per frame still: radiance and counts ride together
+            rad, counts = lax.psum((rad, counts), "samples")
+            return rad, counts
+        return lax.psum(out, "samples")
 
     S, Ptab, C, SC = tables
     return _local(S, Ptab, C, SC, cam_vec,
