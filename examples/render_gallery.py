@@ -67,20 +67,40 @@ def main():
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
-            out = pallas_render_sample(
-                *tabs, t.n_super, cam_vec, 7, args.depth,
-                width=args.width, height=args.height, camera_model=cam_model,
-                spp=args.spp, rr_start=2,
-                atlas=jnp.asarray(scene.atlas) if has_images else None,
-                tex_hw=jnp.asarray(scene.tex_hw) if has_images else None,
-            )
             if has_images:
-                # sum/count ratio (lanes park at their first image hit)
-                img_sum, counts = out
-                rad = (img_sum / jnp.maximum(counts, 1.0)[..., None]
+                # image-texture pixels park after ONE sample per launch
+                # (single-use deferral record), so offline quality needs
+                # spp launches of 1 — same total cost under in-kernel path
+                # regeneration, uniform convergence everywhere
+                import jax as _jax
+
+                atlas = jnp.asarray(scene.atlas)
+                tex_hw = jnp.asarray(scene.tex_hw)
+
+                @_jax.jit
+                def step(seed):
+                    return pallas_render_sample(
+                        *tabs, t.n_super, cam_vec, seed, args.depth,
+                        width=args.width, height=args.height,
+                        camera_model=cam_model, spp=1, rr_start=2,
+                        atlas=atlas, tex_hw=tex_hw,
+                    )
+
+                acc = cnt = 0.0
+                for s in range(args.spp):
+                    img_s, counts = step(jnp.int32(7 + s))
+                    acc = acc + img_s
+                    cnt = cnt + counts
+                # sum/count ratio (Wald-consistent), rescaled to the SUM
+                # convention pack_rgba8 divides by
+                rad = (acc / jnp.maximum(cnt, 1.0)[..., None]
                        * args.spp)[: args.height, : args.width]
             else:
-                rad = out[: args.height, : args.width]
+                rad = pallas_render_sample(
+                    *tabs, t.n_super, cam_vec, 7, args.depth,
+                    width=args.width, height=args.height,
+                    camera_model=cam_model, spp=args.spp, rr_start=2,
+                )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)
             bvh = build_bvh(scene)
