@@ -37,6 +37,9 @@ class RenderConfig:
     progressive_spp: int = 4  # samples per progressive frame (pallas path:
     #                             path regeneration makes extra samples per
     #                             launch nearly marginal-cost)
+    sync_every: int = 8  # fence the dispatch queue every N frames: each
+    #                      fence costs a full host round trip (100-300 ms
+    #                      over a tunneled link); 1 = fence every frame
     debug_nans: bool = False  # TPU analog of the reference Debug build -g -G
 
 
@@ -57,6 +60,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--focus-dist", dest="focus_dist", type=float, default=d.focus_dist)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
     parser.add_argument("--progressive-spp", dest="progressive_spp", type=int, default=d.progressive_spp)
+    parser.add_argument("--sync-every", dest="sync_every", type=int, default=d.sync_every)
     parser.add_argument("--debug-nans", dest="debug_nans", action="store_true", default=d.debug_nans)
     return parser
 

@@ -66,24 +66,33 @@ def make_camera_params(
     focus_dist: float = 10.0,
 ) -> CameraParams:
     """Build params the way CudaLayer fills InputStruct (CudaLayer.cpp:45-62):
-    up is re-orthonormalized from forward and world up."""
-    fwd = jnp.asarray(forward, jnp.float32)
-    wup = jnp.asarray(world_up, jnp.float32)
-    right = normalize(cross(fwd, wup))
-    up = normalize(cross(fwd, right))
+    up is re-orthonormalized from forward and world up.
+
+    Host-side NumPy on purpose: the fly camera rebuilds params EVERY frame,
+    and eager jnp ops each cost a device dispatch (100-300 ms round trips
+    over a tunneled link).  NumPy leaves enter jit at the call boundary as
+    one small transfer instead."""
+    import numpy as np
+
+    fwd = np.asarray(forward, np.float32)
+    wup = np.asarray(world_up, np.float32)
+    right = np.cross(fwd, wup)
+    right = right / max(float(np.linalg.norm(right)), 1e-12)
+    up = np.cross(fwd, right)
+    up = up / max(float(np.linalg.norm(up)), 1e-12)
     # glm cross(orientation, right) points down for the default frame; the
     # reference then uses it directly, making v positive toward screen-up
     # because v = (center.y - y).  We keep the same convention: up here is the
     # vector used by the kernel, i.e. cross(forward, right) normalized.
     return CameraParams(
-        origin=jnp.asarray(origin, jnp.float32),
+        origin=np.asarray(origin, np.float32),
         forward=fwd,
-        up=up,
-        near=jnp.float32(near),
-        far=jnp.float32(far),
-        fov=jnp.float32(math.radians(fov_deg)),
-        aperture=jnp.float32(aperture),
-        focus_dist=jnp.float32(focus_dist),
+        up=up.astype(np.float32),
+        near=np.float32(near),
+        far=np.float32(far),
+        fov=np.float32(math.radians(fov_deg)),
+        aperture=np.float32(aperture),
+        focus_dist=np.float32(focus_dist),
     )
 
 

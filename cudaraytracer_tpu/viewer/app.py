@@ -219,9 +219,13 @@ class RenderLayer(Layer):
         cfg = self.cfg
         self.metrics.frame_start()
         cam = self.fly.params(aperture=cfg.aperture, focus_dist=cfg.focus_dist)
-        fkey = rngu.frame_key(self.key, self._frame_index)
+        # frame_key is an eager device op (fold_in): compute it only on the
+        # paths that consume it — the progressive pallas path seeds in-kernel
+        fkey = (None if (self._pallas is not None and cfg.progressive)
+                else rngu.frame_key(self.key, self._frame_index))
         if cfg.progressive:
             if self._wavefront is not None:
+                batch = 1
                 self._accum = self._accum + self._wavefront.render(
                     cam, fkey, spp=1, max_depth=cfg.max_depth
                 )
@@ -250,7 +254,17 @@ class RenderLayer(Layer):
             self._accum = rad
             self._spp_done = cfg.spp
             rays = float(nrays)
-        np.asarray(self._accum[0, 0])  # block for honest timing
+        # Fence the dispatch queue with a scalar-slice host transfer, but
+        # only every sync_every frames: over a remote/tunneled link each
+        # fence costs a full round trip (measured 100-300 ms through axon —
+        # 1.8 fps at 720p where the device cost is ~3 ms), and the display
+        # endpoint fences on its own when a client pulls a frame.  The
+        # exponentially-smoothed metrics average the periodic fence over
+        # the window, so ms/frame stays honest; in-flight dispatches stay
+        # bounded at sync_every launches.
+        sync_every = max(1, int(getattr(self.cfg, "sync_every", 8)))
+        if self._frame_index % sync_every == sync_every - 1:
+            np.asarray(self._accum[0, 0])
         self._frame_index += 1
         self.metrics.accumulated_spp = self._spp_done
         self.metrics.frame_end(rays)
@@ -378,10 +392,15 @@ class _PallasPipeline:
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
-        self._pack_camera = pack_camera
 
         @jax.jit
-        def _step(S, P, C, SC, cam_vec, seed, depth, spp, accum, caccum):
+        def _step(S, P, C, SC, cam, seed, depth, spp, accum, caccum):
+            # camera packing INSIDE the jit: the fly camera changes every
+            # frame, and packing eagerly would cost ~30 device dispatches
+            # per frame (round trips over a tunneled link); here it fuses
+            # into the step and the host sends one small pytree
+            cam_vec = pack_camera(cam, self._sky, cfg.width, cfg.height,
+                                  cfg.t_min)
             # true width/height drive the camera math; pad_w/band_h only
             # size the physical (tile-aligned) output, cropped below
             out = pallas_render_sample(
@@ -407,13 +426,10 @@ class _PallasPipeline:
         ``caccum`` (per-pixel sample counts; only meaningful for image
         scenes — lanes park at their first image hit, so counts per launch
         lie in [1, spp]).  Display = accum / counts (Wald-consistent)."""
-        cam_vec = self._pack_camera(
-            cam, self._sky, self._cfg.width, self._cfg.height, self._cfg.t_min
-        )
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
-        return self._step(*self._tabs, cam_vec, seed, max_depth, spp,
+        return self._step(*self._tabs, cam, seed, max_depth, spp,
                           accum, caccum)
 
 
