@@ -217,8 +217,13 @@ def main():
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
 
+        # device arrays enter jit as ARGUMENTS (atl), never closures: a
+        # captured device array becomes an MLIR constant whose value is
+        # fetched device->host at lowering — minutes over a tunneled link
+        atl = (atlas, tex_hw) if has_images else ()
+
         @jax.jit
-        def step(S, P, C, SC, cam_vec, seed, spp):
+        def step(S, P, C, SC, cam_vec, seed, spp, *atl):
             # one launch renders all spp samples: in-kernel path regeneration
             # keeps the bounce waves at full occupancy across samples (image
             # scenes park lanes at their first image hit and return per-pixel
@@ -229,7 +234,8 @@ def main():
                 pad_w=wpad, band_h=hpad, camera_model=camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 spp=spp, rr_start=args.rr_start, with_stats=True,
-                atlas=atlas, tex_hw=tex_hw,
+                atlas=atl[0] if has_images else None,
+                tex_hw=atl[1] if has_images else None,
             )
             if has_images:
                 img, _counts, nrays = out
@@ -237,12 +243,13 @@ def main():
             return out
 
         def run_frame(f, nframes):
-            return step(S, P, C, SC, cam_vec, 1000 + f, nframes * args.spp)[0]
+            return step(S, P, C, SC, cam_vec, 1000 + f,
+                        nframes * args.spp, *atl)[0]
 
         # rays counted by the kernel itself; slope over batch sizes so the
         # marginal per-frame ray count matches the slope-timed frame cost
-        _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp)
-        _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp)
+        _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp, *atl)
+        _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp, *atl)
         rays_per_frame = (float(n_big) - float(n_one)) / 8.0
     else:
         hit_fn = None

@@ -145,15 +145,21 @@ def render_sharded_pallas(
     band_h = height // n_rows
     has_images = atlas is not None
 
+    # device arrays (incl. the atlas) are passed as shard_map ARGUMENTS,
+    # never closures: a captured device array becomes an MLIR constant
+    # whose value is fetched device->host at lowering — minutes over a
+    # tunneled link
+    atl = (atlas, tex_hw) if has_images else ()
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(),) * (7 + len(atl)),
         out_specs=(P("rows", None, None), P("rows", None))
         if has_images else P("rows", None, None),
         check_vma=False,
     )
-    def _local(S, Ptab, C, SC, cam_vec, seed, max_depth):
+    def _local(S, Ptab, C, SC, cam_vec, seed, max_depth, *atl):
         ri = lax.axis_index("rows")
         si = lax.axis_index("samples")
         out = pallas_render_sample(
@@ -161,7 +167,8 @@ def render_sharded_pallas(
             width=width, height=height, camera_model=camera_model,
             tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
             y0=ri * band_h, band_h=band_h, spp=spp, rr_start=rr_start,
-            atlas=atlas, tex_hw=tex_hw,
+            atlas=atl[0] if has_images else None,
+            tex_hw=atl[1] if has_images else None,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,
@@ -175,7 +182,8 @@ def render_sharded_pallas(
 
     S, Ptab, C, SC = tables
     return _local(S, Ptab, C, SC, cam_vec,
-                  jnp.asarray(seed, jnp.int32), jnp.asarray(max_depth, jnp.int32))
+                  jnp.asarray(seed, jnp.int32),
+                  jnp.asarray(max_depth, jnp.int32), *atl)
 
 
 class ShardedRenderer:

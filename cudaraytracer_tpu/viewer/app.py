@@ -373,32 +373,44 @@ class _PallasPipeline:
         self.has_images = bool((scene.tex_type[idx0] == 2).any())
         S, P, C, SC, n_super, _prim_map = pack_scene_tables(
             scene, with_uv=self.has_images)
-        atlas = jnp.asarray(scene.atlas) if self.has_images else None
-        tex_hw = jnp.asarray(scene.tex_hw) if self.has_images else None
         self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C), jnp.asarray(SC))
+        # IMPORTANT: device arrays must be jit ARGUMENTS, never closure
+        # captures — a captured device array becomes an MLIR constant and
+        # lowering fetches its VALUE device->host (array.py _value), which
+        # over a tunneled link costs minutes (measured; see BASELINE.md)
+        self._atlas = (jnp.asarray(scene.atlas), jnp.asarray(scene.tex_hw)) \
+            if self.has_images else ()
         self._n_super = n_super
         self._cfg = cfg
         self._scene = scene
         idx = scene.active_indices()
         has_rects = bool((scene.prim_type[idx] != 0).any())
-        # only the sky colors are needed from the scene at frame time
+        # only the sky colors are needed at frame time; HOST numpy so the
+        # in-jit pack embeds them as cheap host-sourced constants
         import types
 
+        import numpy as _np
+
         self._sky = types.SimpleNamespace(
-            background_start=jnp.asarray(scene.background_start),
-            background_end=jnp.asarray(scene.background_end),
+            background_start=_np.asarray(scene.background_start, _np.float32),
+            background_end=_np.asarray(scene.background_end, _np.float32),
         )
         tile_h, tile_w = 16, 256  # measured optimum on v5e (render_kernel.py)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
+        has_images = self.has_images
+
+        from ..models.camera import camera_params_from_vec
 
         @jax.jit
-        def _step(S, P, C, SC, cam, seed, depth, spp, accum, caccum):
+        def _step(S, P, C, SC, camv, seed, depth, spp, accum, caccum, *atl):
             # camera packing INSIDE the jit: the fly camera changes every
             # frame, and packing eagerly would cost ~30 device dispatches
-            # per frame (round trips over a tunneled link); here it fuses
-            # into the step and the host sends one small pytree
+            # per frame (round trips over a tunneled link); the host sends
+            # ONE f32[14] vector (not 8 pytree leaves — each small transfer
+            # is its own round trip)
+            cam = camera_params_from_vec(camv)
             cam_vec = pack_camera(cam, self._sky, cfg.width, cfg.height,
                                   cfg.t_min)
             # true width/height drive the camera math; pad_w/band_h only
@@ -410,9 +422,10 @@ class _PallasPipeline:
                 camera_model=cfg.camera_model,
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 spp=spp, rr_start=getattr(cfg, "rr_start", 0),
-                atlas=atlas, tex_hw=tex_hw,
+                atlas=atl[0] if has_images else None,
+                tex_hw=atl[1] if has_images else None,
             )
-            if self.has_images:
+            if has_images:
                 rad, counts = out
                 return (accum + rad[: cfg.height, : cfg.width],
                         caccum + counts[: cfg.height, : cfg.width])
@@ -428,9 +441,11 @@ class _PallasPipeline:
         lie in [1, spp]).  Display = accum / counts (Wald-consistent)."""
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
+        from ..models.camera import camera_params_to_vec
+
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
-        return self._step(*self._tabs, cam, seed, max_depth, spp,
-                          accum, caccum)
+        return self._step(*self._tabs, camera_params_to_vec(cam), seed,
+                          max_depth, spp, accum, caccum, *self._atlas)
 
 
 class Application:

@@ -76,11 +76,14 @@ def main():
 
                 atlas = jnp.asarray(scene.atlas)
                 tex_hw = jnp.asarray(scene.tex_hw)
+                n_sup = t.n_super
 
+                # device arrays enter jit as arguments, never closures (a
+                # captured device array is fetched device->host at lowering)
                 @_jax.jit
-                def step(seed):
+                def step(tabs, cam_vec, seed, atlas, tex_hw):
                     return pallas_render_sample(
-                        *tabs, t.n_super, cam_vec, seed, args.depth,
+                        *tabs, n_sup, cam_vec, seed, args.depth,
                         width=args.width, height=args.height,
                         camera_model=cam_model, spp=1, rr_start=2,
                         atlas=atlas, tex_hw=tex_hw,
@@ -88,7 +91,8 @@ def main():
 
                 acc = cnt = 0.0
                 for s in range(args.spp):
-                    img_s, counts = step(jnp.int32(7 + s))
+                    img_s, counts = step(tabs, cam_vec, jnp.int32(7 + s),
+                                         atlas, tex_hw)
                     acc = acc + img_s
                     cnt = cnt + counts
                 # sum/count ratio (Wald-consistent), rescaled to the SUM
