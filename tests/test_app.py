@@ -263,3 +263,47 @@ def test_pallas_scene_growth():
     assert rl.cfg.accel == "pallas"
     assert rl.framebuffer_rgba8()[..., :3].sum() > 0
     app.close()
+
+
+def test_step_lowering_embeds_no_device_constants():
+    """Regression: the pallas pipeline's jitted step must take every device
+    array (scene tables, atlas) as an ARGUMENT, never a closure capture.
+    A captured device array becomes an MLIR constant whose VALUE lowering
+    fetches device->host — over a tunneled TPU link small-array fetches
+    cost ~14 ms per element, turning cold start into minutes (measured;
+    BASELINE.md protocol notes).  Guard: the lowered HLO text contains no
+    large dense constants."""
+    import re
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.viewer.app import Application
+
+    app = Application(small_cfg(accel="pallas", width=128, height=16))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        tex = np.full((8, 8, 3), 120, np.uint8)
+        slot = rl.scene.load_image_texture(tex)
+        i = int(rl.scene.active_indices()[0])
+        rl.scene.update(i, tex_type=2, tex_id=slot)
+        app.run(max_frames=1)  # builds the image-mode pipeline
+        pl_pipe = rl._pallas
+        assert pl_pipe is not None and pl_pipe.has_images
+        import jax.numpy as jnp
+
+        from cudaraytracer_tpu.models.camera import camera_params_to_vec
+
+        cam = rl.fly.params()
+        lowered = pl_pipe._step.lower(
+            *pl_pipe._tabs, camera_params_to_vec(cam),
+            jnp.int32(1), jnp.int32(2), jnp.int32(1),
+            rl._accum, rl._counts, *pl_pipe._atlas,
+        )
+        text = lowered.as_text()
+    # dense constants with long payloads = embedded array values (MLIR
+    # prints big ones as dense<"0x...">, small ones as dense<[...]>); allow
+    # small ones (sky colors, iota tables) but nothing table/atlas-sized
+    big = [m for m in re.finditer(
+        r'dense<\[[^>]{2000,}|dense<"0x[0-9A-Fa-f]{2000,}', text)]
+    assert not big, f"{len(big)} large dense constants embedded in lowering"
+    app.close()
