@@ -40,6 +40,8 @@ class RenderConfig:
     sync_every: int = 8  # fence the dispatch queue every N frames: each
     #                      fence costs a full host round trip (100-300 ms
     #                      over a tunneled link); 1 = fence every frame
+    fence_timeout: float = 120.0  # seconds before a hung device sync
+    #                               pauses the app (lost-completion guard)
     debug_nans: bool = False  # TPU analog of the reference Debug build -g -G
 
 

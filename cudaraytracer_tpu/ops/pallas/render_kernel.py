@@ -362,6 +362,52 @@ def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.n
     return jnp.concatenate([vec, sky]).astype(jnp.float32)  # [38]
 
 
+def pack_camera_np(cam, background_start, background_end,
+                   width: int, height: int, t_min: float):
+    """Host-side NumPy mirror of pack_camera -> np.float32[38].
+
+    The render loop repacks the camera EVERY frame; doing it in NumPy and
+    passing the vector as a jit argument keeps the Mosaic SMEM operand a
+    plain executable parameter (the proven path) and costs one small
+    host->device transfer instead of eager device ops or in-jit packing.
+    Guarded against drift from pack_camera by tests/test_camera.py.
+    """
+    import math as _m
+
+    import numpy as np
+
+    def nrm(v):
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    origin = np.asarray(cam.origin, np.float32)
+    fwd = np.asarray(cam.forward, np.float32)
+    up = np.asarray(cam.up, np.float32)
+    fov = float(cam.fov)
+    focus = float(cam.focus_dist)
+    # look_at frustum (models/camera.py::look_at_frame, numpy form)
+    half_h = _m.tan(fov / 2.0)
+    half_w = (width / height) * half_h
+    w = nrm(-fwd)
+    world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    u_axis = nrm(np.cross(world_up, w))
+    v_axis = np.cross(w, u_axis)
+    lower_left = (origin - half_w * focus * u_axis
+                  - half_h * focus * v_axis - focus * w)
+    horizontal = 2.0 * half_w * focus * u_axis
+    vertical = 2.0 * half_h * focus * v_axis
+    right_tp = nrm(np.cross(up, fwd))
+    return np.concatenate([
+        origin, lower_left, horizontal, vertical, u_axis, v_axis,
+        np.array([float(cam.aperture) / 2.0, float(cam.near),
+                  float(cam.far), fov], np.float32),
+        right_tp, up,
+        np.array([t_min], np.float32),
+        fwd,
+        np.asarray(background_start, np.float32).reshape(3),
+        np.asarray(background_end, np.float32).reshape(3),
+    ]).astype(np.float32)
+
+
 # ----------------------------------------------------------------- kernel
 
 def hierarchical_search(

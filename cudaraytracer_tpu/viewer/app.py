@@ -262,9 +262,27 @@ class RenderLayer(Layer):
         # exponentially-smoothed metrics average the periodic fence over
         # the window, so ms/frame stays honest; in-flight dispatches stay
         # bounded at sync_every launches.
+        #
+        # The fence runs in a worker thread with a timeout: a flaky remote
+        # runtime can LOSE a completion (observed on the tunneled dev TPU:
+        # main thread parked on a futex while the tunnel client idles in
+        # epoll), and a lost completion must pause the app with an error —
+        # the failure-detection contract (SURVEY.md §5) — not freeze it.
         sync_every = max(1, int(getattr(self.cfg, "sync_every", 8)))
         if self._frame_index % sync_every == sync_every - 1:
-            np.asarray(self._accum[0, 0])
+            import threading
+
+            acc = self._accum
+            fence = threading.Thread(
+                target=lambda: np.asarray(acc[0, 0]), daemon=True)
+            fence.start()
+            fence.join(timeout=float(getattr(self.cfg, "fence_timeout", 120.0)))
+            if fence.is_alive():
+                rtlog.rt_error(
+                    "Device sync timed out after %.0fs (lost completion?) "
+                    "— pausing; press P/unpause to retry",
+                    float(getattr(self.cfg, "fence_timeout", 120.0)))
+                self.app.paused = True
         self._frame_index += 1
         self.metrics.accumulated_spp = self._spp_done
         self.metrics.frame_end(rays)
@@ -365,7 +383,7 @@ class _PallasPipeline:
         import jax.numpy as jnp
 
         from ..ops.pallas.render_kernel import (
-            pack_camera, pack_scene_tables, pallas_render_sample)
+            pack_scene_tables, pallas_render_sample)
 
         # image-texture scenes use first-hit deferral in-kernel (atlas
         # sampled by an XLA epilogue) and render 1 spp per launch
@@ -401,18 +419,15 @@ class _PallasPipeline:
         self._hpad = -(-cfg.height // tile_h) * tile_h
         has_images = self.has_images
 
-        from ..models.camera import camera_params_from_vec
-
         @jax.jit
-        def _step(S, P, C, SC, camv, seed, depth, spp, accum, caccum, *atl):
-            # camera packing INSIDE the jit: the fly camera changes every
-            # frame, and packing eagerly would cost ~30 device dispatches
-            # per frame (round trips over a tunneled link); the host sends
-            # ONE f32[14] vector (not 8 pytree leaves — each small transfer
-            # is its own round trip)
-            cam = camera_params_from_vec(camv)
-            cam_vec = pack_camera(cam, self._sky, cfg.width, cfg.height,
-                                  cfg.t_min)
+        def _step(S, P, C, SC, cam_vec, seed, depth, spp, accum, caccum, *atl):
+            # the camera vector is packed on the HOST (pack_camera_np) and
+            # enters as ONE f32[38] argument per frame: eager per-frame jnp
+            # packing costs ~30 device dispatches (round trips over a
+            # tunneled link), and packing INSIDE the jit feeds the Mosaic
+            # SMEM operand from an XLA intermediate instead of an
+            # executable parameter (a path this kernel has never run on
+            # real hardware — parameters are the proven form)
             # true width/height drive the camera math; pad_w/band_h only
             # size the physical (tile-aligned) output, cropped below
             out = pallas_render_sample(
@@ -441,10 +456,13 @@ class _PallasPipeline:
         lie in [1, spp]).  Display = accum / counts (Wald-consistent)."""
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
-        from ..models.camera import camera_params_to_vec
+        from ..ops.pallas.render_kernel import pack_camera_np
 
+        cam_vec = pack_camera_np(
+            cam, self._sky.background_start, self._sky.background_end,
+            self._cfg.width, self._cfg.height, self._cfg.t_min)
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
-        return self._step(*self._tabs, camera_params_to_vec(cam), seed,
+        return self._step(*self._tabs, cam_vec, seed,
                           max_depth, spp, accum, caccum, *self._atlas)
 
 
