@@ -55,34 +55,6 @@ class CameraParams:
     focus_dist: jax.Array  # f32[] focus distance (look_at model only)
 
 
-CAM_VEC_LEN = 14
-
-
-def camera_params_to_vec(cam: CameraParams):
-    """Flatten CameraParams into ONE f32[14] host vector (origin, forward,
-    up, near, far, fov, aperture, focus_dist).  The render loop sends this
-    single array per frame instead of 8 separate pytree leaves — over a
-    tunneled link every small host->device transfer costs a round trip."""
-    import numpy as np
-
-    return np.concatenate([
-        np.asarray(cam.origin, np.float32).reshape(3),
-        np.asarray(cam.forward, np.float32).reshape(3),
-        np.asarray(cam.up, np.float32).reshape(3),
-        np.asarray([cam.near, cam.far, cam.fov, cam.aperture,
-                    cam.focus_dist], np.float32),
-    ])
-
-
-def camera_params_from_vec(vec) -> CameraParams:
-    """Inverse of camera_params_to_vec; traceable (use inside jit)."""
-    return CameraParams(
-        origin=vec[0:3], forward=vec[3:6], up=vec[6:9],
-        near=vec[9], far=vec[10], fov=vec[11],
-        aperture=vec[12], focus_dist=vec[13],
-    )
-
-
 def make_camera_params(
     origin=DEFAULT_POSITION,
     forward=DEFAULT_ORIENTATION,

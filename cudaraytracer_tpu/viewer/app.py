@@ -87,8 +87,8 @@ class RenderLayer(Layer):
         make_scene, make_cam_params = scene_lib.SCENES[cfg.scene]
         self.scene = scene if scene is not None else make_scene()
         self.fly = fly or FlyCamera()
-        if cfg.scene == "rtow_final":
-            # the RTOW benchmark camera pose
+        if cfg.scene.startswith("rtow"):
+            # the RTOW benchmark camera pose (rtow_final and rtow_image)
             self.fly.position = [13.0, 2.0, 3.0]
             self.fly.home = (13.0, 2.0, 3.0)
             self.fly.yaw, self.fly.pitch = 188.7, -9.0
@@ -244,14 +244,18 @@ class RenderLayer(Layer):
                     self._sd, cam, fkey, cfg.max_depth, self._accum, bvh=self._bvh
                 )
             self._spp_done += 1
-            # primary count (lower bound), spp-batch aware
-            rays = cfg.width * cfg.height * batch
+            # primary count, spp-batch aware.  For image scenes lanes PARK
+            # at their first image hit (counts per launch in [1, batch]),
+            # so only 1 sample/pixel is a guaranteed lower bound
+            per_pixel = 1 if self._counts is not None else batch
+            rays = cfg.width * cfg.height * per_pixel
         else:
             rad, nrays = self.renderer.render(
                 self._sd, cam, fkey, spp=cfg.spp, max_depth=cfg.max_depth,
                 bvh=self._bvh, with_stats=True,
             )
             self._accum = rad
+            self._counts = None  # XLA path samples exactly spp per pixel
             self._spp_done = cfg.spp
             rays = float(nrays)
         # Fence the dispatch queue with a scalar-slice host transfer, but
@@ -273,8 +277,15 @@ class RenderLayer(Layer):
             import threading
 
             acc = self._accum
-            fence = threading.Thread(
-                target=lambda: np.asarray(acc[0, 0]), daemon=True)
+            err: list = []
+
+            def _fence():
+                try:
+                    np.asarray(acc[0, 0])
+                except Exception as e:  # async device error: surface it on
+                    err.append(e)  # the main thread (failure watchdog)
+
+            fence = threading.Thread(target=_fence, daemon=True)
             fence.start()
             fence.join(timeout=float(getattr(self.cfg, "fence_timeout", 120.0)))
             if fence.is_alive():
@@ -283,6 +294,9 @@ class RenderLayer(Layer):
                     "— pausing; press P/unpause to retry",
                     float(getattr(self.cfg, "fence_timeout", 120.0)))
                 self.app.paused = True
+            if err:
+                # re-raise so Application.run's 3-strikes watchdog sees it
+                raise err[0]
         self._frame_index += 1
         self.metrics.accumulated_spp = self._spp_done
         self.metrics.frame_end(rays)
@@ -335,10 +349,17 @@ class RenderLayer(Layer):
         import jax.numpy as jnp
 
         self._accum = jnp.asarray(blob["accum"])
-        self._counts = (
-            jnp.asarray(blob["counts"]) if "counts" in blob.files else None
-        )
         self._spp_done = int(blob["spp"])
+        if "counts" in blob.files:
+            self._counts = jnp.asarray(blob["counts"])
+        elif self._pallas is not None and self._pallas.has_images:
+            # image-scene checkpoint from before per-pixel counts existed
+            # (1 spp/launch then, so every pixel completed every sample)
+            self._counts = jnp.full(
+                (self.cfg.height, self.cfg.width),
+                float(max(self._spp_done, 1)), jnp.float32)
+        else:
+            self._counts = None
         self._frame_index = int(blob["frame_index"])
         rtlog.rt_info("Checkpoint loaded from %s (resuming at %d spp)",
                       path, self._spp_done)

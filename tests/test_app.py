@@ -291,11 +291,14 @@ def test_step_lowering_embeds_no_device_constants():
         assert pl_pipe is not None and pl_pipe.has_images
         import jax.numpy as jnp
 
-        from cudaraytracer_tpu.models.camera import camera_params_to_vec
+        from cudaraytracer_tpu.ops.pallas.render_kernel import pack_camera_np
 
         cam = rl.fly.params()
+        cam_vec = pack_camera_np(
+            cam, rl.scene.background_start, rl.scene.background_end,
+            rl.cfg.width, rl.cfg.height, rl.cfg.t_min)
         lowered = pl_pipe._step.lower(
-            *pl_pipe._tabs, camera_params_to_vec(cam),
+            *pl_pipe._tabs, cam_vec,
             jnp.int32(1), jnp.int32(2), jnp.int32(1),
             rl._accum, rl._counts, *pl_pipe._atlas,
         )
@@ -307,3 +310,60 @@ def test_step_lowering_embeds_no_device_constants():
         r'dense<\[[^>]{2000,}|dense<"0x[0-9A-Fa-f]{2000,}', text)]
     assert not big, f"{len(big)} large dense constants embedded in lowering"
     app.close()
+
+
+def test_non_progressive_image_scene_divisor():
+    """Non-progressive renders go through the exact XLA path (spp samples
+    per pixel, no parked lanes): the display divisor must be the scalar
+    spp, not the never-accumulated counts plane (review r2 finding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    app = Application(small_cfg(accel="pallas", width=64, height=16,
+                                progressive=False, spp=4))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        tex = np.full((8, 8, 3), 90, np.uint8)
+        slot = rl.scene.load_image_texture(tex)
+        i = int(rl.scene.active_indices()[0])
+        rl.scene.update(i, tex_type=2, tex_id=slot)
+        app.run(max_frames=1)
+    assert rl._counts is None  # XLA path: exactly spp samples everywhere
+    assert rl._display_divisor() == 4
+    img = rl.framebuffer_rgba8()
+    # a sum-divided-by-1 bug clips most of the frame to white
+    assert (img[..., :3] >= 250).mean() < 0.5
+    app.close()
+
+
+def test_checkpoint_without_counts_resumes_image_scene(tmp_path):
+    """Image-scene checkpoints from before per-pixel counts existed load
+    with a synthesized full(spp) counts plane and keep rendering."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def image_app():
+        app = Application(small_cfg(accel="pallas", width=128, height=16))
+        rl = app.setup_default_layers()
+        tex = np.full((8, 8, 3), 150, np.uint8)
+        slot = rl.scene.load_image_texture(tex)
+        i = int(rl.scene.active_indices()[0])
+        rl.scene.update(i, tex_type=2, tex_id=slot)
+        return app, rl
+
+    with pltpu.force_tpu_interpret_mode():
+        app, rl = image_app()
+        app.run(max_frames=2)
+        p = str(tmp_path / "ckpt")
+        rl.save_state(p)
+        # simulate a pre-counts checkpoint: strip the counts array
+        blob = dict(np.load(p + ".npz"))
+        blob.pop("counts")
+        np.savez_compressed(p + ".npz", **blob)
+
+        app2, rl2 = image_app()
+        rl2.load_state(p)
+        assert rl2._counts is not None
+        assert float(np.asarray(rl2._counts).min()) == rl2._spp_done
+        app2.run(max_frames=1)  # must not crash on caccum=None
+        assert rl2.framebuffer_rgba8()[..., :3].sum() > 0
+    app.close()
+    app2.close()
