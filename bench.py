@@ -45,7 +45,7 @@ def bench_multichip(args):
 
     from cudaraytracer_tpu.models import scenes
     from cudaraytracer_tpu.ops.pallas.render_kernel import (
-        pack_camera, pack_scene_tables, pallas_render_sample)
+        pack_camera_np, pack_scene_tables, pallas_render_sample)
     from cudaraytracer_tpu.parallel import make_mesh, render_sharded_pallas
 
     n_samples = 2 if n % 2 == 0 and n >= 2 else 1
@@ -61,11 +61,19 @@ def bench_multichip(args):
     tile_w = 128 if on_cpu else 256
 
     scene = scenes.rtow_final_scene()
-    sd = scene.device()
     cam = scenes.rtow_final_camera()
     t = pack_scene_tables(scene)
-    tables = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
-    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    # pin every array to the mesh's platform (replicated): with the
+    # virtual-CPU fallback the default device is still the (tunneled) TPU,
+    # and cross-backend fetches of small arrays are pathologically slow
+    # (BASELINE.md notes)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    put = lambda x: jax.device_put(
+        np.asarray(x), NamedSharding(mesh, PartitionSpec()))
+    tables = tuple(put(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = put(pack_camera_np(
+        cam, scene.background_start, scene.background_end, W, H, 1e-3))
 
     def frame(seed):
         return render_sharded_pallas(
@@ -91,10 +99,16 @@ def bench_multichip(args):
     ref = np.asarray(out) / n_samples  # sample streams summed over the mesh
     frame_s = time.perf_counter() - t0
 
-    # single-device reference for statistical agreement
+    # single-device reference for statistical agreement; re-pin the inputs
+    # to ONE device (the mesh-replicated arrays cannot feed a single-device
+    # computation: interpret-mode io_callbacks reject replicated sharding)
+    put1 = lambda x: jax.device_put(np.asarray(x), devices[0])
+    tables1 = tuple(put1(x) for x in tables)
+    cam_vec1 = put1(cam_vec)
+
     def single_frame():
         return pallas_render_sample(
-            *tables, t.n_super, cam_vec, 9, depth,
+            *tables1, t.n_super, cam_vec1, 9, depth,
             width=W, height=H, camera_model="look_at",
             tile_h=16, tile_w=tile_w,
         )

@@ -262,14 +262,23 @@ class Scene:
         self.version += 1
 
     # ------------------------------------------------------------- device
-    def device(self) -> SceneData:
-        """Snapshot the host mirror into a device pytree."""
-        kw = {name: jnp.asarray(getattr(self, name)) for name, _, _ in _PRIM_FIELDS}
+    def device(self, device=None) -> SceneData:
+        """Snapshot the host mirror into a device pytree.
+
+        ``device``: explicit jax device (e.g. a CPU device when the default
+        platform is a tunneled TPU the caller does not want to touch —
+        cross-backend fetches of small arrays are pathologically slow over
+        the tunnel, BASELINE.md protocol notes)."""
+        def put(x):
+            return (jnp.asarray(x) if device is None
+                    else jax.device_put(np.asarray(x), device))
+
+        kw = {name: put(getattr(self, name)) for name, _, _ in _PRIM_FIELDS}
         return SceneData(
-            atlas=jnp.asarray(self.atlas),
-            tex_hw=jnp.asarray(self.tex_hw),
-            background_start=jnp.asarray(self.background_start),
-            background_end=jnp.asarray(self.background_end),
+            atlas=put(self.atlas),
+            tex_hw=put(self.tex_hw),
+            background_start=put(self.background_start),
+            background_end=put(self.background_end),
             **kw,
         )
 

@@ -112,6 +112,39 @@ def rtow_final_camera(aperture: float = 0.1, **kw):
     )
 
 
+def rtow_big_scene(seed: int = 1984, capacity: int = 1024) -> Scene:
+    """RTOW-style scene at ~2x primitive count (~1000 spheres, a 32x32
+    grid): the scene-size scaling benchmark (BASELINE.md).  Exercises
+    capacity > 512 packing (segment padding, supercluster counts) and the
+    per-wave front-to-back ordering at larger n_super."""
+    rnd = np.random.RandomState(seed).random_sample
+    scene = Scene(capacity=capacity)
+    scene.add_sphere(
+        (0.0, -1000.0, 0.0), 1000.0, mat_type=LAMBERTIAN, tex_type=CHECKER,
+        albedo=(0.2, 0.3, 0.1), albedo2=(0.9, 0.9, 0.9),
+    )
+    for a in range(-16, 16):
+        for b in range(-16, 16):
+            choose = rnd()
+            center = np.array([a + 0.9 * rnd(), 0.2, b + 0.9 * rnd()])
+            if np.linalg.norm(center - np.array([4.0, 0.2, 0.0])) <= 0.9:
+                continue
+            if choose < 0.8:
+                scene.add_sphere(center, 0.2, mat_type=LAMBERTIAN,
+                                 albedo=(rnd() * rnd(), rnd() * rnd(), rnd() * rnd()))
+            elif choose < 0.95:
+                scene.add_sphere(center, 0.2, mat_type=METAL,
+                                 albedo=(0.5 * (1 + rnd()), 0.5 * (1 + rnd()),
+                                         0.5 * (1 + rnd())),
+                                 fuzz=0.5 * rnd())
+            else:
+                scene.add_sphere(center, 0.2, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((0.0, 1.0, 0.0), 1.0, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((-4.0, 1.0, 0.0), 1.0, mat_type=LAMBERTIAN, albedo=(0.4, 0.2, 0.1))
+    scene.add_sphere((4.0, 1.0, 0.0), 1.0, mat_type=METAL, albedo=(0.7, 0.6, 0.5), fuzz=0.0)
+    return scene
+
+
 def procedural_globe_image(h: int = 256, w: int = 512) -> np.ndarray:
     """Deterministic earth-like RGB test image (no image files needed):
     latitude color bands + longitude 'continents' from low-frequency
@@ -179,5 +212,6 @@ SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
     "rtow_image": (rtow_image_scene, rtow_final_camera),
+    "rtow_big": (rtow_big_scene, rtow_final_camera),
     "cornell": (cornell_like_scene, cornell_like_camera),
 }

@@ -42,6 +42,7 @@ def main():
         "default": ("two_plane", None),
         "rtow_final": ("look_at", None),
         "rtow_image": ("look_at", None),
+        "rtow_big": ("look_at", None),
         "cornell": ("two_plane", None),
     }
     import numpy as np
