@@ -67,3 +67,24 @@ def test_cli_render_subprocess(tmp_path):
     img = load_rgb(out)
     assert img.shape == (32, 48, 3)
     assert img.sum() > 0
+
+
+def test_every_registered_scene_renders():
+    """Registry smoke test: every SCENES entry constructs and renders a
+    tiny brute-force frame with finite, non-black output (guards new
+    scenes — rtow_image, rtow_big — against bit-rot in any path)."""
+    import numpy as np
+
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.models.renderer import render_radiance
+    from cudaraytracer_tpu.utils import rng as rngu
+
+    for name, (make_scene, make_cam) in scn.SCENES.items():
+        scene = make_scene()
+        cam = make_cam()
+        model = "look_at" if name.startswith("rtow") else "two_plane"
+        img = np.asarray(render_radiance(
+            scene.device(), cam, rngu.base_key(), 1, 2,
+            width=24, height=16, camera_model=model))
+        assert np.isfinite(img).all(), name
+        assert img.sum() > 0, name
