@@ -32,6 +32,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.renderer import render_radiance
 
 
+def _as_i32(x):
+    """int32-ify a scalar WITHOUT an eager default-device dispatch.
+
+    An eager ``jnp.asarray(python_int)`` runs convert_element_type on the
+    DEFAULT device — which may be a broken/unwanted accelerator the mesh
+    doesn't even use (the round-2 driver crash, MULTICHIP_r02.json).  Plain
+    python/numpy scalars become numpy (zero device work; shard_map moves
+    them to the mesh at execution); traced or committed jax values convert
+    in-trace / on their own device.
+    """
+    import numpy as np
+
+    if isinstance(x, (int, np.integer, np.ndarray)):
+        return np.asarray(x, np.int32)
+    return jnp.asarray(x, jnp.int32)
+
+
 def make_mesh(n_rows: int | None = None, n_samples: int = 1, devices=None) -> Mesh:
     """Build a ("rows", "samples") mesh over the available devices."""
     import numpy as np
@@ -99,9 +116,7 @@ def render_sharded(
         rad = lax.psum(rad, "samples")
         return rad
 
-    spp = jnp.asarray(spp, jnp.int32)
-    max_depth = jnp.asarray(max_depth, jnp.int32)
-    return _local(scene, cam, key, spp, max_depth)
+    return _local(scene, cam, key, _as_i32(spp), _as_i32(max_depth))
 
 
 def render_sharded_pallas(
@@ -182,8 +197,7 @@ def render_sharded_pallas(
 
     S, Ptab, C, SC = tables
     return _local(S, Ptab, C, SC, cam_vec,
-                  jnp.asarray(seed, jnp.int32),
-                  jnp.asarray(max_depth, jnp.int32), *atl)
+                  _as_i32(seed), _as_i32(max_depth), *atl)
 
 
 class ShardedRenderer:

@@ -142,3 +142,43 @@ def test_sharded_pallas_image_mode():
     lp, rp = img[24:40, 20:50], img[24:40, 78:108]
     assert lp[..., 1].mean() > lp[..., 0].mean()
     assert rp[..., 0].mean() > rp[..., 1].mean()
+
+
+def test_dryrun_multichip_is_hermetic():
+    """dryrun_multichip must be green even when the machine's TPU is broken.
+
+    The round-1/2 driver failures (MULTICHIP_r0{1,2}.json) were eager ops
+    dispatched to a tunneled TPU backend the dry run never needed (libtpu
+    client/terminal mismatch aborted them).  Run the dry run the way the
+    driver does — a FRESH subprocess with the TPU plugin importable — and
+    assert (a) it succeeds, (b) the TPU backend is never initialized, i.e.
+    the run cannot depend on accelerator health.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n"
+        "from jax._src import xla_bridge as xb\n"
+        "inited = sorted(xb._backends.keys())\n"
+        "assert inited == ['cpu'], f'non-hermetic backends: {inited}'\n"
+        "print('HERMETIC OK')\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the driver does not force a platform
+    env.pop("CRT_MULTICHIP_REAL", None)
+    # replicate the driver environment: the TPU plugin is importable
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if os.path.isdir("/root/.axon_site") and "/root/.axon_site" not in pp:
+        pp.append("/root/.axon_site")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join([repo] + pp)
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=570,
+    )
+    assert out.returncode == 0, f"stdout={out.stdout}\nstderr={out.stderr}"
+    assert "HERMETIC OK" in out.stdout
+    assert "dryrun_multichip OK" in out.stdout
