@@ -26,13 +26,21 @@ NOMINAL_BASELINE_MRAYS = 100.0
 def bench_multichip(args):
     """Sharded-megakernel frame over an N-device (rows x samples) mesh.
 
-    Self-provisions a virtual CPU mesh (interpret-mode kernels) when the
-    platform has fewer devices, so the multi-chip measurement path exists
-    before real multi-chip hardware does; on a real N-chip TPU the same
-    code runs the compiled kernel and the numbers become the headline.
-    Prints one JSON line: per-frame wall time, per-band resolution, and
+    Hermetic by default: self-provisions a virtual CPU mesh (interpret-mode
+    kernels) so the multi-chip measurement path exists before real
+    multi-chip hardware does.  With --multichip-real the same code runs the
+    COMPILED kernel over the real platform's devices — `--multichip 1
+    --multichip-real` on a single-chip machine proves the shard_map→Mosaic
+    product lowers and runs on hardware.  Prints one JSON line: slope-timed
+    per-frame wall time, scaling efficiency vs the single-device kernel
+    (vs_baseline = T_single / (N * T_multi); 1.0 = perfect scaling), and
     statistical agreement with the single-device render.
     """
+    import os
+
+    if args.multichip_real:
+        os.environ["CRT_MULTICHIP_REAL"] = "1"
+
     from __graft_entry__ import _provision_devices
 
     n = args.multichip
@@ -75,9 +83,12 @@ def bench_multichip(args):
     cam_vec = put(pack_camera_np(
         cam, scene.background_start, scene.background_end, W, H, 1e-3))
 
-    def frame(seed):
+    # jit the sharded frame ONCE (an eager shard_map defined per call would
+    # re-trace every frame); seeds are traced args, so no recompiles
+    @jax.jit
+    def frame(S, P, C, SC, cam_vec, seed):
         return render_sharded_pallas(
-            tables, t.n_super, cam_vec, seed, depth,
+            (S, P, C, SC), t.n_super, cam_vec, seed, depth,
             width=W, height=H, mesh=mesh, camera_model="look_at",
             tile_h=16, tile_w=tile_w,
         )
@@ -87,51 +98,111 @@ def bench_multichip(args):
             from jax.experimental.pallas import tpu as pltpu
 
             with pltpu.force_tpu_interpret_mode():
-                return frame(seed)
-        return frame(seed)
+                return frame(*tables, cam_vec, np.int32(seed))
+        return frame(*tables, cam_vec, np.int32(seed))
+
+    def sync(x):
+        return np.asarray(x[0, 0])  # honest fence over the tunnel
 
     t0 = time.perf_counter()
     out = run(7)
     out.block_until_ready()
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = run(8)
-    ref = np.asarray(out) / n_samples  # sample streams summed over the mesh
-    frame_s = time.perf_counter() - t0
+    ref = np.asarray(run(8)) / n_samples  # sample streams summed over mesh
 
-    # single-device reference for statistical agreement; re-pin the inputs
-    # to ONE device (the mesh-replicated arrays cannot feed a single-device
-    # computation: interpret-mode io_callbacks reject replicated sharding)
+    # slope timing (BASELINE.md protocol): issue K async frames, sync once;
+    # T(K) - T(1) over K-1 cancels the per-call host/tunnel round trip
+    def timed(nframes, reps):
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            o = None
+            for f in range(nframes):
+                o = run(100 + r * 64 + f)
+            sync(o)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    # interpret-mode CPU timing is not a perf claim (tens of seconds per
+    # frame): one timed frame suffices there; real hardware gets the full
+    # slope protocol
+    if on_cpu:
+        t0 = time.perf_counter()
+        sync(run(10))
+        frame_s = time.perf_counter() - t0
+    else:
+        big, reps = 9, args.frames
+        t_one = timed(1, reps)
+        t_big = timed(big, reps)
+        frame_s = max((t_big - t_one) / (big - 1), 1e-6)
+
+    # single-device reference: agreement + the scaling-efficiency baseline;
+    # re-pin the inputs to ONE device (mesh-replicated arrays cannot feed a
+    # single-device computation: interpret-mode io_callbacks reject them)
     put1 = lambda x: jax.device_put(np.asarray(x), devices[0])
     tables1 = tuple(put1(x) for x in tables)
     cam_vec1 = put1(cam_vec)
 
-    def single_frame():
+    @jax.jit
+    def single_frame(S, P, C, SC, cam_vec, seed):
         return pallas_render_sample(
-            *tables1, t.n_super, cam_vec1, 9, depth,
+            S, P, C, SC, t.n_super, cam_vec, seed, depth,
             width=W, height=H, camera_model="look_at",
             tile_h=16, tile_w=tile_w,
         )
 
-    if on_cpu:
-        # plain interpret=True can't lower TPU prims (prng_seed); the
-        # interpret MODE runs them on CPU (CLAUDE.md Mosaic notes)
-        from jax.experimental.pallas import tpu as pltpu
+    def run1(seed):
+        if on_cpu:
+            # plain interpret=True can't lower TPU prims (prng_seed); the
+            # interpret MODE runs them on CPU (CLAUDE.md Mosaic notes)
+            from jax.experimental.pallas import tpu as pltpu
 
-        with pltpu.force_tpu_interpret_mode():
-            single = single_frame()
+            with pltpu.force_tpu_interpret_mode():
+                return single_frame(*tables1, cam_vec1, np.int32(seed))
+        return single_frame(*tables1, cam_vec1, np.int32(seed))
+
+    single = run1(9)
+    single.block_until_ready()
+
+    def timed1(nframes, reps):
+        ts = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            o = None
+            for f in range(nframes):
+                o = run1(200 + r * 64 + f)
+            sync(o)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    if on_cpu:
+        t0 = time.perf_counter()
+        sync(run1(10))
+        single_s = time.perf_counter() - t0
     else:
-        single = single_frame()
+        t1_one = timed1(1, reps)
+        t1_big = timed1(big, reps)
+        single_s = max((t1_big - t1_one) / (big - 1), 1e-6)
+
     single = np.asarray(single)[:H, :W]
     blocks = lambda a: a.reshape(H // 16, 16, W // 16, 16, 3).mean((1, 3))
     block_err = float(np.abs(blocks(ref) - blocks(single)).max())
 
+    # scaling efficiency: perfect N-way scaling divides the single-device
+    # frame time by N, so eff = T_single / (N * T_multi)
+    efficiency = single_s / (n * frame_s)
+
     result = {
         "metric": f"multichip sharded megakernel {W}x{H} depth{depth} "
-                  f"mesh {n_rows}x{n_samples} ({devices[0].platform})",
+                  f"mesh {n_rows}x{n_samples} ({devices[0].platform}"
+                  f"{', interpret' if on_cpu else ', compiled'})",
         "value": round(frame_s * 1000.0, 2),
         "unit": "ms/frame",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(efficiency, 4),
+        "vs_baseline_meaning": "scaling efficiency T_single/(N*T_multi)",
+        "single_device_ms": round(single_s * 1000.0, 2),
         "n_devices": n,
         "mesh": {"rows": n_rows, "samples": n_samples},
         "band_rows": H // n_rows,
@@ -165,6 +236,12 @@ def main():
                    help="run the sharded megakernel over an N-device mesh "
                         "(virtual CPU mesh when the platform is smaller; "
                         "the measurement path for real multi-chip hardware)")
+    p.add_argument("--multichip-real", dest="multichip_real",
+                   action="store_true",
+                   help="with --multichip: use the real platform's devices "
+                        "(compiled kernels) instead of the hermetic virtual "
+                        "CPU mesh; --multichip 1 --multichip-real proves the "
+                        "shard_map+Mosaic product on a single real chip")
     args = p.parse_args()
 
     if args.multichip:
