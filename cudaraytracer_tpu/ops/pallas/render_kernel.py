@@ -736,10 +736,14 @@ def _render_kernel(
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, alive_f, done_f, depth_f, *img_state) = state
         if has_images:
-            # first-image-hit deferral state (requires spp == 1):
-            # post_f flags lanes past their first image-texture hit; their
-            # radiance accumulates in rp* and is multiplied by the sampled
-            # texel in the XLA epilogue.  iu/iv/iid record the lookup.
+            # first-image-hit deferral state: post_f flags lanes past their
+            # first image-texture hit; their radiance accumulates in rp*
+            # and is multiplied by the sampled texel in the XLA epilogue.
+            # iu/iv/iid record the lookup.  The deferral record is
+            # single-use per lane, so in spp-batched launches a lane PARKS
+            # at its first image hit (no further path regeneration; the
+            # launch returns per-pixel completed-sample counts and the
+            # caller displays sum/count — see pallas_render_sample).
             post_f, iu, iv, iid, rpx, rpy, rpz = img_state
         # ---- path regeneration: a finished lane starts its next sample
         # immediately, so deep waves stay at full occupancy instead of

@@ -179,10 +179,17 @@ class RenderLayer(Layer):
         # their first image hit, so counts per launch vary; display divides
         # sum/count — see pallas_render_sample)
         if self._pallas is not None and self._pallas.has_images:
-            import jax.numpy as jnp
+            # cache the zeroed counts plane (immutable, safe to reuse): a
+            # camera-version bump resets every frame while flying, and a
+            # fresh jnp.zeros per reset is an eager device dispatch — one
+            # extra tunnel round trip per interactive frame
+            shape = (self.cfg.height, self.cfg.width)
+            if getattr(self, "_zero_counts", None) is None \
+                    or self._zero_counts.shape != shape:
+                import jax.numpy as jnp
 
-            self._counts = jnp.zeros(
-                (self.cfg.height, self.cfg.width), jnp.float32)
+                self._zero_counts = jnp.zeros(shape, jnp.float32)
+            self._counts = self._zero_counts
         else:
             self._counts = None
 
@@ -215,6 +222,13 @@ class RenderLayer(Layer):
 
     # -------------------------------------------------------- frame
     def on_update(self):
+        # a fence error that landed AFTER the join timeout (late completion
+        # carrying an async device error) must still reach the 3-strikes
+        # watchdog — surface it on the next frame instead of dropping it
+        pending = getattr(self, "_fence_err", None)
+        if pending:
+            self._fence_err = None
+            raise pending[0]
         self._sync_scene()
         cfg = self.cfg
         self.metrics.frame_start()
@@ -277,13 +291,18 @@ class RenderLayer(Layer):
             import threading
 
             acc = self._accum
+            # the err list lives on SELF: if the fence thread raises after
+            # the join timeout, the error is picked up at the top of the
+            # next on_update instead of being silently dropped
             err: list = []
+            self._fence_err = err
 
             def _fence():
                 try:
                     np.asarray(acc[0, 0])
                 except Exception as e:  # async device error: surface it on
                     err.append(e)  # the main thread (failure watchdog)
+                    rtlog.rt_error("Device fence error: %s", e)
 
             fence = threading.Thread(target=_fence, daemon=True)
             fence.start()
@@ -296,6 +315,7 @@ class RenderLayer(Layer):
                 self.app.paused = True
             if err:
                 # re-raise so Application.run's 3-strikes watchdog sees it
+                self._fence_err = None
                 raise err[0]
         self._frame_index += 1
         self.metrics.accumulated_spp = self._spp_done

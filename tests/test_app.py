@@ -198,6 +198,24 @@ def test_run_loop_survives_frame_failures():
     app.close()
 
 
+def test_late_fence_error_surfaces_next_frame():
+    """A fence error that lands AFTER the join timeout (late completion
+    carrying an async device error) must reach the 3-strikes watchdog on
+    the next frame, not be silently dropped (round-2 advisor finding)."""
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    app.run(max_frames=1)
+    spp_before = rl._spp_done
+    rl._fence_err = [RuntimeError("late async device error")]
+    app.run(max_frames=3)
+    # the pending error was consumed and raised exactly once: one frame
+    # lost to the strike, the remaining frames rendered normally
+    assert getattr(rl, "_fence_err") is None
+    assert not app.paused
+    assert rl._spp_done == spp_before + 2
+    app.close()
+
+
 def test_profiler_trace_hooks(tmp_path):
     app = Application(small_cfg())
     rl = app.setup_default_layers()
