@@ -54,6 +54,7 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <canvas id=cv tabindex=1></canvas>
 </div>
 <div id=side>
+ <div id=status style="font-size:13px;padding:4px;border:1px solid #3b4261;border-radius:3px"></div>
  <h3>Metrics</h3><table id=metrics></table>
  <h3>Options</h3>
  <div>
@@ -68,7 +69,14 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <input type=file id=texfile style="display:none" accept="image/*">
  <div>bg <input id=bg0 type=color><input id=bg1 type=color>
   <button onclick="setBg()">set</button>
-  <button onclick="post('/options',{save:'scene.json'})">save scene</button>
+ </div>
+ <div>file <input id=fname value="scene.json" style="width:110px">
+  <button onclick="post('/options',{save:fname.value})">save scene</button>
+  <button onclick="post('/options',{load:fname.value})">load scene</button>
+ </div>
+ <div>ckpt <input id=ckname value="checkpoint" style="width:110px">
+  <button onclick="post('/options',{checkpoint:ckname.value})">checkpoint</button>
+  <button onclick="post('/options',{resume:ckname.value})">resume</button>
  </div>
  <h3>Camera</h3>
  <div class=row><span class=lbl>pos</span><input id=cx type=number step=0.5><input id=cy type=number step=0.5><input id=cz type=number step=0.5></div>
@@ -82,7 +90,11 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
   <button onclick="addPrim()">add</button>
   <button onclick="post('/edit',{op:'clear'})">clear</button></div>
  <div id=scene></div>
- <h3>Console</h3><div id=console></div>
+ <h3>Console</h3>
+ <div>filter <input id=cfilter style="width:140px" oninput="cflt=this.value">
+  <button onclick="post('/options',{console_clear:true})">clear</button>
+  <button onclick="copyConsole()">copy</button></div>
+ <div id=console></div>
 </div>
 <script>
 const cv=document.getElementById('cv');const ctx2=cv.getContext('2d');
@@ -140,7 +152,15 @@ function renderScene(){
  const open=new Set([...el.querySelectorAll('details[open]')].map(d=>d.dataset.id));
  el.innerHTML=S.scene.map(primPanel).join('');
  for(const d of el.querySelectorAll('details'))if(open.has(d.dataset.id))d.open=true}
-async function state(){try{const r=await fetch('/state');const s=await r.json();S=s;
+let cflt='';
+async function copyConsole(){const r=await fetch('/console.txt?filter='+encodeURIComponent(cflt));
+ const t=await r.text();try{await navigator.clipboard.writeText(t)}catch(e){
+  const a=document.createElement('a');a.href='data:text/plain,'+encodeURIComponent(t);
+  a.download='console.txt';a.click()}}
+async function state(){try{const r=await fetch('/state?filter='+encodeURIComponent(cflt));const s=await r.json();S=s;
+ const st=document.getElementById('status');
+ st.textContent=(s.options.paused?'\\u23f8 PAUSED':'\\u25b6 RUNNING')+' \\u00b7 '+s.options.accumulated_spp+' spp accumulated';
+ st.style.color=s.options.paused?'#e0af68':'#9ece6a';
  document.getElementById('metrics').innerHTML=Object.entries(s.metrics).map(([k,v])=>`<tr><td>${k}</td><td>${v}</td></tr>`).join('');
  document.getElementById('console').innerHTML=s.console.map(esc).join('\\n');
  const sig=JSON.stringify(s.scene);
@@ -189,7 +209,7 @@ class ViewerServer:
         return os.path.join(self.data_dir, p)
 
     # ------------------------------------------------------------ state
-    def state_json(self) -> dict:
+    def state_json(self, console_filter: str = "") -> dict:
         rl = self.app.render_layer
         scene = rl.scene
         prims = []
@@ -216,7 +236,9 @@ class ViewerServer:
                 "fov": round(rl.fly.fov_deg, 2),
             },
             "scene": prims,
-            "console": self.app.console.lines()[-60:],
+            # server-side text filter: the ImGuiTextFilter behavior of the
+            # reference Console panel (Console.h:41-82)
+            "console": self.app.console.lines(console_filter)[-60:],
             "options": {
                 "max_depth": rl.cfg.max_depth,
                 "spp": rl.cfg.spp,
@@ -312,6 +334,9 @@ class ViewerServer:
             rl.resize(int(w), int(h))
         if data.get("pause"):
             self.app.toggle_pause()
+        if data.get("console_clear"):
+            # the Console panel's Clear button (Console.h:50)
+            self.app.console.clear()
         if "save" in data:
             path = self._safe_path(data["save"])
             rl.scene.save(path)
@@ -385,7 +410,21 @@ class ViewerServer:
                         scale = max(1, int(q.get("scale", ["1"])[0]))
                         self._send(200, viewer.frame_png(scale), "image/png")
                     elif self.path.startswith("/state"):
-                        self._send(200, json.dumps(viewer.state_json()).encode(), "application/json")
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        flt = q.get("filter", [""])[0]
+                        self._send(200, json.dumps(
+                            viewer.state_json(flt)).encode(), "application/json")
+                    elif self.path.startswith("/console.txt"):
+                        # full filtered buffer for the Copy button
+                        # (Console.h:51 LogToClipboard)
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        flt = q.get("filter", [""])[0]
+                        self._send(200, viewer.app.console.copy_text(
+                            flt).encode(), "text/plain; charset=utf-8")
                     else:
                         self._send(200, _PAGE.encode(), "text/html")
                 except Exception as e:  # keep the viewer alive
