@@ -228,6 +228,11 @@ def main():
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--tile-h", dest="tile_h", type=int, default=16)
     p.add_argument("--tile-w", dest="tile_w", type=int, default=256)
+    p.add_argument("--cluster", type=int, default=None,
+                   help="primitives per cluster (default: adaptive "
+                        "pick_cluster_super; 32 is a measured 30x cliff)")
+    p.add_argument("--super", dest="super_", type=int, default=None,
+                   help="clusters per supercluster (default: adaptive)")
     p.add_argument("--rr-start", dest="rr_start", type=int, default=2,
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
@@ -297,9 +302,10 @@ def main():
 
         active = _np.asarray(sd.active)
         has_images = bool((_np.asarray(sd.tex_type)[active] == 2).any())
-        S, P, C, SC, n_super, _prim_map = pack_scene_tables(
-            scene, with_uv=has_images)
-        S, P, C, SC = map(jnp.asarray, (S, P, C, SC))
+        t = pack_scene_tables(scene, with_uv=has_images,
+                              cluster=args.cluster, super_=args.super_)
+        n_super = t.n_super
+        S, P, C, SC = map(jnp.asarray, (t.S, t.P, t.clusters, t.supers))
         atlas = jnp.asarray(scene.atlas) if has_images else None
         tex_hw = jnp.asarray(scene.tex_hw) if has_images else None
         tile_h, tile_w = args.tile_h, args.tile_w
@@ -327,6 +333,7 @@ def main():
                 spp=spp, rr_start=args.rr_start, with_stats=True,
                 atlas=atl[0] if has_images else None,
                 tex_hw=atl[1] if has_images else None,
+                cluster=t.cluster, super_=t.super_,
             )
             if has_images:
                 img, _counts, nrays = out

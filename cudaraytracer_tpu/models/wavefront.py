@@ -51,7 +51,11 @@ class WavefrontTables(NamedTuple):
 
 def pack_wavefront_tables(scene) -> tuple[WavefrontTables, int, bool]:
     """Pack host Scene -> (device tables, n_super, has_rects)."""
-    t = pack_scene_tables(scene)
+    from ..ops.pallas.render_kernel import CLUSTER, SUPER
+
+    # pinned to the module defaults: hit_kernel's hierarchical_search call
+    # uses them, and tables must be packed with the same cluster geometry
+    t = pack_scene_tables(scene, cluster=CLUSTER, super_=SUPER)
     idx = scene.active_indices()
     has_rects = bool((scene.prim_type[idx] != 0).any()) if len(idx) else False
     if len(idx):

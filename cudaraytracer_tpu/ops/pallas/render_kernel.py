@@ -22,14 +22,16 @@ as soon as every one of its rays has terminated.
 RNG is the hardware PRNG (pltpu.prng_*), seeded per (tile, sample); the
 closed-form unit-sphere sampling matches utils/rng.py semantics.
 
-Image textures (Texture.cuh:70-109) use FIRST-HIT DEFERRAL: per-lane atlas
-gathers don't vectorize on the VPU, so the kernel records each path's first
-image-texture (u, v, slot), splits radiance into pre/post accumulators, and
-one XLA gather per frame applies the texel — exact for the first image hit
-on a path (the overwhelmingly common case; image prims are usually convex),
-mean-color approximate for later hits.  Samples still batch per launch:
-lanes path-regenerate until their first image hit, then park, and the
-launch returns per-pixel sample counts (see pallas_render_sample).
+Image textures (Texture.cuh:70-109) use TWO-RECORD DEFERRAL: per-lane atlas
+gathers don't vectorize on the VPU, so the kernel records up to two image-
+texture (u, v, slot) lookups per lane, splits radiance into three
+accumulators (r + tex1*rp + tex2*[tex1 if chained]*rq), and two XLA gathers
+per frame apply the texels — exact for up to two image-texture factors per
+lane per launch (covering both a single path hitting two image prims, e.g.
+facing image rects, and two consecutive samples with one image hit each);
+third-and-later hits use the atlas mean color.  Samples still batch per
+launch: lanes path-regenerate until both records are consumed, then park,
+and the launch returns per-pixel sample counts (see pallas_render_sample).
 """
 
 from __future__ import annotations
@@ -76,10 +78,23 @@ P_ROWS_UV = 9
 # at CLUSTER=16: 8x256->81, 16x256->111, 32x256->98, 48x256->87,
 # 16x128->86; SUPER sweep at CLUSTER=16/tile16: 2->107, 4->118, 8->114,
 # 16->111; CLUSTER=20/SUPER=4: 112.
-CLUSTER = 28  # primitives per cluster
-SUPER = 4  # clusters per supercluster
+CLUSTER = 28  # primitives per cluster (default; see pick_cluster_super)
+SUPER = 4  # clusters per supercluster (default)
 DEF_TILE_H = 16
 BIG = 3.0e38
+
+
+def pick_cluster_super(n_prims: int) -> tuple[int, int]:
+    """Scene-size-adaptive (CLUSTER, SUPER).
+
+    The round-2 sweeps showed the optimum moves with primitive count
+    (BASELINE.md): (28, 4) is the measured flat optimum for ~500-prim
+    scenes; larger scenes were measured in round 3 on rtow_big (~1000
+    prims, see BASELINE.md round-3 sweep).  NEVER return CLUSTER=32 — a
+    measured 30x cliff on v5e.
+    """
+    del n_prims  # one optimum so far; re-measured in the round-3 sweep
+    return CLUSTER, SUPER
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:
@@ -105,13 +120,15 @@ class SceneTables(_t.NamedTuple):
     supers: "np.ndarray"  # f32[6, NSC] supercluster AABBs
     n_super: int
     prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
+    cluster: int = CLUSTER  # prims/cluster these tables were packed with
+    super_: int = SUPER  # clusters/supercluster (kernel must use the same)
 
 
-def _npad_for(scene) -> int:
-    span = CLUSTER * SUPER
-    # + 3*(CLUSTER-1): segment alignment padding in the worst case — each
-    # of the three segments (big, spheres, rects) pads to a CLUSTER multiple
-    cap = max(scene.capacity, span) + 3 * (CLUSTER - 1)
+def _npad_for(scene, cluster: int = CLUSTER, super_: int = SUPER) -> int:
+    span = cluster * super_
+    # + 3*(cluster-1): segment alignment padding in the worst case — each
+    # of the three segments (big, spheres, rects) pads to a cluster multiple
+    cap = max(scene.capacity, span) + 3 * (cluster - 1)
     return ((cap + span - 1) // span) * span
 
 
@@ -145,7 +162,9 @@ def _image_mean_albedo(scene, tex_t, tex_id, albedo):
 
 
 def pack_scene_tables(scene, with_uv: bool = False,
-                      force_numpy: bool = False) -> SceneTables:
+                      force_numpy: bool = False,
+                      cluster: int | None = None,
+                      super_: int | None = None) -> SceneTables:
     """Host-side packing of the ACTIVE primitives into kernel tables.
 
     Morton-ordered and padded to a multiple of CLUSTER*SUPER.  Rebuild per
@@ -160,15 +179,22 @@ def pack_scene_tables(scene, with_uv: bool = False,
     """
     from ...native import pack_native
 
+    if cluster is None or super_ is None:
+        # keyed on CAPACITY, not num_active: edits must never change table
+        # shapes (the no-recompile invariant, models/scene.py)
+        c0, s0 = pick_cluster_super(int(scene.capacity))
+        cluster = c0 if cluster is None else cluster
+        super_ = s0 if super_ is None else super_
+
     if not force_numpy and pack_native.available():
         from ...models.bvh import primitive_aabbs
 
         idx = scene.active_indices()
-        npad = _npad_for(scene)
+        npad = _npad_for(scene, cluster, super_)
         p_rows = P_ROWS_UV if with_uv else P_ROWS
         n = len(idx)
         if n == 0:
-            return _pack_scene_tables_numpy(scene, with_uv)
+            return _pack_scene_tables_numpy(scene, with_uv, cluster, super_)
         bmin0, bmax0 = primitive_aabbs(scene, idx)
         mat = scene.mat_type[idx].astype(np.int64)
         mparam = np.choose(
@@ -184,20 +210,23 @@ def pack_scene_tables(scene, with_uv: bool = False,
             scene.center[idx], scene.size[idx], scene.prim_type[idx],
             scene.mat_type[idx], mparam, scene.tex_type[idx],
             tex_id, albedo, scene.albedo2[idx],
-            bmin0, bmax0, idx, npad, CLUSTER, SUPER, p_rows,
+            bmin0, bmax0, idx, npad, cluster, super_, p_rows,
         )
-        return SceneTables(S, P, clusters, supers, n_super, prim_map)
+        return SceneTables(S, P, clusters, supers, n_super, prim_map,
+                           cluster, super_)
 
-    return _pack_scene_tables_numpy(scene, with_uv)
+    return _pack_scene_tables_numpy(scene, with_uv, cluster, super_)
 
 
-def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
+def _pack_scene_tables_numpy(scene, with_uv: bool = False,
+                             cluster: int = CLUSTER,
+                             super_: int = SUPER) -> SceneTables:
     """Pure-NumPy packer (the reference implementation for the native one)."""
     from ...models.bvh import primitive_aabbs
 
     idx = scene.active_indices()
-    span = CLUSTER * SUPER
-    npad = _npad_for(scene)
+    span = cluster * super_
+    npad = _npad_for(scene, cluster, super_)
 
     S = np.zeros((16, npad), np.float32)
     P = np.zeros((P_ROWS_UV if with_uv else P_ROWS, npad), np.float32)
@@ -209,7 +238,7 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
     S[S_HB, :] = -1.0
 
     n = len(idx)
-    clusters = np.zeros((7, max(1, npad // CLUSTER)), np.float32)
+    clusters = np.zeros((7, max(1, npad // cluster)), np.float32)
     # degenerate point box at +BIG: _box_any's strict tfar > tnear rejects
     # it for every ray (an INVERTED box would be re-sorted by the slab
     # min/max and pass, running 16 wasted prim tests per wave)
@@ -244,7 +273,7 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
         cols: list[int] = []  # position in `idx`, or -1 for alignment padding
         for seg in segs:
             cols.extend(int(v) for v in seg)
-            while len(cols) % CLUSTER:
+            while len(cols) % cluster:
                 cols.append(-1)
         ncols = len(cols)
         assert ncols <= npad, (ncols, npad)
@@ -308,10 +337,10 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
         bmax = bmax0[rsel]
         col_of = np.full(ncols, -1, np.int64)
         col_of[rdst] = np.arange(len(rdst))
-        nc_used = ncols // CLUSTER
+        nc_used = ncols // cluster
         n_super = max(1, (ncols + span - 1) // span)
         for ci in range(nc_used):
-            members = [col_of[k] for k in range(ci * CLUSTER, (ci + 1) * CLUSTER)
+            members = [col_of[k] for k in range(ci * cluster, (ci + 1) * cluster)
                        if col_of[k] >= 0]
             if not members:
                 continue
@@ -328,7 +357,8 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False) -> SceneTables:
             supers[0:3, si] = bmin[members].min(0)
             supers[3:6, si] = bmax[members].max(0)
 
-    return SceneTables(S, P, clusters, supers, n_super, prim_map)
+    return SceneTables(S, P, clusters, supers, n_super, prim_map,
+                       cluster, super_)
 
 
 def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
@@ -415,6 +445,8 @@ def hierarchical_search(
     ox, oy, oz, dx, dy, dz,
     t_min, best_t0, has_rects: bool,
     order_ref=None,
+    cluster: int = CLUSTER,
+    super_: int = SUPER,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -539,7 +571,7 @@ def hierarchical_search(
             return best_t, best_j, base
 
         def run(carry):
-            out = lax.fori_loop(0, CLUSTER // 4, prim_quad, carry)
+            out = lax.fori_loop(0, cluster // 4, prim_quad, carry)
             return out[0], out[1], carry[2]
 
         return run
@@ -565,7 +597,7 @@ def hierarchical_search(
             )
 
         bt, bj, _ = lax.cond(
-            any_hit, run, lambda c: c, (best_t, best_j, ci * CLUSTER)
+            any_hit, run, lambda c: c, (best_t, best_j, ci * cluster)
         )
         return bt, bj
 
@@ -575,7 +607,7 @@ def hierarchical_search(
         any_hit = _box_any(super_ref, si, best_t)
 
         def run(carry):
-            return lax.fori_loop(si * SUPER, (si + 1) * SUPER, cluster_scan, carry)
+            return lax.fori_loop(si * super_, (si + 1) * super_, cluster_scan, carry)
 
         return lax.cond(any_hit, run, lambda c: c, carry)
 
@@ -637,6 +669,8 @@ def _render_kernel(
     has_rects: bool,
     has_images: bool,
     rr_start: int,
+    cluster: int = CLUSTER,
+    super_: int = SUPER,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -736,29 +770,34 @@ def _render_kernel(
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, alive_f, done_f, depth_f, *img_state) = state
         if has_images:
-            # first-image-hit deferral state: post_f flags lanes past their
-            # first image-texture hit; their radiance accumulates in rp*
-            # and is multiplied by the sampled texel in the XLA epilogue.
-            # iu/iv/iid record the lookup.  The deferral record is
-            # single-use per lane, so in spp-batched launches a lane PARKS
-            # at its first image hit (no further path regeneration; the
-            # launch returns per-pixel completed-sample counts and the
-            # caller displays sum/count — see pallas_render_sample).
-            post_f, iu, iv, iid, rpx, rpy, rpz = img_state
+            # two-record image-texture deferral state.  Each lane carries
+            # TWO single-use (u, v, slot) records; the XLA epilogue applies
+            # radiance = r + tex1*rp + tex2*(chain ? tex1 : 1)*rq.  Per-path
+            # ``stage_f`` routes radiance: 0 -> r (no pending texel),
+            # 1 -> rp (x texel1), 2 -> rq (x texel2, and x texel1 too when
+            # ``chain_f`` marks record 2 as the SAME path's second image
+            # hit).  used1/used2 are lane-persistent record consumption
+            # flags; a lane parks (stops regenerating) only after BOTH
+            # records are used, and the launch returns per-pixel completed-
+            # sample counts for the sum/count display (pallas_render_sample).
+            (used1_f, stage_f, used2_f, chain_f, iu, iv, iid,
+             iu2, iv2, iid2, rpx, rpy, rpz, rqx, rqy, rqz) = img_state
         # ---- path regeneration: a finished lane starts its next sample
         # immediately, so deep waves stay at full occupancy instead of
         # paying whole-tile vector cost for a few straggler paths ----
         nox, noy, noz, ndx, ndy, ndz = gen_ray()
         need = (alive_f < 0.5) & (done_f < spp_f)
         if has_images:
-            # the deferral record (iu/iv/iid) is single-use: a lane that has
-            # recorded its first image-texture hit parks after that sample
-            # instead of regenerating.  The launch returns per-pixel sample
-            # COUNTS; the caller accumulates sums and counts and divides at
-            # display — a ratio estimator that is consistent by Wald's
-            # identity (stopping time over iid samples), so progressive
-            # accumulation converges to the exact mean.
-            need = need & ~(post_f > 0.5)
+            # the deferral records are single-use: a lane parks (stops
+            # regenerating) once BOTH are consumed.  The launch returns
+            # per-pixel sample COUNTS; the caller accumulates sums and
+            # counts and divides at display — a ratio estimator that is
+            # consistent by Wald's identity (the park rule is a stopping
+            # time over iid samples), so progressive accumulation
+            # converges to the exact mean.
+            need = need & ~(used2_f > 0.5)
+            # a fresh path starts with no pending texel factor
+            stage_f = jnp.where(need, 0.0, stage_f)
         ox = jnp.where(need, nox, ox)
         oy = jnp.where(need, noy, oy)
         oz = jnp.where(need, noz, oz)
@@ -829,14 +868,14 @@ def _render_kernel(
             s_ref, clus_ref, super_ref, n_super,
             ox, oy, oz, dx, dy, dz,
             t_min, jnp.where(alive, BIG, t_min), has_rects,
-            order_ref=ord_ref,
+            order_ref=ord_ref, cluster=cluster, super_=super_,
         )
         hit = best_j >= 0.0
 
         # -------- payload reconstruction (winner attributes) --------
         def payload_cluster(ci, pay):
             in_cluster = jnp.any(
-                hit & (best_j >= ci * CLUSTER) & (best_j < (ci + 1) * CLUSTER)
+                hit & (best_j >= ci * cluster) & (best_j < (ci + 1) * cluster)
             )
 
             def prim_pay(j, pay):
@@ -846,16 +885,16 @@ def _render_kernel(
                 )
 
             def run(pay):
-                return lax.fori_loop(ci * CLUSTER, (ci + 1) * CLUSTER, prim_pay, pay)
+                return lax.fori_loop(ci * cluster, (ci + 1) * cluster, prim_pay, pay)
 
             return lax.cond(in_cluster, run, lambda p: p, pay)
 
         def payload_super(si, pay):
-            span = SUPER * CLUSTER
+            span = super_ * cluster
             in_super = jnp.any(hit & (best_j >= si * span) & (best_j < (si + 1) * span))
 
             def run(pay):
-                return lax.fori_loop(si * SUPER, (si + 1) * SUPER, payload_cluster, pay)
+                return lax.fori_loop(si * super_, (si + 1) * super_, payload_cluster, pay)
 
             return lax.cond(in_super, run, lambda p: p, pay)
 
@@ -930,15 +969,19 @@ def _render_kernel(
         addy = jnp.where(miss, tpy * skyg, 0.0)
         addz = jnp.where(miss, tpz * skyb, 0.0)
         if has_images:
-            # a missing lane cannot be this wave's first image hit, so the
-            # carried post flag routes its sky term correctly
-            postb = post_f > 0.5
-            rx = rx + jnp.where(postb, 0.0, addx)
-            ry = ry + jnp.where(postb, 0.0, addy)
-            rz = rz + jnp.where(postb, 0.0, addz)
-            rpx = rpx + jnp.where(postb, addx, 0.0)
-            rpy = rpy + jnp.where(postb, addy, 0.0)
-            rpz = rpz + jnp.where(postb, addz, 0.0)
+            # a missing lane cannot be this wave's image hit, so the
+            # carried per-path stage routes its sky term correctly
+            in1 = (stage_f > 0.5) & (stage_f < 1.5)
+            in2 = stage_f > 1.5
+            rx = rx + jnp.where(in1 | in2, 0.0, addx)
+            ry = ry + jnp.where(in1 | in2, 0.0, addy)
+            rz = rz + jnp.where(in1 | in2, 0.0, addz)
+            rpx = rpx + jnp.where(in1, addx, 0.0)
+            rpy = rpy + jnp.where(in1, addy, 0.0)
+            rpz = rpz + jnp.where(in1, addz, 0.0)
+            rqx = rqx + jnp.where(in2, addx, 0.0)
+            rqy = rqy + jnp.where(in2, addy, 0.0)
+            rqz = rqz + jnp.where(in2, addz, 0.0)
         else:
             rx = rx + addx
             ry = ry + addy
@@ -954,17 +997,20 @@ def _render_kernel(
 
         if has_images:
             # -------- image texture (Texture.cuh:70-109), deferred --------
-            # The atlas cannot be gathered per-lane in-kernel; instead the
-            # FIRST image-texture factor along each path is deferred: the
-            # kernel records (u, v, slot), treats the albedo as white, and
-            # routes all later radiance through rp* — the XLA epilogue
-            # multiplies by the sampled texel.  Exact for paths with one
-            # image hit; later image hits use the atlas mean color packed
-            # into PACKA (dielectrics ignore textures, Material.cuh:97-146).
+            # The atlas cannot be gathered per-lane in-kernel; instead each
+            # image-texture factor is deferred into one of TWO per-lane
+            # (u, v, slot) records: the kernel treats the albedo as white,
+            # bumps the path's stage so later radiance routes through
+            # rp*/rq*, and the XLA epilogue multiplies by the gathered
+            # texels.  Exact for up to two image records per lane per
+            # launch; hits beyond that use the atlas mean color packed into
+            # PACKA (dielectrics ignore textures, Material.cuh:97-146).
             lit_i = alive & hit
             has_data = tidp1 > 0.5
             is_img = (tex > 1.5) & lit_i
-            first = is_img & has_data & ~(post_f > 0.5) & ~is_diel
+            eligible = is_img & has_data & ~is_diel
+            first = eligible & ~(used1_f > 0.5)
+            second = eligible & (used1_f > 0.5) & ~(used2_f > 0.5)
             # sphere UV (GetSphereUV, Hittable.cuh:119-125) from the
             # outward unit normal (pre face-flip)
             phi = _atan2(-snz, snx) + math.pi
@@ -990,12 +1036,22 @@ def _render_kernel(
             iu = jnp.where(first, uu, iu)
             iv = jnp.where(first, vv, iv)
             iid = jnp.where(first, tidp1 - 1.0, iid)
-            post_f = jnp.where(first, 1.0, post_f)
-            # image albedo: white at the deferred first hit, atlas mean
-            # color later; cyan when the slot is empty (Texture.cuh:88-89)
-            imr = jnp.where(first, 1.0, alr)
-            img_g = jnp.where(first, 1.0, alg)
-            imb = jnp.where(first, 1.0, alb)
+            iu2 = jnp.where(second, uu, iu2)
+            iv2 = jnp.where(second, vv, iv2)
+            iid2 = jnp.where(second, tidp1 - 1.0, iid2)
+            # record 2 on a stage-1 path is the SAME path's second image
+            # hit: the epilogue must apply texel1 * texel2 to rq
+            chain_f = jnp.where(second & (stage_f > 0.5), 1.0, chain_f)
+            used1_f = jnp.where(first, 1.0, used1_f)
+            used2_f = jnp.where(second, 1.0, used2_f)
+            stage_f = jnp.where(first, 1.0, jnp.where(second, 2.0, stage_f))
+            deferred = first | second
+            # image albedo: white at a deferred hit, atlas mean color when
+            # both records are spent; cyan when the slot is empty
+            # (Texture.cuh:88-89)
+            imr = jnp.where(deferred, 1.0, alr)
+            img_g = jnp.where(deferred, 1.0, alg)
+            imb = jnp.where(deferred, 1.0, alb)
             imr = jnp.where(has_data, imr, 0.0)
             img_g = jnp.where(has_data, img_g, 1.0)
             imb = jnp.where(has_data, imb, 1.0)
@@ -1072,15 +1128,20 @@ def _render_kernel(
         emy = jnp.where(emit, tpy * li * texg, 0.0)
         emz = jnp.where(emit, tpz * li * texb, 0.0)
         if has_images:
-            # post flag updated above: emission AT the first image hit is
-            # itself scaled by the texel, so it routes post
-            postb = post_f > 0.5
-            rx = rx + jnp.where(postb, 0.0, emx)
-            ry = ry + jnp.where(postb, 0.0, emy)
-            rz = rz + jnp.where(postb, 0.0, emz)
-            rpx = rpx + jnp.where(postb, emx, 0.0)
-            rpy = rpy + jnp.where(postb, emy, 0.0)
-            rpz = rpz + jnp.where(postb, emz, 0.0)
+            # stage updated above: emission AT a deferred image hit is
+            # itself scaled by that hit's texel, so it routes by the
+            # POST-bump stage (1 -> rp x texel1, 2 -> rq x texel2[,1])
+            em1 = (stage_f > 0.5) & (stage_f < 1.5)
+            em2 = stage_f > 1.5
+            rx = rx + jnp.where(em1 | em2, 0.0, emx)
+            ry = ry + jnp.where(em1 | em2, 0.0, emy)
+            rz = rz + jnp.where(em1 | em2, 0.0, emz)
+            rpx = rpx + jnp.where(em1, emx, 0.0)
+            rpy = rpy + jnp.where(em1, emy, 0.0)
+            rpz = rpz + jnp.where(em1, emz, 0.0)
+            rqx = rqx + jnp.where(em2, emx, 0.0)
+            rqy = rqy + jnp.where(em2, emy, 0.0)
+            rqz = rqz + jnp.where(em2, emz, 0.0)
         else:
             rx = rx + emx
             ry = ry + emy
@@ -1137,15 +1198,16 @@ def _render_kernel(
         out = (it + 1, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
                rx, ry, rz, jnp.where(cont, 1.0, 0.0), done_f, depth_f)
         if has_images:
-            out = out + (post_f, iu, iv, iid, rpx, rpy, rpz)
+            out = out + (used1_f, stage_f, used2_f, chain_f, iu, iv, iid,
+                         iu2, iv2, iid2, rpx, rpy, rpz, rqx, rqy, rqz)
         return out
 
     def bounce_cond(state):
         it = state[0]
         alive_f, done_f = state[14], state[15]
         if has_images:
-            # parked lanes (deferral record used) count as finished
-            done_f = jnp.where(state[17] > 0.5, spp_f, done_f)
+            # parked lanes (both deferral records used) count as finished
+            done_f = jnp.where(state[19] > 0.5, spp_f, done_f)
         # every unfinished lane traces exactly one ray per iteration, so
         # spp*max_depth bounds the loop; the vector exit fires much earlier
         return (it < cnt_ref[5] * max_depth) & (
@@ -1156,20 +1218,30 @@ def _render_kernel(
             zeros, zeros, zeros, zeros, zeros, ones,
             ones, ones, ones, zeros, zeros, zeros, zeros, done0, zeros)
     if has_images:
-        init = init + (zeros, zeros, zeros, jnp.full(shape, -1.0), zeros,
-                       zeros, zeros)
+        neg1 = jnp.full(shape, -1.0)
+        # used1, stage, used2, chain, iu, iv, iid, iu2, iv2, iid2, rp*, rq*
+        init = init + (zeros, zeros, zeros, zeros, zeros, zeros, neg1,
+                       zeros, zeros, neg1, zeros, zeros, zeros,
+                       zeros, zeros, zeros)
     final = lax.while_loop(bounce_cond, bounce_body, init)
     out_ref[0] = final[11]
     out_ref[1] = final[12]
     out_ref[2] = final[13]
     if has_images:
-        out_ref[3] = final[21]  # rpx
-        out_ref[4] = final[22]
-        out_ref[5] = final[23]
-        out_ref[6] = final[18]  # iu
-        out_ref[7] = final[19]  # iv
-        out_ref[8] = final[20]  # iid
-        out_ref[9] = final[15]  # per-pixel completed-sample counts
+        out_ref[3] = final[27]  # rpx (x texel1 in the epilogue)
+        out_ref[4] = final[28]
+        out_ref[5] = final[29]
+        out_ref[6] = final[30]  # rqx (x texel2 [x texel1 if chained])
+        out_ref[7] = final[31]
+        out_ref[8] = final[32]
+        out_ref[9] = final[21]  # iu
+        out_ref[10] = final[22]  # iv
+        out_ref[11] = final[23]  # iid
+        out_ref[12] = final[24]  # iu2
+        out_ref[13] = final[25]  # iv2
+        out_ref[14] = final[26]  # iid2
+        out_ref[15] = final[20]  # chain flag
+        out_ref[16] = final[15]  # per-pixel completed-sample counts
     # mask write instead of .at[].set (Mosaic has no scatter)
     rr_i = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cc_i = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -1203,24 +1275,29 @@ def pallas_render_sample(
     atlas: jnp.ndarray | None = None,  # uint8[S,AH,AW,3] (image textures)
     tex_hw: jnp.ndarray | None = None,  # i32[S,2]
     with_stats: bool = False,
+    cluster: int = CLUSTER,
+    super_: int = SUPER,
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
 
     When ``atlas``/``tex_hw`` are given (p_tab packed with
     ``pack_scene_tables(with_uv=True)``) image textures are sampled via
-    first-hit deferral: the kernel records each lane's first image-texture
-    (u, v, slot) and splits radiance into pre/post accumulators; one XLA
-    gather per frame applies the texel (exact nearest-neighbor semantics of
-    Texture.cuh:70-109 for the first hit; later image hits along the same
-    path use the texture's mean color).  The record is single-use, so in
-    image mode a lane path-regenerates across samples only until its first
-    image hit, then parks; the call returns ``(img, counts)`` (plus the ray
-    total with ``with_stats``) where ``counts`` is the per-pixel number of
-    completed samples in [1, spp].  Callers must accumulate radiance sums
-    AND counts and divide sum/count at display: that ratio estimator is
-    consistent (Wald's identity — the park rule is a stopping time over iid
-    samples), so progressive accumulation converges to the exact mean.
+    two-record deferral: the kernel records up to TWO image-texture
+    (u, v, slot) lookups per lane and splits radiance into three
+    accumulators; the XLA epilogue computes
+    ``r + tex1*rp + tex2*(tex1 if chained else 1)*rq`` — the exact
+    nearest-neighbor semantics of Texture.cuh:70-109 for up to two image
+    factors per lane per launch (one path with two image hits, or two
+    samples with one each); third-and-later hits use the texture's mean
+    color.  The records are single-use, so in image mode a lane
+    path-regenerates across samples until both are consumed, then parks;
+    the call returns ``(img, counts)`` (plus the ray total with
+    ``with_stats``) where ``counts`` is the per-pixel number of completed
+    samples in [1, spp].  Callers must accumulate radiance sums AND counts
+    and divide sum/count at display: that ratio estimator is consistent
+    (Wald's identity — the park rule is a stopping time over iid samples),
+    so progressive accumulation converges to the exact mean.
 
     Samples are path-regenerated in-kernel: a lane whose path terminates
     immediately starts its next sample, so the bounce waves stay at full
@@ -1248,7 +1325,7 @@ def pallas_render_sample(
     has_images = atlas is not None
     expect_rows = P_ROWS_UV if has_images else P_ROWS
     assert p_tab.shape[0] == expect_rows, (p_tab.shape, has_images)
-    nchan = 10 if has_images else 3
+    nchan = 17 if has_images else 3
     grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([
         jnp.asarray(n_super, jnp.int32),
@@ -1263,6 +1340,7 @@ def pallas_render_sample(
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, rr_start=rr_start,
+        cluster=cluster, super_=super_,
     )
     out = pl.pallas_call(
         kern,
@@ -1298,23 +1376,33 @@ def pallas_render_sample(
         interpret=interpret,
     )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
     if has_images:
-        # XLA epilogue: apply the deferred first-hit texel (nearest-neighbor
-        # lookup of Texture.cuh:83-105, matching ops/textures.py)
+        # XLA epilogue: apply the deferred texels (nearest-neighbor lookup
+        # of Texture.cuh:83-105, matching ops/textures.py).  Two records
+        # per lane: radiance = pre + tex1*rp + tex2*(chain ? tex1 : 1)*rq
+        # — exact for up to two image-texture factors per lane per launch.
+        def texel_at(iu, iv, iid):
+            slot = jnp.maximum(iid.astype(jnp.int32), 0)
+            hw = tex_hw[slot]  # [band_h, pad_w, 2]
+            th = hw[..., 0]
+            tw = hw[..., 1]
+            uu = jnp.clip(iu, 0.0, 1.0)
+            vv = 1.0 - jnp.clip(iv, 0.0, 1.0)
+            ti = jnp.clip((uu * tw.astype(jnp.float32)).astype(jnp.int32),
+                          0, jnp.maximum(tw - 1, 0))
+            tj = jnp.clip((vv * th.astype(jnp.float32)).astype(jnp.int32),
+                          0, jnp.maximum(th - 1, 0))
+            texel = atlas[slot, tj, ti].astype(jnp.float32) * (1.0 / 255.0)
+            return jnp.transpose(texel, (2, 0, 1))  # [3, band_h, pad_w]
+
         pre = out[0][0:3]
         post = out[0][3:6]
-        iu, iv, iid = out[0][6], out[0][7], out[0][8]
-        slot = jnp.maximum(iid.astype(jnp.int32), 0)
-        hw = tex_hw[slot]  # [band_h, pad_w, 2]
-        th = hw[..., 0]
-        tw = hw[..., 1]
-        uu = jnp.clip(iu, 0.0, 1.0)
-        vv = 1.0 - jnp.clip(iv, 0.0, 1.0)
-        ti = jnp.clip((uu * tw.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(tw - 1, 0))
-        tj = jnp.clip((vv * th.astype(jnp.float32)).astype(jnp.int32), 0, jnp.maximum(th - 1, 0))
-        texel = atlas[slot, tj, ti].astype(jnp.float32) * (1.0 / 255.0)
-        rad = pre + jnp.transpose(texel, (2, 0, 1)) * post
+        postq = out[0][6:9]
+        tex1 = texel_at(out[0][9], out[0][10], out[0][11])
+        tex2 = texel_at(out[0][12], out[0][13], out[0][14])
+        chain = out[0][15][None] > 0.5
+        rad = pre + tex1 * post + tex2 * jnp.where(chain, tex1, 1.0) * postq
         img = jnp.transpose(rad, (1, 2, 0))
-        counts = out[0][9]
+        counts = out[0][16]
         if with_stats:
             return img, counts, jnp.sum(out[1])
         return img, counts

@@ -137,6 +137,8 @@ def render_sharded_pallas(
     rr_start: int = 0,
     atlas=None,
     tex_hw=None,
+    cluster: int | None = None,
+    super_: int | None = None,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -149,7 +151,12 @@ def render_sharded_pallas(
     over the samples axis with the same single psum — callers display
     sum/count (the Wald-consistent ratio, see pallas_render_sample).
     """
-    from ..ops.pallas.render_kernel import pallas_render_sample
+    from ..ops.pallas.render_kernel import CLUSTER, SUPER, pallas_render_sample
+
+    if cluster is None:
+        cluster = CLUSTER
+    if super_ is None:
+        super_ = SUPER
 
     n_rows = mesh.shape["rows"]
     n_samp = mesh.shape["samples"]
@@ -184,6 +191,7 @@ def render_sharded_pallas(
             y0=ri * band_h, band_h=band_h, spp=spp, rr_start=rr_start,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
+            cluster=cluster, super_=super_,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

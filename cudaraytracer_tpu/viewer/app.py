@@ -430,9 +430,11 @@ class _PallasPipeline:
         # sampled by an XLA epilogue) and render 1 spp per launch
         idx0 = scene.active_indices()
         self.has_images = bool((scene.tex_type[idx0] == 2).any())
-        S, P, C, SC, n_super, _prim_map = pack_scene_tables(
-            scene, with_uv=self.has_images)
-        self._tabs = (jnp.asarray(S), jnp.asarray(P), jnp.asarray(C), jnp.asarray(SC))
+        t = pack_scene_tables(scene, with_uv=self.has_images)
+        n_super = t.n_super
+        cluster, super_ = t.cluster, t.super_
+        self._tabs = (jnp.asarray(t.S), jnp.asarray(t.P),
+                      jnp.asarray(t.clusters), jnp.asarray(t.supers))
         # IMPORTANT: device arrays must be jit ARGUMENTS, never closure
         # captures — a captured device array becomes an MLIR constant and
         # lowering fetches its VALUE device->host (array.py _value), which
@@ -480,6 +482,7 @@ class _PallasPipeline:
                 spp=spp, rr_start=getattr(cfg, "rr_start", 0),
                 atlas=atl[0] if has_images else None,
                 tex_hw=atl[1] if has_images else None,
+                cluster=cluster, super_=super_,
             )
             if has_images:
                 rad, counts = out

@@ -167,6 +167,123 @@ def test_pallas_image_texture_matches_xla():
     assert bot[..., 2].mean() > bot[..., 0].mean()
 
 
+def test_pallas_two_image_hits_one_path_exact():
+    """ADVERSARIAL two-image-hit case (round-2 verdict Missing #2): an
+    image-textured MIRROR (fuzz 0) reflecting onto an image-textured LIGHT
+    gives a path with two image-texture factors and ZERO Monte-Carlo
+    randomness — radiance = texA(u1,v1) * intensity * texB(u2,v2) exactly.
+    The two-record deferral (render_kernel.py) must match the XLA renderer
+    (exact per-hit sampling, Texture.cuh:83-105) to float tolerance; the
+    old single-record kernel would have used texB's MEAN COLOR here."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import (
+        DIFFUSE_LIGHT, IMAGE, METAL, Scene)
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = Scene(capacity=8, background_start=(0, 0, 0),
+                  background_end=(0, 0, 0))
+    # mirror texture: left half orange, right half cyan — NOT its mean
+    texa = np.zeros((16, 32, 3), np.uint8)
+    texa[:, :16] = (255, 128, 0)
+    texa[:, 16:] = (0, 128, 255)
+    sa = scene.load_image_texture(texa)
+    # light texture: top green, bottom magenta — NOT its mean either
+    texb = np.zeros((16, 32, 3), np.uint8)
+    texb[:8] = (255, 0, 255)   # image rows 0.. = v near 1 (texture TOP)
+    texb[8:] = (0, 255, 0)
+    sb = scene.load_image_texture(texb)
+    scene.add_xy_rect((0, 1, -2), 6, 6, mat_type=METAL, fuzz=0.0,
+                      tex_type=IMAGE, tex_id=sa)
+    scene.add_xy_rect((0, 1, 2), 20, 20, mat_type=DIFFUSE_LIGHT, light=2.0,
+                      tex_type=IMAGE, tex_id=sb)
+    sd = scene.device()
+    cam = make_camera_params(origin=(0.0, 1.0, 0.0), forward=(0.0, 0.0, -1.0))
+    W, H, D = 128, 16, 3
+    t = pack_scene_tables(scene, with_uv=True)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        img, counts = pallas_render_sample(
+            *tabs, t.n_super, cam_vec, 3, D,
+            width=W, height=H, camera_model="look_at",
+            tile_h=16, tile_w=128, atlas=sd.atlas, tex_hw=sd.tex_hw,
+        )
+    pal = np.asarray(img)[:H, :W] / np.maximum(
+        np.asarray(counts)[:H, :W], 1.0)[..., None]
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), 1, D,
+                        width=W, height=H, camera_model="look_at"))
+    assert np.isfinite(pal).all()
+    # the path is deterministic (mirror fuzz 0, light terminates) but the
+    # SUBPIXEL jitter differs between the two RNGs, so pixels straddling a
+    # geometry or texel edge flip either way: compare away from xla's
+    # discontinuities (3x3 local spread < 1e-2)
+    from scipy.ndimage import maximum_filter, minimum_filter
+    spread = (maximum_filter(xla, size=(3, 3, 1))
+              - minimum_filter(xla, size=(3, 3, 1))).max(-1)
+    smooth = spread < 1e-2
+    assert smooth.mean() > 0.8  # the mask keeps the bulk of the image
+    err = np.abs(pal - xla).max(-1)
+    assert err[smooth].max() < 1e-4, (
+        f"max interior err {err[smooth].max()} (mean-color leak?)")
+    # sanity: the product structure is visible — the mirror's right half
+    # (cyan texel) kills red while the light's lower half (green texel)
+    # lights it, and the old mean-color kernel could produce neither
+    assert pal.max() > 0.5  # the light does illuminate the mirror
+    assert (pal[:, :, 1] > 0.9).any()  # texA.g * 2 * texB.g == 1.004 region
+
+
+def test_pallas_two_samples_one_image_hit_each():
+    """Cross-sample use of the second deferral record: with spp=2 batched
+    in ONE launch, a lane whose first sample consumed record 1 must run its
+    SECOND sample through record 2 (unchained: texel2 only), completing
+    counts=2 — the old kernel parked at counts=1.  Camera stares at an
+    image-textured light: both samples are the same deterministic one-hit
+    path, so sum/count equals intensity * texel exactly."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import DIFFUSE_LIGHT, IMAGE, Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = Scene(capacity=4, background_start=(0, 0, 0),
+                  background_end=(0, 0, 0))
+    tex = np.zeros((16, 32, 3), np.uint8)
+    tex[:, :16] = (200, 60, 20)
+    tex[:, 16:] = (20, 60, 200)
+    slot = scene.load_image_texture(tex)
+    scene.add_xy_rect((0, 1, -2), 20, 20, mat_type=DIFFUSE_LIGHT, light=1.5,
+                      tex_type=IMAGE, tex_id=slot)
+    sd = scene.device()
+    cam = make_camera_params(origin=(0.0, 1.0, 0.0), forward=(0.0, 0.0, -1.0))
+    W, H, D = 128, 16, 3
+    t = pack_scene_tables(scene, with_uv=True)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        img, counts = pallas_render_sample(
+            *tabs, t.n_super, cam_vec, 5, D,
+            width=W, height=H, camera_model="look_at",
+            tile_h=16, tile_w=128, spp=2, atlas=sd.atlas, tex_hw=sd.tex_hw,
+        )
+    img = np.asarray(img)[:H, :W]
+    counts = np.asarray(counts)[:H, :W]
+    # both samples completed: record 2 extends occupancy past the old
+    # park-at-first-image-hit behavior
+    assert counts.min() == 2 and counts.max() == 2
+    pal = img / counts[..., None]
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), 1, D,
+                        width=W, height=H, camera_model="look_at"))
+    assert np.abs(pal - xla).max() < 1e-4
+
+
 def test_look_at_camera_geometry():
     """Geometric golden test for the look_at camera (camera.py:90-116):
     a bright sphere at a known world position must project to the pixel

@@ -98,7 +98,14 @@ def test_sharded_pallas_image_mode():
     """Image-texture scenes on the multi-chip megakernel path: each chip
     returns (radiance, counts) for its band, both psum'd over the samples
     axis in one collective; sum/count must reproduce the image colors
-    (the same Wald-consistent ratio the single-chip viewer displays)."""
+    (the same Wald-consistent ratio the single-chip viewer displays).
+
+    2x2 mesh, not 4x2: the interpret simulator requires every device's
+    kernel callback to run CONCURRENTLY (it synchronizes them on a
+    threading.Barrier), and with image mode's XLA texel-gather epilogue
+    competing for the same host thread pool an 8-device run starves the
+    barrier and deadlocks.  Simulator artifact only — the compiled path
+    has no such constraint, and non-image 8-device tests still run."""
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
@@ -118,8 +125,8 @@ def test_sharded_pallas_image_mode():
                       tex_type=IMAGE, tex_id=slot)
     sd = scene.device()
     t = pack_scene_tables(scene, with_uv=True)
-    mesh = make_mesh(n_rows=4, n_samples=2)
-    W, H = 128, 64
+    mesh = make_mesh(n_rows=2, n_samples=2, devices=jax.devices()[:4])
+    W, H = 128, 32
     cam = make_camera_params(origin=(0.0, 1.0, 0.0), forward=(0.0, 0.0, -1.0))
     cam_vec = pack_camera(cam, sd, W, H, 1e-3)
     tables = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
@@ -139,7 +146,7 @@ def test_sharded_pallas_image_mode():
     img = rad / np.maximum(counts, 1.0)[..., None]
     assert np.isfinite(img).all()
     # the rect fills the view center: left half green, right half magenta
-    lp, rp = img[24:40, 20:50], img[24:40, 78:108]
+    lp, rp = img[12:20, 20:50], img[12:20, 78:108]
     assert lp[..., 1].mean() > lp[..., 0].mean()
     assert rp[..., 0].mean() > rp[..., 1].mean()
 
