@@ -411,3 +411,36 @@ def test_pallas_rect_image_uv_matches_xla():
     lp, rp = pal[20:28, 30:44], pal[20:28, 52:66]
     assert lp[..., 1].mean() > lp[..., 0].mean()  # left: green dominant
     assert rp[..., 0].mean() > rp[..., 1].mean()  # right: magenta dominant
+
+
+def test_cluster_super_parameterization_invariance():
+    """Tables packed and rendered with any (cluster, super) geometry must
+    produce bit-identical images (culling geometry never affects hit
+    results), and the native packer must agree with NumPy at non-default
+    geometries (round-3 scene-size-adaptive plumbing)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = scenes.default_scene()
+    sd = scene.device()
+    W, H = 128, 16
+    cam_vec = pack_camera(scenes.default_scene_camera(), sd, W, H, 1e-3)
+    outs = []
+    for (c, s) in [(28, 4), (20, 2), (12, 8)]:
+        t = pack_scene_tables(scene, cluster=c, super_=s)
+        assert (t.cluster, t.super_) == (c, s)
+        tn = pack_scene_tables(scene, force_numpy=True, cluster=c, super_=s)
+        for a, b in zip(t[:4], tn[:4]):
+            assert a.shape == b.shape and np.array_equal(a, b)
+        tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+        with pltpu.force_tpu_interpret_mode():
+            img = pallas_render_sample(
+                *tabs, t.n_super, cam_vec, 7, 4,
+                width=W, height=H, camera_model="two_plane",
+                tile_h=16, tile_w=128, cluster=t.cluster, super_=t.super_)
+        outs.append(np.asarray(img))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
