@@ -20,6 +20,7 @@ CudaLayer frame orchestration, Cuda/CudaLayer.cpp:364-387):
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -416,6 +417,55 @@ class RenderLayer(Layer):
         return max(self._spp_done, 1)
 
 
+@functools.lru_cache(maxsize=16)
+def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
+                 has_rects, has_images, rr_start, cluster, super_):
+    """Jitted megakernel step, cached by its STATIC configuration.
+
+    The pipeline is rebuilt on every scene edit (the reference's drag-edit
+    -> rebuild hot path); a fresh ``jax.jit`` closure per rebuild would
+    re-TRACE the 1300-line kernel each time (seconds of host work per
+    interactive edit) even though XLA's compile cache hits.  Everything
+    that varies across edits — tables, n_super, atlas — is a runtime
+    ARGUMENT (n_super is read from SMEM in-kernel), so edits that keep the
+    static config reuse the exact same jitted callable and pay nothing.
+    """
+    import jax
+
+    from ..ops.pallas.render_kernel import pallas_render_sample
+
+    @jax.jit
+    def _step(S, P, C, SC, n_super, cam_vec, seed, depth, spp,
+              accum, caccum, *atl):
+        # the camera vector is packed on the HOST (pack_camera_np) and
+        # enters as ONE f32[38] argument per frame: eager per-frame jnp
+        # packing costs ~30 device dispatches (round trips over a
+        # tunneled link), and packing INSIDE the jit feeds the Mosaic
+        # SMEM operand from an XLA intermediate instead of an
+        # executable parameter (a path this kernel has never run on
+        # real hardware — parameters are the proven form)
+        # true width/height drive the camera math; pad_w/band_h only
+        # size the physical (tile-aligned) output, cropped below
+        out = pallas_render_sample(
+            S, P, C, SC, n_super, cam_vec, seed, depth,
+            width=width, height=height,
+            pad_w=wpad, band_h=hpad,
+            camera_model=camera_model,
+            tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+            spp=spp, rr_start=rr_start,
+            atlas=atl[0] if has_images else None,
+            tex_hw=atl[1] if has_images else None,
+            cluster=cluster, super_=super_,
+        )
+        if has_images:
+            rad, counts = out
+            return (accum + rad[:height, :width],
+                    caccum + counts[:height, :width])
+        return accum + out[:height, :width], caccum
+
+    return _step
+
+
 class _PallasPipeline:
     """Megakernel dispatch path (accel='pallas')."""
 
@@ -423,8 +473,7 @@ class _PallasPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..ops.pallas.render_kernel import (
-            pack_scene_tables, pallas_render_sample)
+        from ..ops.pallas.render_kernel import pack_scene_tables
 
         # image-texture scenes use first-hit deferral in-kernel (atlas
         # sampled by an XLA epilogue) and render 1 spp per launch
@@ -460,37 +509,12 @@ class _PallasPipeline:
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
-        has_images = self.has_images
-
-        @jax.jit
-        def _step(S, P, C, SC, cam_vec, seed, depth, spp, accum, caccum, *atl):
-            # the camera vector is packed on the HOST (pack_camera_np) and
-            # enters as ONE f32[38] argument per frame: eager per-frame jnp
-            # packing costs ~30 device dispatches (round trips over a
-            # tunneled link), and packing INSIDE the jit feeds the Mosaic
-            # SMEM operand from an XLA intermediate instead of an
-            # executable parameter (a path this kernel has never run on
-            # real hardware — parameters are the proven form)
-            # true width/height drive the camera math; pad_w/band_h only
-            # size the physical (tile-aligned) output, cropped below
-            out = pallas_render_sample(
-                S, P, C, SC, n_super, cam_vec, seed, depth,
-                width=cfg.width, height=cfg.height,
-                pad_w=self._wpad, band_h=self._hpad,
-                camera_model=cfg.camera_model,
-                tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
-                spp=spp, rr_start=getattr(cfg, "rr_start", 0),
-                atlas=atl[0] if has_images else None,
-                tex_hw=atl[1] if has_images else None,
-                cluster=cluster, super_=super_,
-            )
-            if has_images:
-                rad, counts = out
-                return (accum + rad[: cfg.height, : cfg.width],
-                        caccum + counts[: cfg.height, : cfg.width])
-            return accum + out[: cfg.height, : cfg.width], caccum
-
-        self._step = _step
+        # cached jitted step: rebuilds with the same static config reuse
+        # the exact same callable (no re-trace per scene edit)
+        self._step = _pallas_step(
+            cfg.width, cfg.height, self._wpad, self._hpad,
+            cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
+            getattr(cfg, "rr_start", 0), cluster, super_)
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
                    caccum, spp: int = 1):
@@ -506,8 +530,10 @@ class _PallasPipeline:
             cam, self._sky.background_start, self._sky.background_end,
             self._cfg.width, self._cfg.height, self._cfg.t_min)
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
-        return self._step(*self._tabs, cam_vec, seed,
-                          max_depth, spp, accum, caccum, *self._atlas)
+        import numpy as _np
+
+        return self._step(*self._tabs, _np.int32(self._n_super), cam_vec,
+                          seed, max_depth, spp, accum, caccum, *self._atlas)
 
 
 class Application:

@@ -112,6 +112,28 @@ def test_pallas_accel_app_interpret():
     app.close()
 
 
+def test_pallas_step_cached_across_edits():
+    """Scene edits rebuild the pallas pipeline; the jitted step must be
+    REUSED (same callable) across rebuilds with the same static config —
+    a fresh jax.jit per edit re-traces the megakernel on every interactive
+    drag (round-3 fix; n_super is a runtime argument read from SMEM)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    app = Application(small_cfg(accel="pallas", width=128, height=16))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        app.run(max_frames=1)
+        step0 = rl._pallas._step
+        rl.scene.add_sphere((0, 1, 0), 0.4)  # edit -> pipeline rebuild
+        app.run(max_frames=1)
+        assert rl._pallas._step is step0  # no re-trace
+        rl.scene.update(int(rl.scene.active_indices()[0]),
+                        albedo=(0.9, 0.1, 0.1))
+        app.run(max_frames=1)
+        assert rl._pallas._step is step0
+    app.close()
+
+
 def test_metrics_snapshot():
     app = Application(small_cfg())
     rl = app.setup_default_layers()
@@ -316,7 +338,7 @@ def test_step_lowering_embeds_no_device_constants():
             cam, rl.scene.background_start, rl.scene.background_end,
             rl.cfg.width, rl.cfg.height, rl.cfg.t_min)
         lowered = pl_pipe._step.lower(
-            *pl_pipe._tabs, cam_vec,
+            *pl_pipe._tabs, jnp.int32(pl_pipe._n_super), cam_vec,
             jnp.int32(1), jnp.int32(2), jnp.int32(1),
             rl._accum, rl._counts, *pl_pipe._atlas,
         )
