@@ -233,6 +233,10 @@ def main():
                         "pick_cluster_super; 32 is a measured 30x cliff)")
     p.add_argument("--super", dest="super_", type=int, default=None,
                    help="clusters per supercluster (default: adaptive)")
+    p.add_argument("--octant-split", dest="octant_split", action="store_true",
+                   help="probe: per-direction-bucket hierarchical search "
+                        "(two masked searches with their own front-to-back "
+                        "orders); bit-identical output, measured for perf")
     p.add_argument("--rr-start", dest="rr_start", type=int, default=2,
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
@@ -334,6 +338,7 @@ def main():
                 atlas=atl[0] if has_images else None,
                 tex_hw=atl[1] if has_images else None,
                 cluster=t.cluster, super_=t.super_,
+                octant_split=args.octant_split,
             )
             if has_images:
                 img, _counts, nrays = out

@@ -671,6 +671,7 @@ def _render_kernel(
     rr_start: int,
     cluster: int = CLUSTER,
     super_: int = SUPER,
+    octant_split: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -826,50 +827,82 @@ def _render_kernel(
         # far clusters that an arbitrary (Morton) visit order would enter.
         # Pure perf: closest-hit is visit-order independent.  All scalar
         # SMEM work: ~n_super^2 ops per wave, negligible vs the prim loops.
-        na = 1.0 / jnp.maximum(jnp.sum(alive_f), 1.0)
-        mox = jnp.sum(ox * alive_f) * na
-        moy = jnp.sum(oy * alive_f) * na
-        moz = jnp.sum(oz * alive_f) * na
-        def fill_key(si, carry):
-            # clamped squared point-to-box distance (0 inside the box); a
-            # direction-aware key (mean-ray slab entry t) was measured
-            # SLOWER: more scalar work per super, no additional pruning
-            ax = jnp.maximum(jnp.maximum(super_ref[0, si] - mox,
-                                         mox - super_ref[3, si]), 0.0)
-            ay = jnp.maximum(jnp.maximum(super_ref[1, si] - moy,
-                                         moy - super_ref[4, si]), 0.0)
-            az = jnp.maximum(jnp.maximum(super_ref[2, si] - moz,
-                                         moz - super_ref[5, si]), 0.0)
-            key_ref[si] = ax * ax + ay * ay + az * az
-            ord_ref[si] = si
-            return carry
+        def front_to_back_order(sel_f):
+            """Fill ord_ref with superclusters sorted by clamped squared
+            distance from the mean origin of the ``sel_f``-selected lanes
+            (0 inside the box).  A direction-aware key (mean-ray slab entry
+            t) was measured SLOWER: more scalar work, no extra pruning."""
+            na = 1.0 / jnp.maximum(jnp.sum(sel_f), 1.0)
+            mox = jnp.sum(ox * sel_f) * na
+            moy = jnp.sum(oy * sel_f) * na
+            moz = jnp.sum(oz * sel_f) * na
 
-        lax.fori_loop(0, n_super, fill_key, 0)
+            def fill_key(si, carry):
+                ax = jnp.maximum(jnp.maximum(super_ref[0, si] - mox,
+                                             mox - super_ref[3, si]), 0.0)
+                ay = jnp.maximum(jnp.maximum(super_ref[1, si] - moy,
+                                             moy - super_ref[4, si]), 0.0)
+                az = jnp.maximum(jnp.maximum(super_ref[2, si] - moz,
+                                             moz - super_ref[5, si]), 0.0)
+                key_ref[si] = ax * ax + ay * ay + az * az
+                ord_ref[si] = si
+                return carry
 
-        def sort_outer(i, carry):
-            def sort_inner(j, carry2):
-                ki = key_ref[i]
-                kj = key_ref[j]
-                oi = ord_ref[i]
-                oj = ord_ref[j]
-                sw = kj < ki
-                key_ref[i] = jnp.where(sw, kj, ki)
-                key_ref[j] = jnp.where(sw, ki, kj)
-                ord_ref[i] = jnp.where(sw, oj, oi)
-                ord_ref[j] = jnp.where(sw, oi, oj)
-                return carry2
+            lax.fori_loop(0, n_super, fill_key, 0)
 
-            return lax.fori_loop(i + 1, n_super, sort_inner, carry)
+            def sort_outer(i, carry):
+                def sort_inner(j, carry2):
+                    ki = key_ref[i]
+                    kj = key_ref[j]
+                    oi = ord_ref[i]
+                    oj = ord_ref[j]
+                    sw = kj < ki
+                    key_ref[i] = jnp.where(sw, kj, ki)
+                    key_ref[j] = jnp.where(sw, ki, kj)
+                    ord_ref[i] = jnp.where(sw, oj, oi)
+                    ord_ref[j] = jnp.where(sw, oi, oj)
+                    return carry2
 
-        lax.fori_loop(0, n_super - 1, sort_outer, 0)
+                return lax.fori_loop(i + 1, n_super, sort_inner, carry)
+
+            lax.fori_loop(0, n_super - 1, sort_outer, 0)
 
         # -------- closest hit (shared hierarchical search) --------
-        best_t, best_j = hierarchical_search(
-            s_ref, clus_ref, super_ref, n_super,
-            ox, oy, oz, dx, dy, dz,
-            t_min, jnp.where(alive, BIG, t_min), has_rects,
-            order_ref=ord_ref, cluster=cluster, super_=super_,
-        )
+        if not octant_split:
+            front_to_back_order(alive_f)
+            best_t, best_j = hierarchical_search(
+                s_ref, clus_ref, super_ref, n_super,
+                ox, oy, oz, dx, dy, dz,
+                t_min, jnp.where(alive, BIG, t_min), has_rects,
+                order_ref=ord_ref, cluster=cluster, super_=super_,
+            )
+        else:
+            # MEASURED PROBE (round-3 verdict Next #8): partition live
+            # lanes into two direction buckets (sign of dz) and search per
+            # bucket with its own front-to-back order, hoping per-bucket
+            # coherence tightens the any() gates.  Structural caveat: a
+            # cluster entered by BOTH buckets pays its full-tile prim loop
+            # twice (sum over buckets >= union), so this can only win if
+            # per-bucket culling prunes far more than the single search.
+            fwd_f = jnp.where(alive & (dz >= 0.0), 1.0, 0.0)
+            bwd_f = alive_f - fwd_f
+            front_to_back_order(fwd_f)
+            bt_a, bj_a = hierarchical_search(
+                s_ref, clus_ref, super_ref, n_super,
+                ox, oy, oz, dx, dy, dz,
+                t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
+                order_ref=ord_ref, cluster=cluster, super_=super_,
+            )
+            front_to_back_order(bwd_f)
+            bt_b, bj_b = hierarchical_search(
+                s_ref, clus_ref, super_ref, n_super,
+                ox, oy, oz, dx, dy, dz,
+                t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
+                order_ref=ord_ref, cluster=cluster, super_=super_,
+            )
+            is_fwd = fwd_f > 0.5
+            best_t = jnp.where(is_fwd, bt_a, bt_b)
+            best_j = jnp.where(is_fwd, bj_a, bj_b)
         hit = best_j >= 0.0
 
         # -------- payload reconstruction (winner attributes) --------
@@ -1277,6 +1310,7 @@ def pallas_render_sample(
     with_stats: bool = False,
     cluster: int = CLUSTER,
     super_: int = SUPER,
+    octant_split: bool = False,
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -1340,7 +1374,7 @@ def pallas_render_sample(
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, rr_start=rr_start,
-        cluster=cluster, super_=super_,
+        cluster=cluster, super_=super_, octant_split=octant_split,
     )
     out = pl.pallas_call(
         kern,
