@@ -53,10 +53,11 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--max-depth", dest="max_depth", type=int, default=d.max_depth)
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--t-min", dest="t_min", type=float, default=d.t_min)
-    parser.add_argument(
-        "--scene",
-        choices=["default", "rtow_final", "rtow_image", "rtow_big", "cornell"],
-        default=d.scene)
+    # choices come from the registry so new scenes are CLI-visible
+    # automatically (import deferred: config must not pull jax at import)
+    from .models.scenes import SCENES as _SCENES
+
+    parser.add_argument("--scene", choices=list(_SCENES), default=d.scene)
     parser.add_argument("--camera-model", dest="camera_model", choices=["two_plane", "look_at"], default=d.camera_model)
     parser.add_argument("--accel", choices=["auto", "brute", "bvh", "pallas", "wavefront"], default=d.accel)
     parser.add_argument("--block", type=int, default=d.block)

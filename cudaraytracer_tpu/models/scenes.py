@@ -183,6 +183,43 @@ def rtow_image_scene(seed: int = 1984, capacity: int = 512) -> Scene:
     return scene
 
 
+def mirror_room_scene(capacity: int = 16) -> Scene:
+    """An image-textured metal mirror facing an image-textured area light:
+    every camera ray picks up TWO image-texture factors (mirror texel x
+    light texel), the exact case the megakernel's two-record deferral
+    covers (render_kernel.py; the round-2 kernel mean-color-approximated
+    the second hit).  Also a good chrome-room stress for texel UV math."""
+    scene = Scene(capacity=capacity, background_start=(0.02, 0.02, 0.03),
+                  background_end=(0.02, 0.02, 0.03))
+    # mirror texture: warm/cool split panels
+    texa = np.zeros((64, 128, 3), np.uint8)
+    texa[:, :64] = (235, 150, 60)
+    texa[:, 64:] = (70, 150, 235)
+    texa[31:33] = (240, 240, 240)  # thin horizon stripe
+    sa = scene.load_image_texture(texa)
+    # light texture: vertical color bands (visible only via the mirror)
+    texb = np.zeros((64, 128, 3), np.uint8)
+    for k, col in enumerate(((255, 60, 60), (60, 255, 60),
+                             (60, 60, 255), (255, 255, 100))):
+        texb[:, k * 32:(k + 1) * 32] = col
+    sb = scene.load_image_texture(texb)
+    scene.add_xy_rect((0.0, 1.5, -2.5), 7.0, 4.0, mat_type=METAL, fuzz=0.0,
+                      tex_type=IMAGE, tex_id=sa)
+    scene.add_xy_rect((0.0, 1.5, 2.5), 14.0, 8.0, mat_type=DIFFUSE_LIGHT,
+                      light=1.6, tex_type=IMAGE, tex_id=sb)
+    # floor + a glass sphere between camera and mirror for refraction paths
+    scene.add_xz_rect((0.0, -0.5, 0.0), 40.0, 40.0, mat_type=LAMBERTIAN,
+                      albedo=(0.35, 0.35, 0.38))
+    scene.add_sphere((1.2, 0.3, -1.0), 0.8, mat_type=DIELECTRIC, ior=1.5)
+    return scene
+
+
+def mirror_room_camera(**kw):
+    return make_camera_params(
+        origin=(0.0, 1.2, 1.5), forward=(0.0, 0.05, -1.0), fov_deg=55.0, **kw
+    )
+
+
 def cornell_like_scene(capacity: int = 64) -> Scene:
     """A box room from xy/xz/yz rects + an emissive ceiling light + spheres.
 
@@ -214,4 +251,5 @@ SCENES = {
     "rtow_image": (rtow_image_scene, rtow_final_camera),
     "rtow_big": (rtow_big_scene, rtow_final_camera),
     "cornell": (cornell_like_scene, cornell_like_camera),
+    "mirror_room": (mirror_room_scene, mirror_room_camera),
 }

@@ -88,12 +88,21 @@ class RenderLayer(Layer):
         make_scene, make_cam_params = scene_lib.SCENES[cfg.scene]
         self.scene = scene if scene is not None else make_scene()
         self.fly = fly or FlyCamera()
-        if cfg.scene.startswith("rtow"):
-            # the RTOW benchmark camera pose (rtow_final and rtow_image)
-            self.fly.position = [13.0, 2.0, 3.0]
-            self.fly.home = (13.0, 2.0, 3.0)
-            self.fly.yaw, self.fly.pitch = 188.7, -9.0
-            self.fly.fov_deg = 20.0
+        if scene is None and fly is None:
+            # start the fly camera at the scene's REGISTERED pose (each
+            # SCENES entry ships a camera; previously only rtow* scenes
+            # got a pose and e.g. mirror_room opened BEHIND its light)
+            import math
+
+            cam0 = make_cam_params()
+            origin = [float(v) for v in np.asarray(cam0.origin)]
+            f = np.asarray(cam0.forward, np.float64)
+            f = f / max(float(np.linalg.norm(f)), 1e-12)
+            self.fly.position = origin
+            self.fly.home = tuple(origin)
+            self.fly.pitch = math.degrees(math.asin(max(-1.0, min(1.0, f[1]))))
+            self.fly.yaw = math.degrees(math.atan2(f[2], f[0])) % 360.0
+            self.fly.fov_deg = math.degrees(float(cam0.fov))
             self.fly._update_orientation()
         self.key = rngu.base_key(cfg.seed)
         self.metrics = Metrics()
