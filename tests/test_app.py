@@ -112,6 +112,27 @@ def test_pallas_accel_app_interpret():
     app.close()
 
 
+def test_fly_camera_starts_at_registered_pose():
+    """Every registered scene's viewer session must open at that scene's
+    registered camera (previously only rtow* scenes got a pose and
+    mirror_room opened BEHIND its area light)."""
+    import math
+
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.viewer.app import RenderLayer
+
+    for name in ("cornell", "mirror_room", "rtow_final"):
+        cfg = small_cfg(scene=name, camera_model="look_at")
+        rl = RenderLayer(cfg)
+        cam0 = scn.SCENES[name][1]()
+        assert np.allclose(rl.fly.position, np.asarray(cam0.origin), atol=1e-5)
+        assert abs(rl.fly.fov_deg - math.degrees(float(cam0.fov))) < 1e-3
+        # orientation reproduces the registered forward vector
+        f = np.asarray(cam0.forward, np.float64)
+        f = f / np.linalg.norm(f)
+        assert np.allclose(rl.fly.orientation, f, atol=1e-5)
+
+
 def test_pallas_step_cached_across_edits():
     """Scene edits rebuild the pallas pipeline; the jitted step must be
     REUSED (same callable) across rebuilds with the same static config —
