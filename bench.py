@@ -70,7 +70,8 @@ def bench_multichip(args):
 
     scene = scenes.rtow_final_scene()
     cam = scenes.rtow_final_camera()
-    t = pack_scene_tables(scene)
+    t = pack_scene_tables(scene)  # kernel geometry must match the packing:
+    # t.cluster/t.super_ are threaded into render_sharded_pallas below
     # pin every array to the mesh's platform (replicated): with the
     # virtual-CPU fallback the default device is still the (tunneled) TPU,
     # and cross-backend fetches of small arrays are pathologically slow
@@ -90,7 +91,7 @@ def bench_multichip(args):
         return render_sharded_pallas(
             (S, P, C, SC), t.n_super, cam_vec, seed, depth,
             width=W, height=H, mesh=mesh, camera_model="look_at",
-            tile_h=16, tile_w=tile_w,
+            tile_h=16, tile_w=tile_w, cluster=t.cluster, super_=t.super_,
         )
 
     def run(seed):
@@ -112,17 +113,20 @@ def bench_multichip(args):
 
     # slope timing (BASELINE.md protocol): issue K async frames, sync once;
     # T(K) - T(1) over K-1 cancels the per-call host/tunnel round trip
-    def timed(nframes, reps):
+    def timed_with(run_fn, seed_base, nframes, reps):
         ts = []
         for r in range(reps):
             t0 = time.perf_counter()
             o = None
             for f in range(nframes):
-                o = run(100 + r * 64 + f)
+                o = run_fn(seed_base + r * 64 + f)
             sync(o)
             ts.append(time.perf_counter() - t0)
         ts.sort()
         return ts[len(ts) // 2]
+
+    def timed(nframes, reps):
+        return timed_with(run, 100, nframes, reps)
 
     # interpret-mode CPU timing is not a perf claim (tens of seconds per
     # frame): one timed frame suffices there; real hardware gets the full
@@ -149,7 +153,7 @@ def bench_multichip(args):
         return pallas_render_sample(
             S, P, C, SC, t.n_super, cam_vec, seed, depth,
             width=W, height=H, camera_model="look_at",
-            tile_h=16, tile_w=tile_w,
+            tile_h=16, tile_w=tile_w, cluster=t.cluster, super_=t.super_,
         )
 
     def run1(seed):
@@ -166,16 +170,7 @@ def bench_multichip(args):
     single.block_until_ready()
 
     def timed1(nframes, reps):
-        ts = []
-        for r in range(reps):
-            t0 = time.perf_counter()
-            o = None
-            for f in range(nframes):
-                o = run1(200 + r * 64 + f)
-            sync(o)
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
+        return timed_with(run1, 200, nframes, reps)
 
     if on_cpu:
         t0 = time.perf_counter()

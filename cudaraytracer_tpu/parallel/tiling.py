@@ -44,7 +44,7 @@ def _as_i32(x):
     """
     import numpy as np
 
-    if isinstance(x, (int, np.integer, np.ndarray)):
+    if isinstance(x, (int, float, np.integer, np.floating, np.ndarray)):
         return np.asarray(x, np.int32)
     return jnp.asarray(x, jnp.int32)
 

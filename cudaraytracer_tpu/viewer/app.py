@@ -185,9 +185,9 @@ class RenderLayer(Layer):
         if self.renderer is not None:
             self._accum = self.renderer.zeros_accum()
         self._spp_done = 0
-        # image-texture scenes track per-pixel sample counts (lanes park at
-        # their first image hit, so counts per launch vary; display divides
-        # sum/count — see pallas_render_sample)
+        # image-texture scenes track per-pixel sample counts (lanes park
+        # once both deferral records are consumed, so counts per launch
+        # vary; display divides sum/count — see pallas_render_sample)
         if self._pallas is not None and self._pallas.has_images:
             # cache the zeroed counts plane (immutable, safe to reuse): a
             # camera-version bump resets every frame while flying, and a
@@ -234,11 +234,13 @@ class RenderLayer(Layer):
     def on_update(self):
         # a fence error that landed AFTER the join timeout (late completion
         # carrying an async device error) must still reach the 3-strikes
-        # watchdog — surface it on the next frame instead of dropping it
-        pending = getattr(self, "_fence_err", None)
+        # watchdog — surface it on the next frame instead of dropping it.
+        # _fence_errs is ONE persistent list (never rebound): stuck fence
+        # threads from any earlier frame keep a live reference and their
+        # late append is always seen here.
+        pending = getattr(self, "_fence_errs", None)
         if pending:
-            self._fence_err = None
-            raise pending[0]
+            raise pending.pop(0)
         self._sync_scene()
         cfg = self.cfg
         self.metrics.frame_start()
@@ -268,9 +270,9 @@ class RenderLayer(Layer):
                     self._sd, cam, fkey, cfg.max_depth, self._accum, bvh=self._bvh
                 )
             self._spp_done += 1
-            # primary count, spp-batch aware.  For image scenes lanes PARK
-            # at their first image hit (counts per launch in [1, batch]),
-            # so only 1 sample/pixel is a guaranteed lower bound
+            # primary count, spp-batch aware.  For image scenes lanes
+            # PARK once both deferral records are used (counts per launch
+            # in [1, batch]), so 1 sample/pixel is the guaranteed bound
             per_pixel = 1 if self._counts is not None else batch
             rays = cfg.width * cfg.height * per_pixel
         else:
@@ -301,11 +303,13 @@ class RenderLayer(Layer):
             import threading
 
             acc = self._accum
-            # the err list lives on SELF: if the fence thread raises after
-            # the join timeout, the error is picked up at the top of the
-            # next on_update instead of being silently dropped
-            err: list = []
-            self._fence_err = err
+            # errors land in ONE persistent list on self (never rebound):
+            # a thread stuck past the join timeout still appends to the
+            # list the next frame's top-of-update drains, so a late async
+            # device error is never orphaned
+            if getattr(self, "_fence_errs", None) is None:
+                self._fence_errs = []
+            err = self._fence_errs
 
             def _fence():
                 try:
@@ -325,8 +329,7 @@ class RenderLayer(Layer):
                 self.app.paused = True
             if err:
                 # re-raise so Application.run's 3-strikes watchdog sees it
-                self._fence_err = None
-                raise err[0]
+                raise err.pop(0)
         self._frame_index += 1
         self.metrics.accumulated_spp = self._spp_done
         self.metrics.frame_end(rays)
@@ -426,9 +429,24 @@ class RenderLayer(Layer):
         return max(self._spp_done, 1)
 
 
+def _tpu_interpret_mode_active() -> bool:
+    """Is force_tpu_interpret_mode's dynamic context currently set?  Part
+    of the step-cache key: pallas_call reads this flag at trace time, so a
+    step traced under interpret mode must not be reused outside it (and
+    vice versa) — the cached executable would silently run on the wrong
+    path."""
+    try:
+        from jax._src import config as _jc
+
+        return _jc.pallas_tpu_interpret_mode_context_manager.value is not None
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=16)
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
-                 has_rects, has_images, rr_start, cluster, super_):
+                 has_rects, has_images, rr_start, cluster, super_,
+                 interpret_ctx):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -438,7 +456,12 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
     that varies across edits — tables, n_super, atlas — is a runtime
     ARGUMENT (n_super is read from SMEM in-kernel), so edits that keep the
     static config reuse the exact same jitted callable and pay nothing.
+
+    ``interpret_ctx`` is key-only (unused in the body): it records whether
+    force_tpu_interpret_mode was active when the step was created, so an
+    interpret-traced executable is never reused outside that context.
     """
+    del interpret_ctx  # cache-key component only
     import jax
 
     from ..ops.pallas.render_kernel import pallas_render_sample
@@ -484,8 +507,8 @@ class _PallasPipeline:
 
         from ..ops.pallas.render_kernel import pack_scene_tables
 
-        # image-texture scenes use first-hit deferral in-kernel (atlas
-        # sampled by an XLA epilogue) and render 1 spp per launch
+        # image-texture scenes use two-record texel deferral in-kernel
+        # (atlas sampled by an XLA epilogue applying both records)
         idx0 = scene.active_indices()
         self.has_images = bool((scene.tex_type[idx0] == 2).any())
         t = pack_scene_tables(scene, with_uv=self.has_images)
@@ -523,14 +546,16 @@ class _PallasPipeline:
         self._step = _pallas_step(
             cfg.width, cfg.height, self._wpad, self._hpad,
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
-            getattr(cfg, "rr_start", 0), cluster, super_)
+            getattr(cfg, "rr_start", 0), cluster, super_,
+            _tpu_interpret_mode_active())
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
                    caccum, spp: int = 1):
         """Add ``spp`` megakernel samples to ``accum`` (radiance sums) and
         ``caccum`` (per-pixel sample counts; only meaningful for image
-        scenes — lanes park at their first image hit, so counts per launch
-        lie in [1, spp]).  Display = accum / counts (Wald-consistent)."""
+        scenes — lanes park once both deferral records are consumed, so
+        counts per launch lie in [1, spp]).  Display = accum / counts
+        (the Wald-consistent ratio)."""
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
         from ..ops.pallas.render_kernel import pack_camera_np

@@ -69,10 +69,11 @@ def main():
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
             if has_images:
-                # image-texture pixels park after ONE sample per launch
-                # (single-use deferral record), so offline quality needs
-                # spp launches of 1 — same total cost under in-kernel path
-                # regeneration, uniform convergence everywhere
+                # image-texture lanes park once BOTH deferral records
+                # are consumed (counts per launch in [1, 2] here), so
+                # offline quality uses spp launches of 1 for exactly
+                # uniform per-pixel convergence — same total cost under
+                # in-kernel path regeneration
                 import jax as _jax
 
                 atlas = jnp.asarray(scene.atlas)

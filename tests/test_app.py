@@ -249,13 +249,17 @@ def test_late_fence_error_surfaces_next_frame():
     rl = app.setup_default_layers()
     app.run(max_frames=1)
     spp_before = rl._spp_done
-    rl._fence_err = [RuntimeError("late async device error")]
+    rl._fence_errs = [RuntimeError("late async device error")]
     app.run(max_frames=3)
     # the pending error was consumed and raised exactly once: one frame
     # lost to the strike, the remaining frames rendered normally
-    assert getattr(rl, "_fence_err") is None
+    assert rl._fence_errs == []
     assert not app.paused
     assert rl._spp_done == spp_before + 2
+    # a thread holding the ORIGINAL list still surfaces a later error
+    rl._fence_errs.append(RuntimeError("second late error"))
+    app.run(max_frames=2)
+    assert rl._fence_errs == [] and rl._spp_done == spp_before + 2 + 1
     app.close()
 
 
