@@ -228,6 +228,9 @@ def main():
                         "pick_cluster_super; 32 is a measured 30x cliff)")
     p.add_argument("--super", dest="super_", type=int, default=None,
                    help="clusters per supercluster (default: adaptive)")
+    p.add_argument("--cull-stats", dest="cull_stats", action="store_true",
+                   help="print the kernel's entered-cluster diagnostic "
+                        "(prim-loop entries per launch) to stderr")
     p.add_argument("--octant-split", dest="octant_split", action="store_true",
                    help="probe: per-direction-bucket hierarchical search "
                         "(two masked searches with their own front-to-back "
@@ -319,6 +322,20 @@ def main():
         atl = (atlas, tex_hw) if has_images else ()
 
         @jax.jit
+        def cull_probe(S, P, C, SC, cam_vec, seed, spp):
+            # culling diagnostic (printed to stderr with --cull-stats):
+            # total prim-loop cluster entries across all waves of a launch
+            return pallas_render_sample(
+                S, P, C, SC, n_super, cam_vec, seed, args.depth,
+                width=args.width, height=args.height,
+                pad_w=wpad, band_h=hpad, camera_model=camera_model,
+                tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+                spp=spp, rr_start=args.rr_start, with_cull_stats=True,
+                cluster=t.cluster, super_=t.super_,
+                octant_split=args.octant_split,
+            )[-1]
+
+        @jax.jit
         def step(S, P, C, SC, cam_vec, seed, spp, *atl):
             # one launch renders all spp samples: in-kernel path regeneration
             # keeps the bounce waves at full occupancy across samples (image
@@ -349,6 +366,14 @@ def main():
         _, n_one = step(S, P, C, SC, cam_vec, 999, args.spp, *atl)
         _, n_big = step(S, P, C, SC, cam_vec, 998, 9 * args.spp, *atl)
         rays_per_frame = (float(n_big) - float(n_one)) / 8.0
+        if args.cull_stats and not has_images:
+            ncl = float(cull_probe(S, P, C, SC, cam_vec, 997, args.spp))
+            n_tiles = (hpad // tile_h) * (wpad // tile_w)
+            n_clusters = t.clusters.shape[1]
+            print(f"cull: {ncl:.0f} cluster entries / launch over {n_tiles} "
+                  f"tiles x {n_clusters} clusters "
+                  f"({ncl / max(rays_per_frame / (args.width * args.height * args.spp), 1e-9) / n_tiles / n_clusters:.3f} "
+                  f"entered fraction per wave-equivalent)", file=sys.stderr)
     else:
         hit_fn = None
         if accel == "bvh":

@@ -64,7 +64,7 @@ def _hit_kernel(
         ray_id = tile_start + rr * 128 + cc
         alive = ray_id < n_alive
         best_t0 = jnp.where(alive, jnp.float32(BIG), t_min)
-        bt, bj = hierarchical_search(
+        bt, bj, _nclus = hierarchical_search(
             s_ref, clus_ref, super_ref, n_super,
             ox, oy, oz, dx, dy, dz, t_min, best_t0, has_rects,
         )

@@ -455,8 +455,9 @@ def hierarchical_search(
     gather-free, tile-coherent analog of BVH descent (reference
     Hittable.cuh:387-439).  Directions must be unit length (a == 1 in the
     sphere quadratic).  ``best_t0`` encodes liveness: dead lanes enter with
-    best_t == t_min and can never record a hit.  Returns (best_t, best_j)
-    with best_j = packed primitive column as f32, -1 for miss.
+    best_t == t_min and can never record a hit.  Returns (best_t, best_j,
+    n_entered_clusters) with best_j = packed primitive column as f32, -1
+    for miss; the scalar cluster count is a culling diagnostic.
 
     ``order_ref`` (optional SMEM i32[NSC]) remaps supercluster visit order —
     front-to-back visiting tightens best_t early so later box gates cull
@@ -581,7 +582,7 @@ def hierarchical_search(
     run_dual = _prim_loop(_dual_test)
 
     def cluster_scan(ci, carry):
-        best_t, best_j = carry
+        best_t, best_j, nclus = carry
         any_hit = _box_any(clus_ref, ci, best_t)
 
         def run(carry3):
@@ -599,11 +600,13 @@ def hierarchical_search(
         bt, bj, _ = lax.cond(
             any_hit, run, lambda c: c, (best_t, best_j, ci * cluster)
         )
-        return bt, bj
+        # culling diagnostic: count clusters whose prim loop actually ran
+        # (one scalar add, hidden under the vector work)
+        return bt, bj, nclus + jnp.where(any_hit, 1.0, 0.0)
 
     def super_scan(k, carry):
         si = k if order_ref is None else order_ref[k]
-        best_t, _ = carry
+        best_t = carry[0]
         any_hit = _box_any(super_ref, si, best_t)
 
         def run(carry):
@@ -613,7 +616,7 @@ def hierarchical_search(
 
     return lax.fori_loop(
         0, n_super, super_scan,
-        (best_t0, jnp.full_like(best_t0, -1.0)),
+        (best_t0, jnp.full_like(best_t0, -1.0), jnp.float32(0.0)),
     )
 
 
@@ -770,6 +773,8 @@ def _render_kernel(
     def bounce_body(state):
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
          rx, ry, rz, alive_f, done_f, depth_f, *img_state) = state
+        nclus = img_state[-1]  # appended last: entered-cluster diagnostic
+        img_state = img_state[:-1]
         if has_images:
             # two-record image-texture deferral state.  Each lane carries
             # TWO single-use (u, v, slot) records; the XLA epilogue applies
@@ -870,7 +875,7 @@ def _render_kernel(
         # -------- closest hit (shared hierarchical search) --------
         if not octant_split:
             front_to_back_order(alive_f)
-            best_t, best_j = hierarchical_search(
+            best_t, best_j, nc_wave = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
@@ -887,14 +892,14 @@ def _render_kernel(
             fwd_f = jnp.where(alive & (dz >= 0.0), 1.0, 0.0)
             bwd_f = alive_f - fwd_f
             front_to_back_order(fwd_f)
-            bt_a, bj_a = hierarchical_search(
+            bt_a, bj_a, nc_a = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
             )
             front_to_back_order(bwd_f)
-            bt_b, bj_b = hierarchical_search(
+            bt_b, bj_b, nc_b = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
@@ -903,7 +908,9 @@ def _render_kernel(
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, bt_a, bt_b)
             best_j = jnp.where(is_fwd, bj_a, bj_b)
+            nc_wave = nc_a + nc_b
         hit = best_j >= 0.0
+        nclus = nclus + nc_wave
 
         # -------- payload reconstruction (winner attributes) --------
         def payload_cluster(ci, pay):
@@ -1233,7 +1240,7 @@ def _render_kernel(
         if has_images:
             out = out + (used1_f, stage_f, used2_f, chain_f, iu, iv, iid,
                          iu2, iv2, iid2, rpx, rpy, rpz, rqx, rqy, rqz)
-        return out
+        return out + (nclus,)
 
     def bounce_cond(state):
         it = state[0]
@@ -1256,6 +1263,7 @@ def _render_kernel(
         init = init + (zeros, zeros, zeros, zeros, zeros, zeros, neg1,
                        zeros, zeros, neg1, zeros, zeros, zeros,
                        zeros, zeros, zeros)
+    init = init + (jnp.float32(0.0),)  # entered-cluster diagnostic (last)
     final = lax.while_loop(bounce_cond, bounce_body, init)
     out_ref[0] = final[11]
     out_ref[1] = final[12]
@@ -1275,10 +1283,13 @@ def _render_kernel(
         out_ref[14] = final[26]  # iid2
         out_ref[15] = final[20]  # chain flag
         out_ref[16] = final[15]  # per-pixel completed-sample counts
-    # mask write instead of .at[].set (Mosaic has no scatter)
+    # mask write instead of .at[].set (Mosaic has no scatter):
+    # (0,0) = rays traced by this tile, (0,1) = entered clusters
     rr_i = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cc_i = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    cnt_out_ref[...] = jnp.where((rr_i == 0) & (cc_i == 0), final[1], 0.0)
+    cnt_out_ref[...] = jnp.where(
+        (rr_i == 0) & (cc_i == 0), final[1],
+        jnp.where((rr_i == 0) & (cc_i == 1), final[-1], 0.0))
 
 
 # ----------------------------------------------------------------- wrapper
@@ -1308,6 +1319,7 @@ def pallas_render_sample(
     atlas: jnp.ndarray | None = None,  # uint8[S,AH,AW,3] (image textures)
     tex_hw: jnp.ndarray | None = None,  # i32[S,2]
     with_stats: bool = False,
+    with_cull_stats: bool = False,
     cluster: int = CLUSTER,
     super_: int = SUPER,
     octant_split: bool = False,
@@ -1438,9 +1450,19 @@ def pallas_render_sample(
         img = jnp.transpose(rad, (1, 2, 0))
         counts = out[0][16]
         if with_stats:
-            return img, counts, jnp.sum(out[1])
+            ret = (img, counts, jnp.sum(out[1][0::8, 0::128]))
+            if with_cull_stats:
+                ret = ret + (jnp.sum(out[1][0::8, 1::128]),)
+            return ret
+        if with_cull_stats:
+            return img, counts, jnp.sum(out[1][0::8, 1::128])
         return img, counts
     img = jnp.transpose(out[0], (1, 2, 0))
     if with_stats:
-        return img, jnp.sum(out[1])
+        ret = (img, jnp.sum(out[1][0::8, 0::128]))
+        if with_cull_stats:
+            ret = ret + (jnp.sum(out[1][0::8, 1::128]),)
+        return ret
+    if with_cull_stats:
+        return img, jnp.sum(out[1][0::8, 1::128])
     return img
