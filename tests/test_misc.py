@@ -88,3 +88,36 @@ def test_every_registered_scene_renders():
             width=24, height=16, camera_model=model))
         assert np.isfinite(img).all(), name
         assert img.sum() > 0, name
+
+
+def test_pallas_cull_stats_diagnostic():
+    """with_cull_stats returns the entered-cluster count: positive, bounded
+    by launch-iterations x clusters, and the image output is unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models import scenes
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    scene = scenes.default_scene()
+    sd = scene.device()
+    W, H = 128, 16
+    cam_vec = pack_camera(scenes.default_scene_camera(), sd, W, H, 1e-3)
+    t = pack_scene_tables(scene)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    with pltpu.force_tpu_interpret_mode():
+        img0 = pallas_render_sample(
+            *tabs, t.n_super, cam_vec, 7, 4,
+            width=W, height=H, camera_model="two_plane",
+            tile_h=16, tile_w=128)
+        img, nrays, nclus = pallas_render_sample(
+            *tabs, t.n_super, cam_vec, 7, 4,
+            width=W, height=H, camera_model="two_plane",
+            tile_h=16, tile_w=128, with_stats=True, with_cull_stats=True)
+    assert np.array_equal(np.asarray(img0), np.asarray(img))
+    assert float(nrays) > 0
+    ncl = float(nclus)
+    n_tiles = 1
+    assert 0 < ncl <= 4 * t.clusters.shape[1] * n_tiles  # <= iters x clusters
