@@ -16,7 +16,7 @@ from .models.camera import CameraParams, FlyCamera, make_camera_params
 from .models.renderer import Renderer, render_radiance, trace
 from .models.scene import Scene, SceneData
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CameraParams",
