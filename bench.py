@@ -311,7 +311,9 @@ def main():
         atlas = jnp.asarray(scene.atlas) if has_images else None
         tex_hw = jnp.asarray(scene.tex_hw) if has_images else None
         tile_h, tile_w = args.tile_h, args.tile_w
-        has_rects = bool((_np.asarray(sd.prim_type)[active] != 0).any())
+        prim_t = _np.asarray(sd.prim_type)[active]
+        has_tris = bool((prim_t == 4).any())
+        has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -332,7 +334,7 @@ def main():
                 tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
                 spp=spp, rr_start=args.rr_start, with_cull_stats=True,
                 cluster=t.cluster, super_=t.super_,
-                octant_split=args.octant_split,
+                octant_split=args.octant_split, has_tris=has_tris,
             )[-1]
 
         @jax.jit
@@ -350,7 +352,7 @@ def main():
                 atlas=atl[0] if has_images else None,
                 tex_hw=atl[1] if has_images else None,
                 cluster=t.cluster, super_=t.super_,
-                octant_split=args.octant_split,
+                octant_split=args.octant_split, has_tris=has_tris,
             )
             if has_images:
                 img, _counts, nrays = out

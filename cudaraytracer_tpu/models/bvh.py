@@ -67,6 +67,11 @@ def primitive_aabbs(scene: Scene, idx: np.ndarray):
             r = abs(ss[0])
             bmin[row] = cc - r
             bmax[row] = cc + r
+        elif pt == 4:  # triangle: hull of v0, v0+e1, v0+e2 (+ flat-axis pad)
+            i = idx[row]
+            pts = np.stack([cc, cc + scene.edge1[i], cc + scene.edge2[i]])
+            bmin[row] = pts.min(axis=0) - RECT_PAD
+            bmax[row] = pts.max(axis=0) + RECT_PAD
         else:
             half = np.zeros(3, np.float32)
             k = _K_AXIS[int(pt)]
@@ -203,6 +208,8 @@ def make_bvh_hit_fn(bvh: BVHData, scene_data, t_min: float = 0.001):
             org, dirn, bvh,
             scene_data.prim_type, scene_data.center, scene_data.size,
             t_min=t_min,
+            edge1=scene_data.edge1 if scene_data.has_triangles else None,
+            edge2=scene_data.edge2 if scene_data.has_triangles else None,
         )
 
     return hit_fn

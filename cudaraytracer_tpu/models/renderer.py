@@ -61,11 +61,18 @@ def trace(
     r = org.shape[0]
     max_depth = jnp.asarray(max_depth, jnp.int32)
 
+    # scene.has_triangles is STATIC pytree metadata: triangle-free scenes
+    # trace the identical (triangle-less) graph they always did
+    tri_kw = (
+        dict(edge1=scene.edge1, edge2=scene.edge2)
+        if scene.has_triangles else {}
+    )
+
     if hit_fn is None:
         def hit_fn(o, d):
             return intersect.hit_scene(
                 o, d, scene.prim_type, scene.center, scene.size, scene.active,
-                t_min=t_min, block=block,
+                t_min=t_min, block=block, **tri_kw,
             )
 
     def cond(carry):
@@ -80,7 +87,8 @@ def trace(
 
         hit, t, idx = hit_fn(org, dirn)
         rec = intersect.make_hit_record(
-            org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size
+            org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size,
+            **tri_kw,
         )
 
         # ---- miss: sky gradient (Kernel.cu:40-45) ----

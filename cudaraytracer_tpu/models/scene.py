@@ -37,6 +37,7 @@ SPHERE = intersect.SPHERE
 XY_RECT = intersect.XY_RECT
 XZ_RECT = intersect.XZ_RECT
 YZ_RECT = intersect.YZ_RECT
+TRIANGLE = intersect.TRIANGLE
 LAMBERTIAN = materials.LAMBERTIAN
 METAL = materials.METAL
 DIELECTRIC = materials.DIELECTRIC
@@ -45,7 +46,7 @@ CONSTANT = textures.CONSTANT
 CHECKER = textures.CHECKER
 IMAGE = textures.IMAGE
 
-PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect"}
+PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect", TRIANGLE: "triangle"}
 MAT_NAMES = {LAMBERTIAN: "lambertian", METAL: "metal", DIELECTRIC: "dielectric", DIFFUSE_LIGHT: "diffuse_light"}
 TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image"}
 
@@ -53,11 +54,19 @@ TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image"}
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneData:
-    """Device-side scene: every field is a jax array; the whole thing is a pytree."""
+    """Device-side scene: every field is a jax array; the whole thing is a pytree.
+
+    ``has_triangles`` is STATIC metadata (part of the treedef, not a traced
+    leaf): renderers branch on it in Python to include the triangle
+    intersection code only when the scene actually contains triangles, so
+    triangle-free scenes trace the identical graph they always did.
+    Flipping it (adding the first triangle / removing the last) recompiles
+    once — the same accepted cost as a capacity growth.
+    """
 
     prim_type: jax.Array  # i32[N]
     active: jax.Array  # bool[N]
-    center: jax.Array  # f32[N,3]
+    center: jax.Array  # f32[N,3]  (triangle: v0)
     size: jax.Array  # f32[N,2]  (sphere: radius in col 0; rect: width,height)
     mat_type: jax.Array  # i32[N]
     fuzz: jax.Array  # f32[N]
@@ -67,10 +76,14 @@ class SceneData:
     albedo: jax.Array  # f32[N,3]   constant color / checker odd color
     albedo2: jax.Array  # f32[N,3]  checker even color
     tex_id: jax.Array  # i32[N]    atlas slot or -1
+    edge1: jax.Array  # f32[N,3]  triangle v1-v0 (zeros elsewhere)
+    edge2: jax.Array  # f32[N,3]  triangle v2-v0 (zeros elsewhere)
     atlas: jax.Array  # uint8[S,AH,AW,3]
     tex_hw: jax.Array  # i32[S,2]
     background_start: jax.Array  # f32[3]
     background_end: jax.Array  # f32[3]
+    has_triangles: bool = dataclasses.field(
+        default=False, metadata={"static": True})
 
     @property
     def capacity(self) -> int:
@@ -90,6 +103,8 @@ _PRIM_FIELDS = [
     ("albedo", np.float32, (3,)),
     ("albedo2", np.float32, (3,)),
     ("tex_id", np.int32, ()),
+    ("edge1", np.float32, (3,)),
+    ("edge2", np.float32, (3,)),
 ]
 
 
@@ -198,6 +213,35 @@ class Scene:
     def add_yz_rect(self, center, width: float, height: float, **mat) -> int:
         return self._add(YZ_RECT, center, (width, height), **mat)
 
+    def add_triangle(self, v0, v1, v2, **mat) -> int:
+        """Add one triangle (BEYOND-REFERENCE: the reference has only
+        spheres and axis-aligned rects).  Stored as v0 + two edge vectors;
+        the outward normal is normalize((v1-v0) x (v2-v0)) (CCW winding),
+        and shading treats it as two-sided like the rects."""
+        v0 = np.asarray(v0, np.float32)
+        v1 = np.asarray(v1, np.float32)
+        v2 = np.asarray(v2, np.float32)
+        i = self._add(TRIANGLE, v0, (1.0, 1.0), **mat)
+        self.edge1[i] = v1 - v0
+        self.edge2[i] = v2 - v0
+        return i
+
+    def add_mesh(self, vertices, faces, **mat) -> list[int]:
+        """Add a triangle mesh: ``vertices`` f32[V,3], ``faces`` i32[F,3]
+        (CCW winding).  One material for the whole mesh; returns the new
+        slot ids (a Python list, the mesh analog of the reference's
+        per-object UI handles)."""
+        vertices = np.asarray(vertices, np.float32)
+        faces = np.asarray(faces, np.int64)
+        return [
+            self.add_triangle(vertices[a], vertices[b], vertices[c], **mat)
+            for a, b, c in faces
+        ]
+
+    @property
+    def num_triangles(self) -> int:
+        return int((self.active & (self.prim_type == TRIANGLE)).sum())
+
     def delete(self, i: int):
         """Deactivate a slot and recycle it (DeleteHittable, CudaLayer.cpp:1372-1387)."""
         if not self.active[i]:
@@ -279,6 +323,7 @@ class Scene:
             tex_hw=put(self.tex_hw),
             background_start=put(self.background_start),
             background_end=put(self.background_end),
+            has_triangles=self.num_triangles > 0,
             **kw,
         )
 
@@ -292,21 +337,23 @@ class Scene:
             "primitives": [],
         }
         for i in self.active_indices():
-            doc["primitives"].append(
-                {
-                    "prim_type": int(self.prim_type[i]),
-                    "center": self.center[i].tolist(),
-                    "size": self.size[i].tolist(),
-                    "mat_type": int(self.mat_type[i]),
-                    "fuzz": float(self.fuzz[i]),
-                    "ior": float(self.ior[i]),
-                    "light": float(self.light[i]),
-                    "tex_type": int(self.tex_type[i]),
-                    "albedo": self.albedo[i].tolist(),
-                    "albedo2": self.albedo2[i].tolist(),
-                    "tex_id": int(self.tex_id[i]),
-                }
-            )
+            p = {
+                "prim_type": int(self.prim_type[i]),
+                "center": self.center[i].tolist(),
+                "size": self.size[i].tolist(),
+                "mat_type": int(self.mat_type[i]),
+                "fuzz": float(self.fuzz[i]),
+                "ior": float(self.ior[i]),
+                "light": float(self.light[i]),
+                "tex_type": int(self.tex_type[i]),
+                "albedo": self.albedo[i].tolist(),
+                "albedo2": self.albedo2[i].tolist(),
+                "tex_id": int(self.tex_id[i]),
+            }
+            if self.prim_type[i] == TRIANGLE:
+                p["edge1"] = self.edge1[i].tolist()
+                p["edge2"] = self.edge2[i].tolist()
+            doc["primitives"].append(p)
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
         if any(self._atlas_used):
@@ -323,7 +370,7 @@ class Scene:
             **kwargs,
         )
         for p in doc["primitives"]:
-            scene._add(
+            i = scene._add(
                 p["prim_type"],
                 p["center"],
                 p["size"],
@@ -336,6 +383,9 @@ class Scene:
                 albedo2=p["albedo2"],
                 tex_id=p["tex_id"],
             )
+            if p["prim_type"] == TRIANGLE:
+                scene.edge1[i] = np.asarray(p["edge1"], np.float32)
+                scene.edge2[i] = np.asarray(p["edge2"], np.float32)
         try:
             side = np.load(path + ".atlas.npz")
             scene.atlas = side["atlas"]

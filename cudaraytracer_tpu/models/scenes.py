@@ -245,6 +245,38 @@ def cornell_like_camera(**kw):
     )
 
 
+def mesh_demo_scene(capacity: int = 1024) -> Scene:
+    """Triangle-mesh showcase (BEYOND-REFERENCE: the reference has no mesh
+    support, Hittable.cuh:30-38): a metal icosphere, a lambertian torus and
+    a glass-slab box — ~750 triangles — over a checkered ground, plus one
+    classic glass sphere.  Exercises kind-3 clusters in the megakernel and
+    the Moller-Trumbore branch in every accel path at a realistic mesh
+    primitive count."""
+    from ..utils import mesh
+
+    scene = Scene(capacity=capacity)
+    scene.add_xz_rect((0.0, -0.5, 0.0), 60.0, 60.0, mat_type=LAMBERTIAN,
+                      tex_type=CHECKER, albedo=(0.2, 0.3, 0.1),
+                      albedo2=(0.9, 0.9, 0.9))
+    v, f = mesh.icosphere(2)  # 320 faces
+    scene.add_mesh(mesh.transformed(v, scale=0.85, translate=(-1.6, 0.35, -2.2)),
+                   f, mat_type=METAL, albedo=(0.85, 0.82, 0.75), fuzz=0.03)
+    v, f = mesh.torus(0.9, 0.32, segments=20, sides=10)  # 400 faces
+    scene.add_mesh(mesh.transformed(v, rotate_y=0.6, translate=(1.4, 0.0, -2.6)),
+                   f, mat_type=LAMBERTIAN, albedo=(0.75, 0.25, 0.2))
+    v, f = mesh.box((1.0, 1.6, 0.25))  # 12 faces
+    scene.add_mesh(mesh.transformed(v, rotate_y=-0.4, translate=(0.0, 0.3, -3.6)),
+                   f, mat_type=METAL, albedo=(0.7, 0.8, 0.9), fuzz=0.0)
+    scene.add_sphere((0.1, 0.1, -1.3), 0.6, mat_type=DIELECTRIC, ior=1.5)
+    return scene
+
+
+def mesh_demo_camera(**kw):
+    return make_camera_params(
+        origin=(0.0, 1.0, 1.8), forward=(0.0, -0.18, -1.0), fov_deg=50.0, **kw
+    )
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
@@ -252,4 +284,5 @@ SCENES = {
     "rtow_big": (rtow_big_scene, rtow_final_camera),
     "cornell": (cornell_like_scene, cornell_like_camera),
     "mirror_room": (mirror_room_scene, mirror_room_camera),
+    "mesh_demo": (mesh_demo_scene, mesh_demo_camera),
 }

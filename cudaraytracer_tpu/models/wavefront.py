@@ -49,15 +49,19 @@ class WavefrontTables(NamedTuple):
     bbox_inv: jax.Array  # f32[3] 1/extent
 
 
-def pack_wavefront_tables(scene) -> tuple[WavefrontTables, int, bool]:
-    """Pack host Scene -> (device tables, n_super, has_rects)."""
+def pack_wavefront_tables(scene) -> tuple[WavefrontTables, int, bool, bool]:
+    """Pack host Scene -> (device tables, n_super, has_rects, has_tris)."""
     from ..ops.pallas.render_kernel import CLUSTER, SUPER
 
     # pinned to the module defaults: hit_kernel's hierarchical_search call
     # uses them, and tables must be packed with the same cluster geometry
     t = pack_scene_tables(scene, cluster=CLUSTER, super_=SUPER)
     idx = scene.active_indices()
-    has_rects = bool((scene.prim_type[idx] != 0).any()) if len(idx) else False
+    prim_t = scene.prim_type[idx]
+    has_tris = bool((prim_t == 4).any()) if len(idx) else False
+    has_rects = (
+        bool(((prim_t != 0) & (prim_t != 4)).any()) if len(idx) else False
+    )
     if len(idx):
         from .bvh import primitive_aabbs
 
@@ -75,7 +79,7 @@ def pack_wavefront_tables(scene) -> tuple[WavefrontTables, int, bool]:
         bbox_lo=jnp.asarray(lo, jnp.float32),
         bbox_inv=jnp.asarray(1.0 / ext, jnp.float32),
     )
-    return tables, t.n_super, has_rects
+    return tables, t.n_super, has_rects, has_tris
 
 
 def _sort_keys(org, dirn, alive, tables, cells: int = 4):
@@ -108,6 +112,7 @@ def render_wavefront_sample(
     camera_model: str = "look_at",
     t_min: float = 0.001,
     has_rects: bool = True,
+    has_tris: bool = False,
     sort: bool = True,
     interpret: bool = False,
     with_stats: bool = False,
@@ -149,14 +154,16 @@ def render_wavefront_sample(
         n_alive = jnp.sum(alive, dtype=jnp.int32) if sort else jnp.int32(r)
         hit, t, col = pallas_closest_hit(
             tables.S, tables.clusters, tables.supers, n_super, n_alive,
-            org, dirn, t_min=t_min, has_rects=has_rects, interpret=interpret,
+            org, dirn, t_min=t_min, has_rects=has_rects, has_tris=has_tris,
+            interpret=interpret,
         )
         hit = hit & alive
         slot = tables.prim_map[jnp.maximum(col, 0)]
         idx = jnp.where(hit, slot, -1)
 
         rec = intersect.make_hit_record(
-            org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size
+            org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size,
+            **(dict(edge1=scene.edge1, edge2=scene.edge2) if has_tris else {}),
         )
 
         # miss -> sky (Kernel.cu:40-45)
@@ -228,20 +235,23 @@ class WavefrontRenderer:
         self.interpret = interpret
         self.update_scene(scene)
 
-        @functools.partial(jax.jit, static_argnames=("n_super", "has_rects"))
-        def _sample(scene_data, tables, cam, key, max_depth, n_super, has_rects):
+        @functools.partial(
+            jax.jit, static_argnames=("n_super", "has_rects", "has_tris"))
+        def _sample(scene_data, tables, cam, key, max_depth, n_super,
+                    has_rects, has_tris):
             return render_wavefront_sample(
                 scene_data, tables, n_super, cam, key, max_depth,
                 width=self.width, height=self.height,
                 camera_model=self.camera_model, t_min=self.t_min,
-                has_rects=has_rects, sort=self.sort, interpret=self.interpret,
-                with_stats=True,
+                has_rects=has_rects, has_tris=has_tris, sort=self.sort,
+                interpret=self.interpret, with_stats=True,
             )
 
         self._sample = _sample
 
     def update_scene(self, scene):
-        self.tables, self.n_super, self.has_rects = pack_wavefront_tables(scene)
+        (self.tables, self.n_super, self.has_rects,
+         self.has_tris) = pack_wavefront_tables(scene)
         self.scene_data = scene.device()
 
     def render(self, cam, key, spp=1, max_depth=12, with_stats: bool = False):
@@ -253,6 +263,7 @@ class WavefrontRenderer:
             img, n = self._sample(
                 self.scene_data, self.tables, cam, rngu.frame_key(key, s),
                 max_depth, n_super=self.n_super, has_rects=self.has_rects,
+                has_tris=self.has_tris,
             )
             acc = acc + img
             rays = rays + n

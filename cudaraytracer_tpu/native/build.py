@@ -22,7 +22,11 @@ LIB = os.path.join(HERE, "libcrt_native.so")
 
 def build(verbose: bool = True) -> str:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        # -ffp-contract=off: no FMA contraction — NumPy rounds every
+        # multiply and subtract separately, and the packers' cross
+        # products must match it BIT-identically (tests/test_mesh.py)
+        "g++", "-O3", "-march=native", "-ffp-contract=off",
+        "-shared", "-fPIC", "-std=c++17",
         "-o", LIB, *SRCS,
     ]
     if verbose:

@@ -17,6 +17,9 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcrt_nat
 _lib = None
 
 
+ABI_VERSION = 2  # table layout (PACKC bits, triangle rows, 4 segments)
+
+
 def _load():
     global _lib
     if _lib is None:
@@ -25,7 +28,7 @@ def _load():
         ip = ctypes.POINTER(ctypes.c_int)
         lib.crt_pack_tables.restype = ctypes.c_int
         lib.crt_pack_tables.argtypes = [
-            fp, fp, ip, ip, fp, ip, ip, fp, fp, fp, fp,
+            fp, fp, fp, fp, ip, ip, fp, ip, ip, fp, fp, fp, fp,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
             fp, fp, fp, fp, ip, ip, ip,
@@ -35,27 +38,35 @@ def _load():
 
 
 def available() -> bool:
+    """True when the .so exists AND was built against the current table
+    layout — a stale library would silently pack the old PACKC bit layout
+    and corrupt every render, so version-gate instead of trusting it."""
     if not os.path.exists(_LIB_PATH):
         return False
     try:
-        return hasattr(_load(), "crt_pack_tables")
+        lib = _load()
+        if not hasattr(lib, "crt_pack_abi_version"):
+            return False
+        return int(lib.crt_pack_abi_version()) == ABI_VERSION
     except (OSError, AttributeError):
         return False
 
 
-def pack(center, size, ptype, mtype, mparam, textype, texid,
+def pack(center, size, edge1, edge2, ptype, mtype, mparam, textype, texid,
          albedo, albedo2, bmin, bmax, slot_ids,
          npad: int, cluster: int, super_: int, p_rows: int):
     """Fill (S, P, clusters, supers, prim_map, n_super) for the megakernel.
 
     All inputs are the ACTIVE-primitive arrays in scene-active order;
-    ``slot_ids`` maps row -> scene slot for prim_map.
+    ``slot_ids`` maps row -> scene slot for prim_map; ``edge1``/``edge2``
+    are the triangle edge vectors (zeros for other primitive types).
     """
     lib = _load()
     n = len(slot_ids)
     f32 = lambda a: np.ascontiguousarray(a, np.float32)
     i32 = lambda a: np.ascontiguousarray(a, np.int32)
     center, size, mparam = f32(center), f32(size), f32(mparam)
+    edge1, edge2 = f32(edge1), f32(edge2)
     albedo, albedo2, bmin, bmax = f32(albedo), f32(albedo2), f32(bmin), f32(bmax)
     ptype, mtype, textype, texid, slot_ids = map(
         i32, (ptype, mtype, textype, texid, slot_ids))
@@ -71,6 +82,7 @@ def pack(center, size, ptype, mtype, mparam, textype, texid,
     ip = ctypes.POINTER(ctypes.c_int)
     rc = lib.crt_pack_tables(
         center.ctypes.data_as(fp), size.ctypes.data_as(fp),
+        edge1.ctypes.data_as(fp), edge2.ctypes.data_as(fp),
         ptype.ctypes.data_as(ip), mtype.ctypes.data_as(ip),
         mparam.ctypes.data_as(fp),
         textype.ctypes.data_as(ip), texid.ctypes.data_as(ip),

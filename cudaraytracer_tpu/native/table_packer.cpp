@@ -63,16 +63,27 @@ inline float pack_rgb(const float* a) {
 // S-table row indices (render_kernel.py)
 enum { S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB,
        S_HA, S_HB, S_AAX, S_BAX, S_ROWS_USED };
-constexpr int S_ROWS = 16;  // rows 13-15 spare (shape stability)
+constexpr int S_ROWS = 16;  // rows 13-15 = triangle e2 (spare otherwise)
+// Triangle columns overlay the rect rows (see render_kernel.py):
+// CK/CA/CB = e1, KAX/AAX/BAX = n2 = e1 x e2, rows 13-15 = e2.
+enum { S_E1X = S_CK, S_E1Y = S_CA, S_E1Z = S_CB,
+       S_N2X = S_KAX, S_N2Y = S_AAX, S_N2Z = S_BAX,
+       S_E2X = 13, S_E2Y = 14, S_E2Z = 15 };
 // P-table row indices
 enum { P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, P_HA, P_HB };
 
 }  // namespace
 
+// Table-layout ABI version; pack_native.available() refuses a stale .so
+// whose PACKC bit layout / segment order predates the Python packer's.
+extern "C" int crt_pack_abi_version() { return 2; }
+
 extern "C" int crt_pack_tables(
-    const float* center,   // [n,3] active prims, scene order
+    const float* center,   // [n,3] active prims, scene order (tri: v0)
     const float* size,     // [n,2]
-    const int* ptype,      // [n] 0 sphere, 1 xy, 2 xz, 3 yz
+    const float* edge1,    // [n,3] triangle v1-v0 (zeros elsewhere)
+    const float* edge2,    // [n,3] triangle v2-v0
+    const int* ptype,      // [n] 0 sphere, 1 xy, 2 xz, 3 yz, 4 triangle
     const int* mtype,      // [n]
     const float* mparam,   // [n] fuzz|ior|light by material (precomputed)
     const int* textype,    // [n]
@@ -151,14 +162,16 @@ extern "C" int crt_pack_tables(
     float thresh = 50.0f * median_f32(area);
     std::vector<int> cols;  // row index in [0,n) or -1 alignment padding
     cols.reserve(npad);
-    for (int seg = 0; seg < 3; ++seg) {
+    for (int seg = 0; seg < 4; ++seg) {
         for (int oi = 0; oi < n; ++oi) {
             int i = order[oi];
             bool big = area[i] > thresh;
-            bool rect = ptype[i] != 0;
+            bool tri = ptype[i] == 4;
+            bool rect = ptype[i] != 0 && !tri;
             bool take = seg == 0 ? big
-                      : seg == 1 ? (!big && !rect)
-                                 : (!big && rect);
+                      : seg == 1 ? (!big && !rect && !tri)
+                      : seg == 2 ? (!big && rect)
+                                 : (!big && tri);
             if (take) cols.push_back(i);
         }
         while (cols.size() % cluster) cols.push_back(-1);
@@ -166,10 +179,10 @@ extern "C" int crt_pack_tables(
     const int ncols = (int)cols.size();
     if (ncols > npad) return -2;
 
-    static const int K_AX[4] = {0, 2, 1, 0};
-    static const int A_AX[4] = {0, 0, 0, 1};
-    static const int B_AX[4] = {0, 1, 2, 2};
-    static const int EA[4] = {0, 0, 0, 1};
+    static const int K_AX[5] = {0, 2, 1, 0, 0};
+    static const int A_AX[5] = {0, 0, 0, 1, 0};
+    static const int B_AX[5] = {0, 1, 2, 2, 0};
+    static const int EA[5] = {0, 0, 0, 1, 0};
 
     for (int j = 0; j < ncols; ++j) {
         int i = cols[j];
@@ -202,25 +215,57 @@ extern "C" int crt_pack_tables(
         int tid = texid[i] < -1 ? -1 : texid[i];
         int neg = r < 0.0f ? 1 : 0;
         P[P_PACKC * npad + j] =
-            (float)(mtype[i] + 4 * textype[i] + 16 * t + 64 * neg +
-                    128 * (tid + 1));
+            (float)(mtype[i] + 4 * textype[i] + 16 * t + 128 * neg +
+                    256 * (tid + 1));
         if (p_rows > P_HA) {
             P[P_HA * npad + j] = ha;
             P[P_HB * npad + j] = hb;
         }
         prim_map[j] = slot_ids[i];
+
+        if (t == 4) {  // triangle overlay (render_kernel.py layout)
+            const float* e1 = &edge1[i * 3];
+            const float* e2 = &edge2[i * 3];
+            float n2x = e1[1] * e2[2] - e1[2] * e2[1];
+            float n2y = e1[2] * e2[0] - e1[0] * e2[2];
+            float n2z = e1[0] * e2[1] - e1[1] * e2[0];
+            S[S_R2 * npad + j] = -1.0f;
+            S[S_HA * npad + j] = -1.0f;
+            S[S_HB * npad + j] = -1.0f;
+            S[S_E1X * npad + j] = e1[0];
+            S[S_E1Y * npad + j] = e1[1];
+            S[S_E1Z * npad + j] = e1[2];
+            S[S_N2X * npad + j] = n2x;
+            S[S_N2Y * npad + j] = n2y;
+            S[S_N2Z * npad + j] = n2z;
+            S[S_E2X * npad + j] = e2[0];
+            S[S_E2Y * npad + j] = e2[1];
+            S[S_E2Z * npad + j] = e2[2];
+            // payload CX/CY/CZ = unit outward normal (f32 ops ordered to
+            // match numpy: sqrt(x*x + y*y + z*z), then one divide each)
+            float nn = std::sqrt(n2x * n2x + n2y * n2y + n2z * n2z);
+            if (nn < 1e-20f) nn = 1e-20f;
+            P[P_CX * npad + j] = n2x / nn;
+            P[P_CY * npad + j] = n2y / nn;
+            P[P_CZ * npad + j] = n2z / nn;
+        }
     }
 
     // ---- cluster AABBs + kind, supercluster AABBs ----
     int n_super = std::max(1, (ncols + span - 1) / span);
     for (int ci = 0; ci * cluster < ncols; ++ci) {
-        bool any = false, has_sph = false, has_rect = false;
+        // kind row: 0 all spheres, 1 all rects, 3 all triangles, 2 mixed
+        bool any = false;
+        int kind = -1;
+        bool mixed = false;
         float lo[3] = {BIG, BIG, BIG}, hi[3] = {-BIG, -BIG, -BIG};
         for (int j = ci * cluster; j < (ci + 1) * cluster && j < ncols; ++j) {
             int i = cols[j];
             if (i < 0) continue;
             any = true;
-            (ptype[i] != 0 ? has_rect : has_sph) = true;
+            int k2 = ptype[i] == 0 ? 0 : (ptype[i] == 4 ? 3 : 1);
+            if (kind < 0) kind = k2;
+            else if (kind != k2) mixed = true;
             for (int k = 0; k < 3; ++k) {
                 lo[k] = std::min(lo[k], bmin[i * 3 + k]);
                 hi[k] = std::max(hi[k], bmax[i * 3 + k]);
@@ -231,8 +276,7 @@ extern "C" int crt_pack_tables(
             clus[k * nc + ci] = lo[k];
             clus[(k + 3) * nc + ci] = hi[k];
         }
-        clus[6 * nc + ci] =
-            (has_sph && has_rect) ? 2.0f : (has_rect ? 1.0f : 0.0f);
+        clus[6 * nc + ci] = mixed ? 2.0f : (float)kind;
     }
     for (int si = 0; si < n_super; ++si) {
         bool any = false;

@@ -20,16 +20,22 @@ import jax.numpy as jnp
 from jax import lax
 
 from .aabb import aabb_hit, inv_direction
-from .intersect import _A_AXIS, _A_EXT_COL, _B_AXIS, _K_AXIS, BIG, SPHERE
+from .intersect import (
+    _A_AXIS, _A_EXT_COL, _B_AXIS, _K_AXIS, BIG, SPHERE, TRIANGLE,
+    TRI_DET_EPS,
+)
 from ..utils.vec import dot
 
 
-def _leaf_prim_t(org, dirn, a_quad, ptype, center, size, t_min, t_max):
+def _leaf_prim_t(org, dirn, a_quad, ptype, center, size, t_min, t_max,
+                 e1=None, e2=None):
     """Hit distance of each ray against ITS OWN leaf primitive.
 
     All inputs per-ray: ptype[R], center[R,3], size[R,2].  Both the sphere
     quadratic (Hittable.cuh:80-110) and the generic rect test
-    (Hittable.cuh:128-294) are evaluated and selected by type.
+    (Hittable.cuh:128-294) are evaluated and selected by type; per-ray
+    triangle edges ``e1``/``e2`` [R,3] add the Moller-Trumbore branch
+    (direct form — per-ray data, so no matmul factoring needed here).
     Returns (hit[R], t[R]).
     """
     # ---- sphere ----
@@ -47,14 +53,15 @@ def _leaf_prim_t(org, dirn, a_quad, ptype, center, size, t_min, t_max):
 
     # ---- rect (any orientation) ----
     # one-hot multiply-sum instead of pairwise [R]-index gathers (slow on TPU)
-    k_ax = jnp.asarray(_K_AXIS)[ptype]
-    a_ax = jnp.asarray(_A_AXIS)[ptype]
-    b_ax = jnp.asarray(_B_AXIS)[ptype]
+    rtype = jnp.clip(ptype, 0, 3)  # triangle rows masked out below
+    k_ax = jnp.asarray(_K_AXIS)[rtype]
+    a_ax = jnp.asarray(_A_AXIS)[rtype]
+    b_ax = jnp.asarray(_B_AXIS)[rtype]
     axes3 = jnp.arange(3, dtype=jnp.int32)
     k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [R,3]
     a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)
     b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
-    ea_col = jnp.asarray(_A_EXT_COL)[ptype]
+    ea_col = jnp.asarray(_A_EXT_COL)[rtype]
     half_a = 0.5 * jnp.where(ea_col == 0, size[:, 0], size[:, 1])
     half_b = 0.5 * jnp.where(ea_col == 0, size[:, 1], size[:, 0])
     o_k = jnp.sum(org * k_oh, axis=-1)
@@ -70,6 +77,25 @@ def _leaf_prim_t(org, dirn, a_quad, ptype, center, size, t_min, t_max):
     is_sphere = ptype == SPHERE
     hit = jnp.where(is_sphere, sph_hit, rect_hit)
     tt = jnp.where(is_sphere, sph_t, t)
+
+    if e1 is not None:
+        # ---- triangle (beyond-reference; Moller-Trumbore, direct form) ----
+        pv = jnp.cross(dirn, e2)
+        det = jnp.sum(e1 * pv, axis=-1)
+        ok = jnp.abs(det) > TRI_DET_EPS
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tv = org - center  # center = v0 for triangles
+        u = jnp.sum(tv * pv, axis=-1) * inv
+        qv = jnp.cross(tv, e1)
+        v = jnp.sum(dirn * qv, axis=-1) * inv
+        tri_t = jnp.sum(e2 * qv, axis=-1) * inv
+        tri_hit = (
+            ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (tri_t > t_min) & (tri_t < t_max)
+        )
+        is_tri = ptype == TRIANGLE
+        hit = jnp.where(is_tri, tri_hit, hit)
+        tt = jnp.where(is_tri, tri_t, tt)
     return hit, tt
 
 
@@ -82,6 +108,8 @@ def bvh_closest_hit(
     size: jnp.ndarray,
     t_min: float = 0.001,
     t_max=None,
+    edge1: jnp.ndarray | None = None,
+    edge2: jnp.ndarray | None = None,
 ):
     """Closest-hit via the flat BVH.  Same contract as intersect.hit_scene:
     returns (hit[R], t[R], prim_idx[R])."""
@@ -118,6 +146,8 @@ def bvh_closest_hit(
             org, dirn, a_quad,
             prim_type[psafe], center[psafe], size[psafe],
             t_min, jnp.minimum(best_t, t_max),
+            e1=None if edge1 is None else edge1[psafe],
+            e2=None if edge2 is None else edge2[psafe],
         )
         win = test & p_hit & (p_t < best_t)
         best_t = jnp.where(win, p_t, best_t)

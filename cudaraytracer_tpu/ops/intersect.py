@@ -25,6 +25,20 @@ Hittable.cuh:30-38, minus the BVH/list entries which are containers here):
     1 = xy rect  (size = (width, height), plane z = center.z, normal +z)
     2 = xz rect  (size = (width, height), plane y = center.y, normal +y)
     3 = yz rect  (size = (width, height), plane x = center.x, normal +x)
+    4 = triangle (center = v0, edge1 = v1-v0, edge2 = v2-v0) — a
+        BEYOND-REFERENCE primitive (the reference supports only spheres
+        and axis-aligned rects); enables triangle meshes (utils.mesh).
+
+The triangle test is Moller-Trumbore re-factored for the MXU: every
+numerator/denominator of (t, u, v) is a scalar triple product, and
+det3[x, y, z] splits over tv = o - v0 into a per-RAY vector dotted with a
+per-PRIMITIVE vector — so the whole [R,B] candidate grid is four
+[R,3] @ [3,B] matmuls (det, t, u, v numerators) plus elementwise work,
+with no [R,B,3] intermediate, exactly like the sphere quadratic above:
+    det   = e1.(d x e2)  = -d . n2            n2 = e1 x e2
+    t*det = tv . n2      = o . n2 - v0 . n2
+    u*det = tv.(d x e2)  = (o x d).e2 - d.(e2 x v0)
+    v*det = d.(tv x e1)  = -(o x d).e1 - d.(v0 x e1)
 """
 
 from __future__ import annotations
@@ -42,6 +56,11 @@ SPHERE = 0
 XY_RECT = 1
 XZ_RECT = 2
 YZ_RECT = 3
+TRIANGLE = 4
+
+# Degenerate-triangle guard: |det| below this means the ray is parallel to
+# the triangle plane (or the triangle has ~zero area); no hit.
+TRI_DET_EPS = 1e-9
 
 # Per-type axis tables (index 0 = sphere placeholder).
 # k = plane axis, a/b = in-plane axes mapped to (u, v).
@@ -163,6 +182,46 @@ def _rect_block_t(org, dirn, ptype_b, center_b, size_b, t_min, t_max):
     return hit, t
 
 
+def _tri_block_t(org, dirn, v0_b, e1_b, e2_b, t_min, t_max):
+    """Candidate hit distance for all rays x a block of triangles.
+
+    Moller-Trumbore via scalar-triple-product factoring (module docstring):
+    four [R,3] @ [3,B] matmuls on the MXU, no [R,B,3] intermediate.
+    org,dirn: [R,3]; v0_b,e1_b,e2_b: [B,3].  Returns (hit[R,B], t[R,B]).
+    """
+    def cross_b(a, b):  # [B,3] x [B,3]
+        return jnp.stack(
+            [a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+             a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+             a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]], axis=-1)
+
+    n2 = cross_b(e1_b, e2_b)          # [B,3] un-normalized plane normal
+    c1 = cross_b(e2_b, v0_b)          # [B,3]
+    c2 = cross_b(v0_b, e1_b)          # [B,3]
+    s0 = jnp.sum(v0_b * n2, axis=-1)  # [B]
+    oxd = jnp.cross(org, dirn)        # [R,3] per-ray moment vector
+
+    hi = lax.Precision.HIGHEST  # bf16 default would destroy the barycentrics
+    def mm(a, b):
+        return jnp.dot(a, b.T, preferred_element_type=jnp.float32, precision=hi)
+
+    det = -mm(dirn, n2)                      # [R,B]
+    t_num = mm(org, n2) - s0[None, :]        # [R,B]
+    u_num = mm(oxd, e2_b) - mm(dirn, c1)     # [R,B]
+    v_num = -mm(oxd, e1_b) - mm(dirn, c2)    # [R,B]
+
+    ok = jnp.abs(det) > TRI_DET_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    t = t_num * inv
+    u = u_num * inv
+    v = v_num * inv
+    hit = (
+        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < t_max)
+    )
+    return hit, t
+
+
 def hit_scene(
     org: jnp.ndarray,
     dirn: jnp.ndarray,
@@ -173,11 +232,17 @@ def hit_scene(
     t_min: float = 0.001,
     t_max=None,
     block: int = 64,
+    edge1: jnp.ndarray | None = None,
+    edge2: jnp.ndarray | None = None,
 ):
     """Closest-hit over every active primitive for a ray batch.
 
     Brute-force analog of HittableList::Hit (Hittable.cuh:532-581), scanned in
     blocks of ``block`` primitives.  Returns (hit[R], t[R], idx[R]).
+
+    ``edge1``/``edge2`` (f32[N,3]) enable the triangle branch; when omitted
+    the traced graph is identical to the pre-triangle one (triangle-free
+    scenes pay nothing).
     """
     org = jnp.asarray(org)
     dirn = jnp.asarray(dirn)
@@ -185,6 +250,10 @@ def hit_scene(
     center = jnp.asarray(center)
     size = jnp.asarray(size)
     active = jnp.asarray(active)
+    with_tris = edge1 is not None
+    if with_tris:
+        edge1 = jnp.asarray(edge1)
+        edge2 = jnp.asarray(edge2)
     n = prim_type.shape[0]
     r = org.shape[0]
     if t_max is None:
@@ -197,6 +266,9 @@ def hit_scene(
         center = jnp.pad(center, ((0, pad), (0, 0)))
         size = jnp.pad(size, ((0, pad), (0, 0)), constant_values=1.0)
         active = jnp.pad(active, (0, pad))
+        if with_tris:
+            edge1 = jnp.pad(edge1, ((0, pad), (0, 0)))
+            edge2 = jnp.pad(edge2, ((0, pad), (0, 0)))
     n_pad = n + pad
     nblocks = n_pad // block
 
@@ -206,20 +278,34 @@ def hit_scene(
     c_blocks = center.reshape(nblocks, block, 3)
     s_blocks = size.reshape(nblocks, block, 2)
     act_blocks = active.reshape(nblocks, block)
+    scan_blocks = (pt_blocks, c_blocks, s_blocks, act_blocks)
+    if with_tris:
+        scan_blocks = scan_blocks + (
+            edge1.reshape(nblocks, block, 3),
+            edge2.reshape(nblocks, block, 3),
+        )
 
     def body(carry, blk):
         best_t, best_idx = carry
-        ptype_b, center_b, size_b, act_b, base = blk
+        ptype_b, center_b, size_b, act_b, *edges_b, base = blk
 
         is_sphere = ptype_b == SPHERE
         sph_hit, sph_t = _sphere_block_t(
             org, dirn, a_quad, center_b, size_b[:, 0], t_min, t_max
         )
         rect_hit, rect_t = _rect_block_t(
-            org, dirn, ptype_b, center_b, size_b, t_min, t_max
+            org, dirn, jnp.clip(ptype_b, 0, YZ_RECT), center_b, size_b,
+            t_min, t_max
         )
         hit = jnp.where(is_sphere[None, :], sph_hit, rect_hit)
         t = jnp.where(is_sphere[None, :], sph_t, rect_t)
+        if with_tris:
+            is_tri = ptype_b == TRIANGLE
+            tri_hit, tri_t = _tri_block_t(
+                org, dirn, center_b, edges_b[0], edges_b[1], t_min, t_max
+            )
+            hit = jnp.where(is_tri[None, :], tri_hit, hit)
+            t = jnp.where(is_tri[None, :], tri_t, t)
         hit = hit & act_b[None, :]
         t = jnp.where(hit, t, jnp.float32(BIG))
 
@@ -239,7 +325,7 @@ def hit_scene(
     )
     bases = jnp.arange(nblocks, dtype=jnp.int32) * block
     (best_t, best_idx), _ = lax.scan(
-        body, init, (pt_blocks, c_blocks, s_blocks, act_blocks, bases)
+        body, init, scan_blocks + (bases,)
     )
     # A hit must also beat the caller's t_max budget.
     hit = (best_idx >= 0) & (best_t < t_max)
@@ -255,6 +341,8 @@ def make_hit_record(
     prim_type: jnp.ndarray,
     center: jnp.ndarray,
     size: jnp.ndarray,
+    edge1: jnp.ndarray | None = None,
+    edge2: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Reconstruct normal / uv / front_face for each ray's winning primitive.
 
@@ -262,6 +350,8 @@ def make_hit_record(
     the sphere normal is the raw outward (p - c)/r WITHOUT face flipping;
     the dielectric handles inside hits by sign tests, exactly as the
     reference does.  Rect branches apply SetFaceNormal (Hittable.cuh:20-27).
+    Triangles (beyond-reference) are two-sided like rects: outward normal
+    normalize(e1 x e2), SetFaceNormal flip, barycentric (u, v).
     """
     org = jnp.asarray(org)
     dirn = jnp.asarray(dirn)
@@ -289,14 +379,15 @@ def make_hit_record(
     # instead of [R]-indexed fancy gathers: pairwise gathers lower to very
     # slow scatter/gather loops on TPU (measured ~100ms/frame at 720p),
     # while these are a handful of fused VPU ops.
-    k_ax = jnp.asarray(_K_AXIS)[ptype]
-    a_ax = jnp.asarray(_A_AXIS)[ptype]
-    b_ax = jnp.asarray(_B_AXIS)[ptype]
+    rtype = jnp.clip(ptype, 0, YZ_RECT)  # triangle rows masked out below
+    k_ax = jnp.asarray(_K_AXIS)[rtype]
+    a_ax = jnp.asarray(_A_AXIS)[rtype]
+    b_ax = jnp.asarray(_B_AXIS)[rtype]
     axes3 = jnp.arange(3, dtype=jnp.int32)
     a_oh = (a_ax[:, None] == axes3[None, :]).astype(org.dtype)  # [R,3]
     b_oh = (b_ax[:, None] == axes3[None, :]).astype(org.dtype)
     k_oh = (k_ax[:, None] == axes3[None, :]).astype(org.dtype)
-    ea_col = jnp.asarray(_A_EXT_COL)[ptype]  # [R] in {0,1}
+    ea_col = jnp.asarray(_A_EXT_COL)[rtype]  # [R] in {0,1}
     ext_a = jnp.where(ea_col == 0, sz[:, 0], sz[:, 1])
     ext_b = jnp.where(ea_col == 0, sz[:, 1], sz[:, 0])
     p_a = jnp.sum(point * a_oh, axis=-1)
@@ -314,6 +405,32 @@ def make_hit_record(
     front = jnp.where(is_sphere, sph_front, rect_front)
     u = jnp.where(is_sphere, sph_u, rect_u)
     v = jnp.where(is_sphere, sph_v, rect_v)
+
+    if edge1 is not None:
+        # --- triangle branch (beyond-reference) ---
+        e1 = jnp.asarray(edge1)[safe_idx]  # [R,3]
+        e2 = jnp.asarray(edge2)[safe_idx]
+        n2 = jnp.cross(e1, e2)
+        tri_out = n2 / jnp.maximum(
+            jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-20)
+        tri_front = dot(dirn, tri_out) < 0.0
+        tri_normal = jnp.where(tri_front[:, None], tri_out, -tri_out)
+        # barycentric (u, v) of the hit point: standard basis projection
+        w = point - c  # c = v0 for triangles
+        d00 = dot(e1, e1)
+        d01 = dot(e1, e2)
+        d11 = dot(e2, e2)
+        dw1 = dot(w, e1)
+        dw2 = dot(w, e2)
+        den = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+        tri_u = (d11 * dw1 - d01 * dw2) / den
+        tri_v = (d00 * dw2 - d01 * dw1) / den
+
+        is_tri = ptype == TRIANGLE
+        normal = jnp.where(is_tri[:, None], tri_normal, normal)
+        front = jnp.where(is_tri, tri_front, front)
+        u = jnp.where(is_tri, tri_u, u)
+        v = jnp.where(is_tri, tri_v, v)
 
     return HitRecord(
         hit=hit,

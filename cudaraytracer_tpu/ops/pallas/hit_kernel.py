@@ -44,6 +44,7 @@ def _hit_kernel(
     t_ref, j_ref,  # VMEM (8,128) outputs
     *,
     has_rects: bool,
+    has_tris: bool = False,
 ):
     i = pl.program_id(0)
     n_super = cnt_ref[0]
@@ -67,6 +68,7 @@ def _hit_kernel(
         bt, bj, _nclus = hierarchical_search(
             s_ref, clus_ref, super_ref, n_super,
             ox, oy, oz, dx, dy, dz, t_min, best_t0, has_rects,
+            has_tris=has_tris,
         )
         t_ref[...] = bt
         j_ref[...] = bj
@@ -84,6 +86,7 @@ def pallas_closest_hit(
     dirn: jnp.ndarray,  # f32[R, 3], unit directions
     t_min: float = 0.001,
     has_rects: bool = True,
+    has_tris: bool = False,
     interpret: bool = False,
 ):
     """Closest hit for a compacted wavefront.
@@ -105,7 +108,8 @@ def pallas_closest_hit(
     plane = lambda v: v.reshape(rows, 128)  # noqa: E731
     ray_spec = pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_hit_kernel, has_rects=has_rects)
+    kern = functools.partial(_hit_kernel, has_rects=has_rects,
+                             has_tris=has_tris)
     t, j = pl.pallas_call(
         kern,
         grid=grid,

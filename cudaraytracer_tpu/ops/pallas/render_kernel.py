@@ -49,17 +49,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 # ----------------------------------------------------------------- tables
 # Search table S: f32[16, NP] — one column per primitive (Morton-sorted).
-# Rows 13-15 are spare (padded to 16 for SMEM-friendly shape stability).
+# Rows 13-15 hold the triangle's second edge (spare for other types).
 S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
     S_AAX, S_BAX = range(13)
+# Triangle columns (BEYOND-REFERENCE prim type 4) overlay the rect rows —
+# type dispatch means no column ever reads both meanings:
+#   CX/CY/CZ = v0; CK/CA/CB = e1; KAX/AAX/BAX = n2 = e1 x e2 (UNnormalized,
+#   exact: det = -d.n2 and t*det = (o - v0).n2 are triple-product
+#   refactorings of Moller-Trumbore, see ops/intersect.py docstring);
+#   rows 13-15 = e2.  R2/HA/HB stay -1 so the sphere/rect tests of a MIXED
+#   cluster can never hit a triangle column (Cauchy-Schwarz / extent<0).
+S_E1X, S_E1Y, S_E1Z = S_CK, S_CA, S_CB
+S_N2X, S_N2Y, S_N2Z = S_KAX, S_AAX, S_BAX
+S_E2X, S_E2Y, S_E2Z = 13, 14, 15
 # Payload table P: f32[P_ROWS, NP] — winning-primitive attributes, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
 #   MPARAM = fuzz|ior|light (mutually exclusive by material type, exact)
 #   PACKA/PACKB = albedo/albedo2 RGB as 8:8:8 in an exact-integer f32
-#   PACKC = mat + 4*tex + 16*ptype + 64*neg_r + 128*(tex_id+1) (exact
-#   small ints; neg_r carries the sphere-radius sign for the hollow-glass
-#   idiom — the normal is (p-c)/r with SIGNED r, Hittable.cuh:96)
+#   PACKC = mat + 4*tex + 16*ptype + 128*neg_r + 256*(tex_id+1) (exact
+#   small ints; ptype gets 3 bits for the triangle type; neg_r carries the
+#   sphere-radius sign for the hollow-glass idiom — the normal is (p-c)/r
+#   with SIGNED r, Hittable.cuh:96)
+#   CX/CY/CZ double as the UNIT outward normal for triangle columns (the
+#   kernel's sphere/rect normal reconstruction never reads them for type 4)
 # No radius row: the sphere normal is normalize(p - c), identical to
 # (p - c)/r at the hit point — one rsqrt per wave instead of a payload row
 # (payload reconstruction costs one select PER ROW per prim of every
@@ -126,9 +139,10 @@ class SceneTables(_t.NamedTuple):
 
 def _npad_for(scene, cluster: int = CLUSTER, super_: int = SUPER) -> int:
     span = cluster * super_
-    # + 3*(cluster-1): segment alignment padding in the worst case — each
-    # of the three segments (big, spheres, rects) pads to a cluster multiple
-    cap = max(scene.capacity, span) + 3 * (cluster - 1)
+    # + 4*(cluster-1): segment alignment padding in the worst case — each
+    # of the four segments (big, spheres, rects, triangles) pads to a
+    # cluster multiple
+    cap = max(scene.capacity, span) + 4 * (cluster - 1)
     return ((cap + span - 1) // span) * span
 
 
@@ -207,7 +221,8 @@ def pack_scene_tables(scene, with_uv: bool = False,
         if with_uv:
             albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
         S, P, clusters, supers, n_super, prim_map = pack_native.pack(
-            scene.center[idx], scene.size[idx], scene.prim_type[idx],
+            scene.center[idx], scene.size[idx],
+            scene.edge1[idx], scene.edge2[idx], scene.prim_type[idx],
             scene.mat_type[idx], mparam, scene.tex_type[idx],
             tex_id, albedo, scene.albedo2[idx],
             bmin0, bmax0, idx, npad, cluster, super_, p_rows,
@@ -264,11 +279,14 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         d = bmax0 - bmin0
         area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
         big = area > 50.0 * np.median(area)
-        is_rect = scene.prim_type[idx] != 0
+        t_all = scene.prim_type[idx].astype(np.int64)
+        is_tri = t_all == 4
+        is_rect = (t_all != 0) & ~is_tri
         segs = [
             order[big[order]],
-            order[~big[order] & ~is_rect[order]],
+            order[~big[order] & ~is_rect[order] & ~is_tri[order]],
             order[~big[order] & is_rect[order]],
+            order[~big[order] & is_tri[order]],
         ]
         cols: list[int] = []  # position in `idx`, or -1 for alignment padding
         for seg in segs:
@@ -286,10 +304,10 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         t = scene.prim_type[sidx].astype(np.int64)
         c = scene.center[sidx]
         sz = scene.size[sidx]
-        k_ax = np.choose(t, [0, 2, 1, 0])
-        a_ax = np.choose(t, [0, 0, 0, 1])
-        b_ax = np.choose(t, [0, 1, 2, 2])
-        ea = np.choose(t, [0, 0, 0, 1])
+        k_ax = np.choose(t, [0, 2, 1, 0, 0])
+        a_ax = np.choose(t, [0, 0, 0, 1, 0])
+        b_ax = np.choose(t, [0, 1, 2, 2, 0])
+        ea = np.choose(t, [0, 0, 0, 1, 0])
         rows = np.arange(len(sidx))
         S[S_CX, rdst], S[S_CY, rdst], S[S_CZ, rdst] = c[:, 0], c[:, 1], c[:, 2]
         S[S_R2, rdst] = sz[:, 0] * sz[:, 0]
@@ -324,14 +342,33 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         P[P_PACKB, rdst] = pack_rgb(scene.albedo2[sidx])
         neg_r = (sz[:, 0] < 0).astype(np.int64)
         P[P_PACKC, rdst] = (
-            mat + 4 * tex_t + 16 * t + 64 * neg_r
-            + 128 * (np.maximum(tex_id, -1) + 1)
+            mat + 4 * tex_t + 16 * t + 128 * neg_r
+            + 256 * (np.maximum(tex_id, -1) + 1)
         ).astype(np.float32)
         P[P_CX, rdst], P[P_CY, rdst], P[P_CZ, rdst] = c.T
         if with_uv:
             P[P_HA, rdst] = S[S_HA, rdst]
             P[P_HB, rdst] = S[S_HB, rdst]
         prim_map[rdst] = sidx
+
+        # ---- triangle columns (type 4): overlay the rect rows ----
+        tri = t == 4
+        if tri.any():
+            e1 = np.asarray(scene.edge1[sidx][tri], np.float32)
+            e2 = np.asarray(scene.edge2[sidx][tri], np.float32)
+            n2 = np.cross(e1, e2).astype(np.float32)
+            td = rdst[tri]
+            S[S_R2, td] = -1.0  # sphere/rect tests can never hit (mixed
+            S[S_HA, td] = -1.0  # clusters): negative r^2 / extents
+            S[S_HB, td] = -1.0
+            S[S_E1X, td], S[S_E1Y, td], S[S_E1Z, td] = e1.T
+            S[S_N2X, td], S[S_N2Y, td], S[S_N2Z, td] = n2.T
+            S[S_E2X, td], S[S_E2Y, td], S[S_E2Z, td] = e2.T
+            # payload CX/CY/CZ = unit outward normal (two-sided shading
+            # flips by sign(d . n) in-kernel, like make_hit_record)
+            nh = n2 / np.maximum(
+                np.linalg.norm(n2, axis=1, keepdims=True), np.float32(1e-20))
+            P[P_CX, td], P[P_CY, td], P[P_CZ, td] = nh.astype(np.float32).T
 
         bmin = bmin0[rsel]
         bmax = bmax0[rsel]
@@ -346,9 +383,12 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
                 continue
             clusters[0:3, ci] = bmin[members].min(0)
             clusters[3:6, ci] = bmax[members].max(0)
-            kinds = set(int(v) != 0 for v in t[members])
-            # kind row: 0 = all spheres, 1 = all rects, 2 = mixed
-            clusters[6, ci] = 2.0 if len(kinds) > 1 else (1.0 if kinds.pop() else 0.0)
+            # kind row: 0 all spheres, 1 all rects, 3 all triangles, 2 mixed
+            kinds = set(
+                0 if int(v) == 0 else (3 if int(v) == 4 else 1)
+                for v in t[members]
+            )
+            clusters[6, ci] = float(kinds.pop()) if len(kinds) == 1 else 2.0
         for si in range(n_super):
             members = [col_of[k] for k in range(si * span, min(ncols, (si + 1) * span))
                        if col_of[k] >= 0]
@@ -447,6 +487,7 @@ def hierarchical_search(
     order_ref=None,
     cluster: int = CLUSTER,
     super_: int = SUPER,
+    has_tris: bool = False,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -534,6 +575,33 @@ def hierarchical_search(
         )
         return hit_r, t_r
 
+    def _tri_test(j, best_t):
+        # Moller-Trumbore via triple-product refactoring (module tables
+        # comment): det = -d.n2, t*det = tv.n2, u*det = (tv x d).e2,
+        # v*det = -(tv x d).e1 — one cross per (tile, prim) instead of two.
+        v0x, v0y, v0z = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
+        n2x, n2y, n2z = s_ref[S_N2X, j], s_ref[S_N2Y, j], s_ref[S_N2Z, j]
+        det = -(dx * n2x + dy * n2y + dz * n2z)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        t_num = tvx * n2x + tvy * n2y + tvz * n2z
+        crx = tvy * dz - tvz * dy  # tv x d
+        cry = tvz * dx - tvx * dz
+        crz = tvx * dy - tvy * dx
+        u_num = (crx * s_ref[S_E2X, j] + cry * s_ref[S_E2Y, j]
+                 + crz * s_ref[S_E2Z, j])
+        v_num = -(crx * s_ref[S_E1X, j] + cry * s_ref[S_E1Y, j]
+                  + crz * s_ref[S_E1Z, j])
+        ok = jnp.abs(det) > 1e-9
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        t_t = t_num * inv
+        u = u_num * inv
+        v = v_num * inv
+        hit_t = (
+            ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_t > t_min) & (t_t < best_t)
+        )
+        return hit_t, t_t
+
     def _dual_test(j, best_t):
         ptype = s_ref[S_PTYPE, j]
         is_sphere = ptype < 0.5
@@ -542,6 +610,11 @@ def hierarchical_search(
         t_j = jnp.where(is_sphere, t_s, t_r)
         # boolean select via logic ops (Mosaic can't select i1 vectors)
         hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
+        if has_tris:
+            is_tri = ptype > 3.5
+            hit_t, t_t = _tri_test(j, best_t)
+            t_j = jnp.where(is_tri, t_t, t_j)
+            hit_j = (is_tri & hit_t) | (~is_tri & hit_j)
         return hit_j, t_j
 
     def _prim_loop(test):
@@ -580,17 +653,28 @@ def hierarchical_search(
     run_sphere = _prim_loop(_sphere_test)
     run_rect = _prim_loop(_rect_test)
     run_dual = _prim_loop(_dual_test)
+    run_tri = _prim_loop(_tri_test)
 
     def cluster_scan(ci, carry):
         best_t, best_j, nclus = carry
         any_hit = _box_any(clus_ref, ci, best_t)
 
         def run(carry3):
-            if not has_rects:
+            if not (has_rects or has_tris):
                 return run_sphere(carry3)
             # homogeneous clusters (pack_scene_tables segregates types):
             # pick the cheapest primitive loop for this cluster's kind
+            # (0 spheres, 1 rects, 2 mixed, 3 triangles)
             kind = clus_ref[6, ci]
+            if has_tris:
+                return lax.cond(
+                    kind < 0.5, run_sphere,
+                    lambda c: lax.cond(
+                        kind < 1.5, run_rect,
+                        lambda c2: lax.cond(kind < 2.5, run_dual, run_tri, c2),
+                        c),
+                    carry3,
+                )
             return lax.cond(
                 kind < 0.5, run_sphere,
                 lambda c: lax.cond(kind < 1.5, run_rect, run_dual, c),
@@ -675,6 +759,7 @@ def _render_kernel(
     cluster: int = CLUSTER,
     super_: int = SUPER,
     octant_split: bool = False,
+    has_tris: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -880,6 +965,7 @@ def _render_kernel(
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
+                has_tris=has_tris,
             )
         else:
             # MEASURED PROBE (round-3 verdict Next #8): partition live
@@ -897,6 +983,7 @@ def _render_kernel(
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
+                has_tris=has_tris,
             )
             front_to_back_order(bwd_f)
             bt_b, bj_b, nc_b = hierarchical_search(
@@ -904,6 +991,7 @@ def _render_kernel(
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
+                has_tris=has_tris,
             )
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, bt_a, bt_b)
@@ -942,12 +1030,12 @@ def _render_kernel(
 
         # -------- unpack the packed payload rows (once per wave) --------
         packc = pay[P_PACKC]
-        tidp1 = jnp.floor(packc * (1.0 / 128.0))  # tex_id + 1 (0 = no image)
-        rem128 = packc - tidp1 * 128.0
-        neg_r = jnp.floor(rem128 * (1.0 / 64.0))  # 1 = negative radius
-        rem64 = rem128 - neg_r * 64.0
-        ptype16 = jnp.floor(rem64 * (1.0 / 16.0))
-        rem_c = rem64 - ptype16 * 16.0
+        tidp1 = jnp.floor(packc * (1.0 / 256.0))  # tex_id + 1 (0 = no image)
+        rem256 = packc - tidp1 * 256.0
+        neg_r = jnp.floor(rem256 * (1.0 / 128.0))  # 1 = negative radius
+        rem128 = rem256 - neg_r * 128.0
+        ptype16 = jnp.floor(rem128 * (1.0 / 16.0))  # prim type, 0-4
+        rem_c = rem128 - ptype16 * 16.0
         tex = jnp.floor(rem_c * 0.25)
         mat = rem_c - tex * 4.0
         is_lamb = mat < 0.5
@@ -982,7 +1070,7 @@ def _render_kernel(
         snx = ncx * rinv
         sny = ncy * rinv
         snz = ncz * rinv
-        if has_rects:
+        if has_rects or has_tris:
             is_sphere = ptype16 < 0.5
             # rect outward normal = one-hot(k axis); SetFaceNormal flip
             kax = jnp.where(
@@ -991,6 +1079,13 @@ def _render_kernel(
             rnx = jnp.where(kax == 0.0, ones, zeros)
             rny = jnp.where(kax == 1.0, ones, zeros)
             rnz = jnp.where(kax == 2.0, ones, zeros)
+            if has_tris:
+                # triangle payload CX/CY/CZ IS the unit outward normal;
+                # two-sided flip below (shared with rects)
+                is_tri_p = ptype16 > 3.5
+                rnx = jnp.where(is_tri_p, pay[P_CX], rnx)
+                rny = jnp.where(is_tri_p, pay[P_CY], rny)
+                rnz = jnp.where(is_tri_p, pay[P_CZ], rnz)
             d_dot_out = dx * rnx + dy * rny + dz * rnz
             flip = jnp.where(d_dot_out < 0.0, 1.0, -1.0)
             nx = jnp.where(is_sphere, snx, rnx * flip)
@@ -1049,6 +1144,12 @@ def _render_kernel(
             has_data = tidp1 > 0.5
             is_img = (tex > 1.5) & lit_i
             eligible = is_img & has_data & ~is_diel
+            if has_tris:
+                # image-textured TRIANGLES are not deferred: barycentric
+                # (u, v) is not a meaningful image map without per-vertex
+                # UVs, so they shade with the atlas mean color (PACKA) —
+                # documented in PARITY.md (XLA paths sample barycentrically)
+                eligible = eligible & (ptype16 < 3.5)
             first = eligible & ~(used1_f > 0.5)
             second = eligible & (used1_f > 0.5) & ~(used2_f > 0.5)
             # sphere UV (GetSphereUV, Hittable.cuh:119-125) from the
@@ -1323,6 +1424,7 @@ def pallas_render_sample(
     cluster: int = CLUSTER,
     super_: int = SUPER,
     octant_split: bool = False,
+    has_tris: bool = False,
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -1357,7 +1459,9 @@ def pallas_render_sample(
     caller, so framing matches the XLA paths at any resolution.
     ``has_rects=False`` compiles the rect intersection/normal paths away for
     all-sphere scenes (the RTOW benchmark) — about half the per-primitive
-    vector ops.  ``y0``/``band_h`` render a horizontal band of the full
+    vector ops.  ``has_tris=True`` compiles in the triangle branch
+    (BEYOND-REFERENCE prim type 4); triangle-free scenes trace the
+    identical kernel they always did.  ``y0``/``band_h`` render a horizontal band of the full
     image (multi-chip row sharding); ``stream`` is an extra seed component
     for band/sample streams (hash-mixed, collision-free).
     """
@@ -1387,6 +1491,7 @@ def pallas_render_sample(
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
+        has_tris=has_tris,
     )
     out = pl.pallas_call(
         kern,

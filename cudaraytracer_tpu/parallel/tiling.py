@@ -139,6 +139,7 @@ def render_sharded_pallas(
     tex_hw=None,
     cluster: int | None = None,
     super_: int | None = None,
+    has_tris: bool = False,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -191,7 +192,7 @@ def render_sharded_pallas(
             y0=ri * band_h, band_h=band_h, spp=spp, rr_start=rr_start,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
-            cluster=cluster, super_=super_,
+            cluster=cluster, super_=super_, has_tris=has_tris,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

@@ -1,0 +1,156 @@
+"""Triangle-mesh utilities: procedural generators + Wavefront OBJ import.
+
+BEYOND-REFERENCE subsystem: the reference renderer has no mesh support at
+all (its only primitives are spheres and axis-aligned rects,
+CudaRayTracer/src/Hittables/Hittable.cuh:30-38).  Meshes here are plain
+(vertices f32[V,3], faces i32[F,3]) pairs consumed by
+``Scene.add_mesh`` — the host-side "model loader" feeding the same flat
+SoA scene tables every other primitive uses.
+
+All generators emit CCW-wound faces viewed from outside (outward
+normals = normalize(e1 x e2)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def transformed(vertices: np.ndarray, scale=1.0, translate=(0.0, 0.0, 0.0),
+                rotate_y: float = 0.0) -> np.ndarray:
+    """Uniform scale + Y-axis rotation (radians) + translation."""
+    v = np.asarray(vertices, np.float32) * np.float32(scale)
+    if rotate_y:
+        c, s = math.cos(rotate_y), math.sin(rotate_y)
+        v = v @ np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32).T
+    return v + np.asarray(translate, np.float32)
+
+
+def icosphere(subdivisions: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Unit icosphere: icosahedron subdivided ``subdivisions`` times.
+
+    20 * 4^s faces (s=0: 20, s=1: 80, s=2: 320, s=3: 1280).
+    """
+    phi = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [(-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+         (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+         (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1)],
+        np.float32,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+         (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+         (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+         (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)],
+        np.int64,
+    )
+    for _ in range(subdivisions):
+        vlist = list(verts)
+        cache: dict[tuple[int, int], int] = {}
+
+        def midpoint(a: int, b: int) -> int:
+            key = (a, b) if a < b else (b, a)
+            m = cache.get(key)
+            if m is None:
+                p = vlist[a] + vlist[b]
+                p = p / np.linalg.norm(p)
+                cache[key] = m = len(vlist)
+                vlist.append(p.astype(np.float32))
+            return m
+
+        out = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            out += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        verts = np.asarray(vlist, np.float32)
+        faces = np.asarray(out, np.int64)
+    return verts, faces
+
+
+def torus(major: float = 1.0, minor: float = 0.35,
+          segments: int = 24, sides: int = 12) -> tuple[np.ndarray, np.ndarray]:
+    """Torus around the Y axis (major radius in the XZ plane)."""
+    verts = np.empty((segments * sides, 3), np.float32)
+    for i in range(segments):
+        a = 2.0 * math.pi * i / segments
+        ca, sa = math.cos(a), math.sin(a)
+        for j in range(sides):
+            b = 2.0 * math.pi * j / sides
+            cb, sb = math.cos(b), math.sin(b)
+            r = major + minor * cb
+            verts[i * sides + j] = (r * ca, minor * sb, r * sa)
+    faces = []
+    for i in range(segments):
+        i2 = (i + 1) % segments
+        for j in range(sides):
+            j2 = (j + 1) % sides
+            a = i * sides + j
+            b = i2 * sides + j
+            c = i2 * sides + j2
+            d = i * sides + j2
+            faces += [(a, c, b), (a, d, c)]
+    return verts, np.asarray(faces, np.int64)
+
+
+def box(size=(1.0, 1.0, 1.0)) -> tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned box centered at the origin, 12 triangles.
+
+    The mesh analog of the axis-rect trio (a reference Cornell "box" needs
+    6 rect objects; this is one mesh).
+    """
+    hx, hy, hz = (float(s) / 2.0 for s in size)
+    verts = np.array(
+        [(-hx, -hy, -hz), (hx, -hy, -hz), (hx, hy, -hz), (-hx, hy, -hz),
+         (-hx, -hy, hz), (hx, -hy, hz), (hx, hy, hz), (-hx, hy, hz)],
+        np.float32,
+    )
+    faces = np.array(
+        [(4, 5, 6), (4, 6, 7),      # +z
+         (1, 0, 3), (1, 3, 2),      # -z
+         (5, 1, 2), (5, 2, 6),      # +x
+         (0, 4, 7), (0, 7, 3),      # -x
+         (7, 6, 2), (7, 2, 3),      # +y
+         (0, 1, 5), (0, 5, 4)],     # -y
+        np.int64,
+    )
+    return verts, faces
+
+
+def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal Wavefront OBJ reader: ``v`` and ``f`` records (the subset
+    virtually every mesh exporter emits).  Faces with >3 vertices are
+    fan-triangulated; negative indices are resolved per the OBJ spec.
+    Normals/texcoords/materials are ignored (shading comes from the scene
+    material, like every other primitive)."""
+    verts: list[tuple[float, float, float]] = []
+    faces: list[tuple[int, int, int]] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "v" and len(parts) >= 4:
+                verts.append(tuple(float(x) for x in parts[1:4]))
+            elif parts[0] == "f" and len(parts) >= 4:
+                idx = []
+                for tok in parts[1:]:
+                    k = int(tok.split("/")[0])
+                    idx.append(k - 1 if k > 0 else len(verts) + k)
+                for i in range(1, len(idx) - 1):  # fan triangulation
+                    faces.append((idx[0], idx[i], idx[i + 1]))
+    if not verts or not faces:
+        raise ValueError(f"no triangles in OBJ file {path!r}")
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
+def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
+    """Write (vertices, faces) as a Wavefront OBJ (round-trips load_obj)."""
+    with open(path, "w") as f:
+        for v in np.asarray(vertices, np.float32):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in np.asarray(faces, np.int64):
+            f.write(f"f {a + 1} {b + 1} {c + 1}\n")

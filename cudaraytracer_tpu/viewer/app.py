@@ -446,7 +446,7 @@ def _tpu_interpret_mode_active() -> bool:
 @functools.lru_cache(maxsize=16)
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
-                 interpret_ctx):
+                 interpret_ctx, has_tris=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -487,7 +487,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             spp=spp, rr_start=rr_start,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
-            cluster=cluster, super_=super_,
+            cluster=cluster, super_=super_, has_tris=has_tris,
         )
         if has_images:
             rad, counts = out
@@ -526,7 +526,9 @@ class _PallasPipeline:
         self._cfg = cfg
         self._scene = scene
         idx = scene.active_indices()
-        has_rects = bool((scene.prim_type[idx] != 0).any())
+        prim_t = scene.prim_type[idx]
+        has_tris = bool((prim_t == 4).any())
+        has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
         # only the sky colors are needed at frame time; HOST numpy so the
         # in-jit pack embeds them as cheap host-sourced constants
         import types
@@ -547,7 +549,7 @@ class _PallasPipeline:
             cfg.width, cfg.height, self._wpad, self._hpad,
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
-            _tpu_interpret_mode_active())
+            _tpu_interpret_mode_active(), has_tris)
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
                    caccum, spp: int = 1):

@@ -65,6 +65,8 @@ def main():
 
             has_images = bool(
                 (scene.tex_type[scene.active_indices()] == 2).any())
+            has_tris = bool(
+                (scene.prim_type[scene.active_indices()] == 4).any())
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -88,7 +90,7 @@ def main():
                         *tabs, n_sup, cam_vec, seed, args.depth,
                         width=args.width, height=args.height,
                         camera_model=cam_model, spp=1, rr_start=2,
-                        atlas=atlas, tex_hw=tex_hw,
+                        atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
                     )
 
                 acc = cnt = 0.0
@@ -106,6 +108,7 @@ def main():
                     *tabs, t.n_super, cam_vec, 7, args.depth,
                     width=args.width, height=args.height,
                     camera_model=cam_model, spp=args.spp, rr_start=2,
+                    has_tris=has_tris,
                 )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)

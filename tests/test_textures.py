@@ -98,4 +98,4 @@ def test_empty_atlas_slot_is_missing_data():
         t = pack_scene_tables(scene, with_uv=True, force_numpy=force)
         col = int(np.nonzero(t.prim_map >= 0)[0][0])
         packc = int(t.P[P_PACKC, col])
-        assert packc // 128 == 0  # tidp1 == 0 -> in-kernel cyan path
+        assert packc // 256 == 0  # tidp1 == 0 -> in-kernel cyan path

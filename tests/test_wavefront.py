@@ -30,7 +30,7 @@ def unit_rays(r):
 def test_hit_kernel_matches_brute(scene_name):
     scene = scenes.SCENES[scene_name][0]()
     sd = scene.device()
-    tables, ns, has_rects = pack_wavefront_tables(scene)
+    tables, ns, has_rects, _ht = pack_wavefront_tables(scene)
     o, d = unit_rays(2 * TILE)
     hit, t, col = pallas_closest_hit(
         tables.S, tables.clusters, tables.supers, ns, 2 * TILE,
@@ -50,7 +50,7 @@ def test_hit_kernel_matches_brute(scene_name):
 
 def test_hit_kernel_respects_n_alive():
     scene = scenes.default_scene()
-    tables, ns, has_rects = pack_wavefront_tables(scene)
+    tables, ns, has_rects, _ht = pack_wavefront_tables(scene)
     o, d = unit_rays(2 * TILE)
     # second tile entirely past n_alive: must report no hits there
     hit, t, col = pallas_closest_hit(
@@ -64,7 +64,7 @@ def test_hit_kernel_respects_n_alive():
 
 def test_sort_keys_orders_dead_last():
     scene = scenes.default_scene()
-    tables, _, _ = pack_wavefront_tables(scene)
+    tables, _, _, _ = pack_wavefront_tables(scene)
     o, d = unit_rays(512)
     alive = jnp.asarray(RNG.rand(512) > 0.5)
     keys = np.asarray(_sort_keys(jnp.asarray(o), jnp.asarray(d), alive, tables))
