@@ -17,7 +17,7 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcrt_nat
 _lib = None
 
 
-ABI_VERSION = 2  # table layout (PACKC bits, triangle rows, 4 segments)
+ABI_VERSION = 3  # table layout (PACKC bits, Havel-Herout tri rows, 4 segments)
 
 
 def _load():

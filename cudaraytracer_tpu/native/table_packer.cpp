@@ -66,9 +66,13 @@ enum { S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB,
 constexpr int S_ROWS = 16;  // rows 13-15 = triangle e2 (spare otherwise)
 // Triangle columns overlay the rect rows (see render_kernel.py):
 // CK/CA/CB = e1, KAX/AAX/BAX = n2 = e1 x e2, rows 13-15 = e2.
-enum { S_E1X = S_CK, S_E1Y = S_CA, S_E1Z = S_CB,
-       S_N2X = S_KAX, S_N2Y = S_AAX, S_N2Z = S_BAX,
-       S_E2X = 13, S_E2Y = 14, S_E2Z = 15 };
+// Triangle-column row overlay (Havel-Herout precomputed planes, see
+// render_kernel.py tables comment): N = e1 x e2; n1/m2 = barycentric
+// plane normals; d_n/d1/d2 = plane offsets.
+enum { S_NX = S_KAX, S_NY = S_AAX, S_NZ = S_BAX,
+       S_N1X = S_CX, S_N1Y = S_CY, S_N1Z = S_CZ,
+       S_M2X = S_CK, S_M2Y = S_CA, S_M2Z = S_CB,
+       S_DN = 13, S_D1 = 14, S_D2 = 15 };
 // P-table row indices
 enum { P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, P_HA, P_HB };
 
@@ -76,7 +80,7 @@ enum { P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, P_HA, P_HB };
 
 // Table-layout ABI version; pack_native.available() refuses a stale .so
 // whose PACKC bit layout / segment order predates the Python packer's.
-extern "C" int crt_pack_abi_version() { return 2; }
+extern "C" int crt_pack_abi_version() { return 3; }
 
 extern "C" int crt_pack_tables(
     const float* center,   // [n,3] active prims, scene order (tri: v0)
@@ -232,15 +236,36 @@ extern "C" int crt_pack_tables(
             S[S_R2 * npad + j] = -1.0f;
             S[S_HA * npad + j] = -1.0f;
             S[S_HB * npad + j] = -1.0f;
-            S[S_E1X * npad + j] = e1[0];
-            S[S_E1Y * npad + j] = e1[1];
-            S[S_E1Z * npad + j] = e1[2];
-            S[S_N2X * npad + j] = n2x;
-            S[S_N2Y * npad + j] = n2y;
-            S[S_N2Z * npad + j] = n2z;
-            S[S_E2X * npad + j] = e2[0];
-            S[S_E2Y * npad + j] = e2[1];
-            S[S_E2Z * npad + j] = e2[2];
+            // Havel-Herout plane precompute in f64, rounded once to f32 —
+            // op ordering mirrors the numpy packer EXACTLY (bit-identity
+            // enforced by tests/test_mesh.py).
+            double nx = n2x, ny = n2y, nz = n2z;
+            double e1x = e1[0], e1y = e1[1], e1z = e1[2];
+            double e2x = e2[0], e2y = e2[1], e2z = e2[2];
+            double v0x = c[0], v0y = c[1], v0z = c[2];
+            double den = nx * nx + ny * ny + nz * nz;
+            if (den < 1e-300) den = 1e-300;  // degenerate: |N.d|<=eps rejects
+            double n1x = (e2y * nz - e2z * ny) / den;
+            double n1y = (e2z * nx - e2x * nz) / den;
+            double n1z = (e2x * ny - e2y * nx) / den;
+            double m2x = (ny * e1z - nz * e1y) / den;
+            double m2y = (nz * e1x - nx * e1z) / den;
+            double m2z = (nx * e1y - ny * e1x) / den;
+            double d_n = nx * v0x + ny * v0y + nz * v0z;
+            double d1 = -(v0x * n1x + v0y * n1y + v0z * n1z);
+            double d2 = -(v0x * m2x + v0y * m2y + v0z * m2z);
+            S[S_NX * npad + j] = (float)nx;
+            S[S_NY * npad + j] = (float)ny;
+            S[S_NZ * npad + j] = (float)nz;
+            S[S_N1X * npad + j] = (float)n1x;
+            S[S_N1Y * npad + j] = (float)n1y;
+            S[S_N1Z * npad + j] = (float)n1z;
+            S[S_M2X * npad + j] = (float)m2x;
+            S[S_M2Y * npad + j] = (float)m2y;
+            S[S_M2Z * npad + j] = (float)m2z;
+            S[S_DN * npad + j] = (float)d_n;
+            S[S_D1 * npad + j] = (float)d1;
+            S[S_D2 * npad + j] = (float)d2;
             // payload CX/CY/CZ = unit outward normal (f32 ops ordered to
             // match numpy: sqrt(x*x + y*y + z*z), then one divide each)
             float nn = std::sqrt(n2x * n2x + n2y * n2y + n2z * n2z);

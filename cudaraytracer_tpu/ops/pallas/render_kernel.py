@@ -53,15 +53,24 @@ from jax.experimental.pallas import tpu as pltpu
 S_CX, S_CY, S_CZ, S_R2, S_PTYPE, S_KAX, S_CK, S_CA, S_CB, S_HA, S_HB, \
     S_AAX, S_BAX = range(13)
 # Triangle columns (BEYOND-REFERENCE prim type 4) overlay the rect rows —
-# type dispatch means no column ever reads both meanings:
-#   CX/CY/CZ = v0; CK/CA/CB = e1; KAX/AAX/BAX = n2 = e1 x e2 (UNnormalized,
-#   exact: det = -d.n2 and t*det = (o - v0).n2 are triple-product
-#   refactorings of Moller-Trumbore, see ops/intersect.py docstring);
-#   rows 13-15 = e2.  R2/HA/HB stay -1 so the sphere/rect tests of a MIXED
-#   cluster can never hit a triangle column (Cauchy-Schwarz / extent<0).
-S_E1X, S_E1Y, S_E1Z = S_CK, S_CA, S_CB
-S_N2X, S_N2Y, S_N2Z = S_KAX, S_AAX, S_BAX
-S_E2X, S_E2Y, S_E2Z = 13, 14, 15
+# type dispatch means no column ever reads both meanings.  The per-prim
+# test is the Havel-Herout precomputed-plane form ("Yet Faster
+# Ray-Triangle Intersection", IEEE TVCG 2010): the packers precompute
+# (in f64, rounded once to f32)
+#   N  = e1 x e2 (UNnormalized),  d_n = N.v0          (plane equation)
+#   n1 = (e2 x N)/(N.N),          d1 = -v0.n1         (u barycentric plane)
+#   m2 = (N x e1)/(N.N),          d2 = -v0.m2         (v barycentric plane)
+# so in-kernel  t = (d_n - N.o)/(N.d);  p = o + t d;  u = p.n1 + d1;
+# v = p.m2 + d2 — no cross product and a single inv-multiply per prim
+# (~20% fewer VPU ops than triple-product Moller-Trumbore, which matters
+# because the kernel is issue-bound).  Row map: KAX/AAX/BAX = N;
+# CX/CY/CZ = n1; CK/CA/CB = m2; rows 13-15 = d_n, d1, d2.  R2/HA/HB stay
+# -1 so the sphere/rect tests of a MIXED cluster can never hit a triangle
+# column (Cauchy-Schwarz / extent<0).
+S_NX, S_NY, S_NZ = S_KAX, S_AAX, S_BAX
+S_N1X, S_N1Y, S_N1Z = S_CX, S_CY, S_CZ
+S_M2X, S_M2Y, S_M2Z = S_CK, S_CA, S_CB
+S_DN, S_D1, S_D2 = 13, 14, 15
 # Payload table P: f32[P_ROWS, NP] — winning-primitive attributes, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
@@ -361,9 +370,23 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             S[S_R2, td] = -1.0  # sphere/rect tests can never hit (mixed
             S[S_HA, td] = -1.0  # clusters): negative r^2 / extents
             S[S_HB, td] = -1.0
-            S[S_E1X, td], S[S_E1Y, td], S[S_E1Z, td] = e1.T
-            S[S_N2X, td], S[S_N2Y, td], S[S_N2Z, td] = n2.T
-            S[S_E2X, td], S[S_E2Y, td], S[S_E2Z, td] = e2.T
+            # Havel-Herout plane precompute (module tables comment) in f64,
+            # rounded once to f32 on store.  Op ordering mirrors the native
+            # packer EXACTLY (bit-identity enforced by tests/test_mesh.py).
+            nd = n2.astype(np.float64)
+            e1d, e2d = e1.astype(np.float64), e2.astype(np.float64)
+            v0d = np.asarray(c[tri], np.float64)
+            den = nd[:, 0] * nd[:, 0] + nd[:, 1] * nd[:, 1] + nd[:, 2] * nd[:, 2]
+            den = np.maximum(den, 1e-300)  # degenerate tri: |N.d|<=eps rejects
+            n1 = np.cross(e2d, nd) / den[:, None]
+            m2 = np.cross(nd, e1d) / den[:, None]
+            d_n = nd[:, 0] * v0d[:, 0] + nd[:, 1] * v0d[:, 1] + nd[:, 2] * v0d[:, 2]
+            d1 = -(v0d[:, 0] * n1[:, 0] + v0d[:, 1] * n1[:, 1] + v0d[:, 2] * n1[:, 2])
+            d2 = -(v0d[:, 0] * m2[:, 0] + v0d[:, 1] * m2[:, 1] + v0d[:, 2] * m2[:, 2])
+            S[S_NX, td], S[S_NY, td], S[S_NZ, td] = nd.T
+            S[S_N1X, td], S[S_N1Y, td], S[S_N1Z, td] = n1.T
+            S[S_M2X, td], S[S_M2Y, td], S[S_M2Z, td] = m2.T
+            S[S_DN, td], S[S_D1, td], S[S_D2, td] = d_n, d1, d2
             # payload CX/CY/CZ = unit outward normal (two-sided shading
             # flips by sign(d . n) in-kernel, like make_hit_record)
             nh = n2 / np.maximum(
@@ -576,26 +599,21 @@ def hierarchical_search(
         return hit_r, t_r
 
     def _tri_test(j, best_t):
-        # Moller-Trumbore via triple-product refactoring (module tables
-        # comment): det = -d.n2, t*det = tv.n2, u*det = (tv x d).e2,
-        # v*det = -(tv x d).e1 — one cross per (tile, prim) instead of two.
-        v0x, v0y, v0z = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
-        n2x, n2y, n2z = s_ref[S_N2X, j], s_ref[S_N2Y, j], s_ref[S_N2Z, j]
-        det = -(dx * n2x + dy * n2y + dz * n2z)
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        t_num = tvx * n2x + tvy * n2y + tvz * n2z
-        crx = tvy * dz - tvz * dy  # tv x d
-        cry = tvz * dx - tvx * dz
-        crz = tvx * dy - tvy * dx
-        u_num = (crx * s_ref[S_E2X, j] + cry * s_ref[S_E2Y, j]
-                 + crz * s_ref[S_E2Z, j])
-        v_num = -(crx * s_ref[S_E1X, j] + cry * s_ref[S_E1Y, j]
-                  + crz * s_ref[S_E1Z, j])
-        ok = jnp.abs(det) > 1e-9
-        inv = 1.0 / jnp.where(ok, det, 1.0)
-        t_t = t_num * inv
-        u = u_num * inv
-        v = v_num * inv
+        # Havel-Herout precomputed-plane test (module tables comment):
+        #   t = (d_n - N.o)/(N.d);  p = o + t d;  u = p.n1 + d1;
+        #   v = p.m2 + d2 — no cross product, one inv-multiply.
+        nx, ny, nz = s_ref[S_NX, j], s_ref[S_NY, j], s_ref[S_NZ, j]
+        denom = dx * nx + dy * ny + dz * nz
+        ok = jnp.abs(denom) > 1e-9
+        inv = 1.0 / jnp.where(ok, denom, 1.0)
+        t_t = (s_ref[S_DN, j] - (ox * nx + oy * ny + oz * nz)) * inv
+        px = ox + t_t * dx
+        py = oy + t_t * dy
+        pz = oz + t_t * dz
+        u = (px * s_ref[S_N1X, j] + py * s_ref[S_N1Y, j]
+             + pz * s_ref[S_N1Z, j] + s_ref[S_D1, j])
+        v = (px * s_ref[S_M2X, j] + py * s_ref[S_M2Y, j]
+             + pz * s_ref[S_M2Z, j] + s_ref[S_D2, j])
         hit_t = (
             ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t_t > t_min) & (t_t < best_t)

@@ -328,17 +328,29 @@ def test_cluster_kinds_with_triangles():
     for j in tri_cols:
         k = int(t.clusters[6, j // t.cluster])
         assert k in (2, 3), (j, k)
-    # triangle columns carry e1/e2/n2 and poisoned sphere/rect rows
+    # triangle columns carry the Havel-Herout planes and poisoned
+    # sphere/rect rows
     from cudaraytracer_tpu.ops.pallas.render_kernel import (
-        S_E1X, S_E2X, S_HA, S_N2X, S_R2)
+        S_D1, S_D2, S_DN, S_HA, S_M2X, S_M2Y, S_M2Z, S_N1X, S_N1Y, S_N1Z,
+        S_NX, S_NY, S_NZ, S_R2)
 
     j = tri_cols[0]
     slot = t.prim_map[j]
     assert t.S[S_R2, j] == -1.0 and t.S[S_HA, j] == -1.0
-    np.testing.assert_allclose(t.S[S_E1X, j], sc.edge1[slot][0])
-    np.testing.assert_allclose(t.S[S_E2X, j], sc.edge2[slot][0])
-    n2 = np.cross(sc.edge1[slot], sc.edge2[slot])
-    np.testing.assert_allclose(t.S[S_N2X, j], n2[0], rtol=1e-6)
+    e1, e2 = sc.edge1[slot], sc.edge2[slot]
+    v0 = sc.center[slot]
+    n = np.cross(e1, e2)
+    np.testing.assert_allclose(t.S[S_NX, j], n[0], rtol=1e-6)
+    np.testing.assert_allclose(t.S[S_DN, j], np.dot(n, v0), rtol=1e-5)
+    # barycentric planes: u(v0)=0, u(v0+e1)=1, u(v0+e2)=0 (and v likewise)
+    n1 = np.array([t.S[S_N1X, j], t.S[S_N1Y, j], t.S[S_N1Z, j]])
+    m2 = np.array([t.S[S_M2X, j], t.S[S_M2Y, j], t.S[S_M2Z, j]])
+    d1, d2 = t.S[S_D1, j], t.S[S_D2, j]
+    np.testing.assert_allclose(np.dot(v0, n1) + d1, 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.dot(v0 + e1, n1) + d1, 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.dot(v0 + e2, n1) + d1, 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.dot(v0 + e1, m2) + d2, 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.dot(v0 + e2, m2) + d2, 1.0, atol=1e-4)
 
 
 def test_pallas_triangles_match_xla():
