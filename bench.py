@@ -335,6 +335,7 @@ def main():
                 spp=spp, rr_start=args.rr_start, with_cull_stats=True,
                 cluster=t.cluster, super_=t.super_,
                 octant_split=args.octant_split, has_tris=has_tris,
+                has_vattrs=t.vattrs,
             )[-1]
 
         @jax.jit
@@ -353,6 +354,7 @@ def main():
                 tex_hw=atl[1] if has_images else None,
                 cluster=t.cluster, super_=t.super_,
                 octant_split=args.octant_split, has_tris=has_tris,
+                has_vattrs=t.vattrs,
             )
             if has_images:
                 img, _counts, nrays = out

@@ -61,12 +61,20 @@ def trace(
     r = org.shape[0]
     max_depth = jnp.asarray(max_depth, jnp.int32)
 
-    # scene.has_triangles is STATIC pytree metadata: triangle-free scenes
-    # trace the identical (triangle-less) graph they always did
+    # scene.has_triangles / has_vertex_attrs are STATIC pytree metadata:
+    # triangle-free scenes trace the identical (triangle-less) graph they
+    # always did, and plain-triangle scenes skip the per-vertex
+    # interpolation code entirely
     tri_kw = (
         dict(edge1=scene.edge1, edge2=scene.edge2)
         if scene.has_triangles else {}
     )
+    rec_kw = dict(tri_kw)
+    if scene.has_triangles and scene.has_vertex_attrs:
+        rec_kw.update(
+            uv0=scene.uv0, uv1=scene.uv1, uv2=scene.uv2,
+            vnorm0=scene.vnorm0, vnorm1=scene.vnorm1, vnorm2=scene.vnorm2,
+        )
 
     if hit_fn is None:
         def hit_fn(o, d):
@@ -88,7 +96,7 @@ def trace(
         hit, t, idx = hit_fn(org, dirn)
         rec = intersect.make_hit_record(
             org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size,
-            **tri_kw,
+            **rec_kw,
         )
 
         # ---- miss: sky gradient (Kernel.cu:40-45) ----

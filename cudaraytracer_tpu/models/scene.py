@@ -78,11 +78,19 @@ class SceneData:
     tex_id: jax.Array  # i32[N]    atlas slot or -1
     edge1: jax.Array  # f32[N,3]  triangle v1-v0 (zeros elsewhere)
     edge2: jax.Array  # f32[N,3]  triangle v2-v0 (zeros elsewhere)
+    uv0: jax.Array  # f32[N,2]  triangle per-vertex texcoords; defaults
+    uv1: jax.Array  # f32[N,2]  (0,0)/(1,0)/(0,1) make the interpolated
+    uv2: jax.Array  # f32[N,2]  uv equal the barycentric (u,v)
+    vnorm0: jax.Array  # f32[N,3]  triangle per-vertex shading normals;
+    vnorm1: jax.Array  # f32[N,3]  all-zero rows mean "flat" (use the
+    vnorm2: jax.Array  # f32[N,3]  face normal)
     atlas: jax.Array  # uint8[S,AH,AW,3]
     tex_hw: jax.Array  # i32[S,2]
     background_start: jax.Array  # f32[3]
     background_end: jax.Array  # f32[3]
     has_triangles: bool = dataclasses.field(
+        default=False, metadata={"static": True})
+    has_vertex_attrs: bool = dataclasses.field(
         default=False, metadata={"static": True})
 
     @property
@@ -105,7 +113,17 @@ _PRIM_FIELDS = [
     ("tex_id", np.int32, ()),
     ("edge1", np.float32, (3,)),
     ("edge2", np.float32, (3,)),
+    ("uv0", np.float32, (2,)),
+    ("uv1", np.float32, (2,)),
+    ("uv2", np.float32, (2,)),
+    ("vnorm0", np.float32, (3,)),
+    ("vnorm1", np.float32, (3,)),
+    ("vnorm2", np.float32, (3,)),
 ]
+
+# Default per-vertex texcoords reproduce the raw barycentric (u, v) after
+# interpolation: uv(P) = uv0 + u*(uv1-uv0) + v*(uv2-uv0) = (u, v).
+_UV_DEFAULT = (np.float32([0, 0]), np.float32([1, 0]), np.float32([0, 1]))
 
 
 class Scene:
@@ -130,6 +148,7 @@ class Scene:
         self.size[:] = 1.0
         self.ior[:] = 1.0
         self.tex_id[:] = -1
+        self.uv0[:], self.uv1[:], self.uv2[:] = _UV_DEFAULT
         self.atlas = np.zeros((atlas_slots, atlas_size, atlas_size, 3), np.uint8)
         self.tex_hw = np.zeros((atlas_slots, 2), np.int32)
         self._atlas_used = [False] * atlas_slots
@@ -167,6 +186,7 @@ class Scene:
         self.size[old:] = 1.0
         self.ior[old:] = 1.0
         self.tex_id[old:] = -1
+        self.uv0[old:], self.uv1[old:], self.uv2[old:] = _UV_DEFAULT
         self._free = list(range(new - 1, old - 1, -1)) + self._free
         self.capacity = new
         self.version += 1
@@ -197,6 +217,10 @@ class Scene:
         self.albedo[i] = np.asarray(albedo, np.float32)
         self.albedo2[i] = np.asarray(albedo2, np.float32)
         self.tex_id[i] = tex_id
+        # reset per-vertex attrs: a recycled slot must not leak a previous
+        # triangle's uv/normal data into a new primitive
+        self.uv0[i], self.uv1[i], self.uv2[i] = _UV_DEFAULT
+        self.vnorm0[i] = self.vnorm1[i] = self.vnorm2[i] = 0.0
         self.active[i] = True
         self.version += 1
         return i
@@ -213,34 +237,98 @@ class Scene:
     def add_yz_rect(self, center, width: float, height: float, **mat) -> int:
         return self._add(YZ_RECT, center, (width, height), **mat)
 
-    def add_triangle(self, v0, v1, v2, **mat) -> int:
+    def add_triangle(self, v0, v1, v2, uv=None, normals=None, **mat) -> int:
         """Add one triangle (BEYOND-REFERENCE: the reference has only
         spheres and axis-aligned rects).  Stored as v0 + two edge vectors;
         the outward normal is normalize((v1-v0) x (v2-v0)) (CCW winding),
-        and shading treats it as two-sided like the rects."""
+        and shading treats it as two-sided like the rects.
+
+        ``uv``: optional per-vertex texcoords, 3 pairs — the hit (u, v)
+        becomes the barycentric interpolation of these (default: raw
+        barycentrics).  ``normals``: optional per-vertex shading normals,
+        3 vectors — shading uses the normalized barycentric interpolation
+        (smooth/Phong shading) instead of the face normal."""
         v0 = np.asarray(v0, np.float32)
         v1 = np.asarray(v1, np.float32)
         v2 = np.asarray(v2, np.float32)
         i = self._add(TRIANGLE, v0, (1.0, 1.0), **mat)
         self.edge1[i] = v1 - v0
         self.edge2[i] = v2 - v0
+        if uv is not None:
+            uv = np.asarray(uv, np.float32)
+            if uv.shape != (3, 2):
+                raise ValueError(f"uv must be 3 (u,v) pairs, got {uv.shape}")
+            self.uv0[i], self.uv1[i], self.uv2[i] = uv
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)
+            if normals.shape != (3, 3):
+                raise ValueError(
+                    f"normals must be 3 vectors, got {normals.shape}")
+            lens = np.linalg.norm(normals, axis=1, keepdims=True)
+            if (lens < 1e-12).any():
+                raise ValueError("zero-length vertex normal")
+            normals = normals / lens
+            self.vnorm0[i], self.vnorm1[i], self.vnorm2[i] = normals
         return i
 
-    def add_mesh(self, vertices, faces, **mat) -> list[int]:
+    def add_mesh(self, vertices, faces, uvs=None, uv_faces=None,
+                 normals=None, normal_faces=None, smooth=False,
+                 **mat) -> list[int]:
         """Add a triangle mesh: ``vertices`` f32[V,3], ``faces`` i32[F,3]
         (CCW winding).  One material for the whole mesh; returns the new
         slot ids (a Python list, the mesh analog of the reference's
-        per-object UI handles)."""
+        per-object UI handles).
+
+        Per-vertex attributes (all optional):
+          * ``uvs`` f32[VT,2] + ``uv_faces`` i32[F,3] (defaults to
+            ``faces``): texcoords, indexed OBJ-style.
+          * ``normals`` f32[VN,3] + ``normal_faces`` i32[F,3] (defaults to
+            ``faces``): shading normals for smooth shading.
+          * ``smooth=True``: no authored normals — compute area-weighted
+            vertex normals from the face geometry (utils.mesh.vertex_normals).
+        """
         vertices = np.asarray(vertices, np.float32)
         faces = np.asarray(faces, np.int64)
-        return [
-            self.add_triangle(vertices[a], vertices[b], vertices[c], **mat)
-            for a, b, c in faces
-        ]
+        if smooth and normals is None:
+            from ..utils.mesh import vertex_normals
+
+            normals = vertex_normals(vertices, faces)
+        if uvs is not None:
+            uvs = np.asarray(uvs, np.float32)
+            uvf = faces if uv_faces is None else np.asarray(uv_faces, np.int64)
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)
+            nf = (faces if normal_faces is None
+                  else np.asarray(normal_faces, np.int64))
+        out = []
+        for f, (a, b, c) in enumerate(faces):
+            kw = {}
+            if uvs is not None:
+                kw["uv"] = uvs[uvf[f]]
+            if normals is not None:
+                kw["normals"] = normals[nf[f]]
+            out.append(self.add_triangle(
+                vertices[a], vertices[b], vertices[c], **kw, **mat))
+        return out
 
     @property
     def num_triangles(self) -> int:
         return int((self.active & (self.prim_type == TRIANGLE)).sum())
+
+    @property
+    def has_vertex_attrs(self) -> bool:
+        """True when any active triangle carries non-default per-vertex
+        uvs or any vertex normals — the static gate for the interpolation
+        code (SceneData.has_vertex_attrs)."""
+        tri = self.active & (self.prim_type == TRIANGLE)
+        if not tri.any():
+            return False
+        if (self.vnorm0[tri] != 0).any() or (self.vnorm1[tri] != 0).any() \
+                or (self.vnorm2[tri] != 0).any():
+            return True
+        u0, u1, u2 = _UV_DEFAULT
+        return bool((self.uv0[tri] != u0).any() or (self.uv1[tri] != u1).any()
+                    or (self.uv2[tri] != u2).any())
 
     def delete(self, i: int):
         """Deactivate a slot and recycle it (DeleteHittable, CudaLayer.cpp:1372-1387)."""
@@ -324,6 +412,7 @@ class Scene:
             background_start=put(self.background_start),
             background_end=put(self.background_end),
             has_triangles=self.num_triangles > 0,
+            has_vertex_attrs=self.has_vertex_attrs,
             **kw,
         )
 
@@ -353,6 +442,13 @@ class Scene:
             if self.prim_type[i] == TRIANGLE:
                 p["edge1"] = self.edge1[i].tolist()
                 p["edge2"] = self.edge2[i].tolist()
+                uv = np.stack([self.uv0[i], self.uv1[i], self.uv2[i]])
+                if (uv != np.stack(_UV_DEFAULT)).any():
+                    p["uv"] = uv.tolist()
+                vn = np.stack(
+                    [self.vnorm0[i], self.vnorm1[i], self.vnorm2[i]])
+                if (vn != 0).any():
+                    p["vnormals"] = vn.tolist()
             doc["primitives"].append(p)
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
@@ -386,6 +482,12 @@ class Scene:
             if p["prim_type"] == TRIANGLE:
                 scene.edge1[i] = np.asarray(p["edge1"], np.float32)
                 scene.edge2[i] = np.asarray(p["edge2"], np.float32)
+                if "uv" in p:
+                    uv = np.asarray(p["uv"], np.float32)
+                    scene.uv0[i], scene.uv1[i], scene.uv2[i] = uv
+                if "vnormals" in p:
+                    vn = np.asarray(p["vnormals"], np.float32)
+                    scene.vnorm0[i], scene.vnorm1[i], scene.vnorm2[i] = vn
         try:
             side = np.load(path + ".atlas.npz")
             scene.atlas = side["atlas"]

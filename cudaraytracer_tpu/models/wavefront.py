@@ -161,9 +161,16 @@ def render_wavefront_sample(
         slot = tables.prim_map[jnp.maximum(col, 0)]
         idx = jnp.where(hit, slot, -1)
 
+        rec_kw = dict(edge1=scene.edge1, edge2=scene.edge2) if has_tris else {}
+        if has_tris and scene.has_vertex_attrs:
+            rec_kw.update(
+                uv0=scene.uv0, uv1=scene.uv1, uv2=scene.uv2,
+                vnorm0=scene.vnorm0, vnorm1=scene.vnorm1,
+                vnorm2=scene.vnorm2,
+            )
         rec = intersect.make_hit_record(
             org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size,
-            **(dict(edge1=scene.edge1, edge2=scene.edge2) if has_tris else {}),
+            **rec_kw,
         )
 
         # miss -> sky (Kernel.cu:40-45)

@@ -343,6 +343,12 @@ def make_hit_record(
     size: jnp.ndarray,
     edge1: jnp.ndarray | None = None,
     edge2: jnp.ndarray | None = None,
+    uv0: jnp.ndarray | None = None,
+    uv1: jnp.ndarray | None = None,
+    uv2: jnp.ndarray | None = None,
+    vnorm0: jnp.ndarray | None = None,
+    vnorm1: jnp.ndarray | None = None,
+    vnorm2: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Reconstruct normal / uv / front_face for each ray's winning primitive.
 
@@ -352,6 +358,16 @@ def make_hit_record(
     reference does.  Rect branches apply SetFaceNormal (Hittable.cuh:20-27).
     Triangles (beyond-reference) are two-sided like rects: outward normal
     normalize(e1 x e2), SetFaceNormal flip, barycentric (u, v).
+
+    Per-vertex attributes (beyond-reference, optional — pass all of
+    ``uv0..uv2`` and/or all of ``vnorm0..vnorm2``, f32[N,2]/f32[N,3]):
+      * texcoords: the record's (u, v) becomes the barycentric
+        interpolation uv0 + u*(uv1-uv0) + v*(uv2-uv0) — with the default
+        (0,0)/(1,0)/(0,1) rows this is exactly the raw barycentrics.
+      * smooth shading: the normal becomes the normalized interpolation of
+        the vertex normals, flipped to the geometric front side
+        (front_face itself stays geometric so dielectric sign logic is
+        unchanged).  All-zero vnorm rows mean "flat": face normal.
     """
     org = jnp.asarray(org)
     dirn = jnp.asarray(dirn)
@@ -426,11 +442,34 @@ def make_hit_record(
         tri_u = (d11 * dw1 - d01 * dw2) / den
         tri_v = (d00 * dw2 - d01 * dw1) / den
 
+        tri_u_out, tri_v_out = tri_u, tri_v
+        if uv0 is not None:
+            # interpolated texcoords (module docstring); with the default
+            # rows this reduces to (tri_u, tri_v) exactly
+            a0 = jnp.asarray(uv0)[safe_idx]  # [R,2]
+            a1 = jnp.asarray(uv1)[safe_idx]
+            a2 = jnp.asarray(uv2)[safe_idx]
+            uvi = a0 + tri_u[:, None] * (a1 - a0) + tri_v[:, None] * (a2 - a0)
+            tri_u_out, tri_v_out = uvi[:, 0], uvi[:, 1]
+
+        if vnorm0 is not None:
+            n0 = jnp.asarray(vnorm0)[safe_idx]  # [R,3]
+            n1v = jnp.asarray(vnorm1)[safe_idx]
+            n2v = jnp.asarray(vnorm2)[safe_idx]
+            ni = n0 + tri_u[:, None] * (n1v - n0) + tri_v[:, None] * (n2v - n0)
+            nlen = jnp.linalg.norm(ni, axis=-1, keepdims=True)
+            # all-zero rows (flat triangle) or degenerate interpolation
+            # fall back to the face normal
+            has_vn = nlen[:, 0] > 1e-8
+            ni = ni / jnp.maximum(nlen, 1e-20)
+            ni = jnp.where(tri_front[:, None], ni, -ni)
+            tri_normal = jnp.where(has_vn[:, None], ni, tri_normal)
+
         is_tri = ptype == TRIANGLE
         normal = jnp.where(is_tri[:, None], tri_normal, normal)
         front = jnp.where(is_tri, tri_front, front)
-        u = jnp.where(is_tri, tri_u, u)
-        v = jnp.where(is_tri, tri_v, v)
+        u = jnp.where(is_tri, tri_u_out, u)
+        v = jnp.where(is_tri, tri_v_out, v)
 
     return HitRecord(
         hit=hit,

@@ -92,6 +92,35 @@ P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, \
     P_HA, P_HB = range(9)
 P_ROWS = 7
 P_ROWS_UV = 9
+# Per-vertex mesh attributes (BEYOND-REFERENCE, scene.has_vertex_attrs)
+# append rows AFTER the base layout (base = P_ROWS_UV if with_uv else
+# P_ROWS):
+#   +0..+2: per-vertex shading normals n0/n1/n2, each 8:8:8-quantized
+#   (q = floor((n*0.5+0.5)*255+0.5), exact small ints; 0.0 = flat
+#   sentinel — impossible for a real unit normal, which can't be
+#   (-1,-1,-1)); the kernel dequantizes, barycentric-interpolates, and
+#   renormalizes (~0.5 deg worst-case tilt).
+#   with_uv only, +3..+8: uv0.u, uv0.v, duv1.u, duv1.v, duv2.u, duv2.v
+#   at FULL precision — interpolated texcoords uv0 + u*duv1 + v*duv2
+#   make image textures on meshes exact in the deferral path.
+# The barycentric (u, v) at the winner is reconstructed at payload time
+# from the Havel-Herout planes ALREADY in the S table (8 extra selects,
+# S_VATTR_SEL), not carried through the search.
+
+
+def p_rows_for(with_uv: bool, with_vattrs: bool) -> int:
+    base = P_ROWS_UV if with_uv else P_ROWS
+    if with_vattrs:
+        base += 3
+        if with_uv:
+            base += 6
+    return base
+
+
+# S-table rows selected (in this order) alongside the payload rows when
+# has_vattrs: the winner's barycentric planes for u = p.n1 + d1,
+# v = p.m2 + d2.
+S_VATTR_SEL = (S_N1X, S_N1Y, S_N1Z, S_D1, S_M2X, S_M2Y, S_M2Z, S_D2)
 
 # Measured optimum on v5e RTOW 720p depth12 (Mrays/s): the parameters
 # interact — coarser clusters cut box/cond overhead, finer tiles and
@@ -144,6 +173,7 @@ class SceneTables(_t.NamedTuple):
     prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
     cluster: int = CLUSTER  # prims/cluster these tables were packed with
     super_: int = SUPER  # clusters/supercluster (kernel must use the same)
+    vattrs: bool = False  # P has per-vertex attr rows (pass has_vattrs=)
 
 
 def _npad_for(scene, cluster: int = CLUSTER, super_: int = SUPER) -> int:
@@ -187,7 +217,8 @@ def _image_mean_albedo(scene, tex_t, tex_id, albedo):
 def pack_scene_tables(scene, with_uv: bool = False,
                       force_numpy: bool = False,
                       cluster: int | None = None,
-                      super_: int | None = None) -> SceneTables:
+                      super_: int | None = None,
+                      with_vattrs: bool | None = None) -> SceneTables:
     """Host-side packing of the ACTIVE primitives into kernel tables.
 
     Morton-ordered and padded to a multiple of CLUSTER*SUPER.  Rebuild per
@@ -202,6 +233,10 @@ def pack_scene_tables(scene, with_uv: bool = False,
     """
     from ...native import pack_native
 
+    if with_vattrs is None:
+        # auto-detect: meshes with per-vertex uvs/normals get the attr rows
+        with_vattrs = bool(getattr(scene, "has_vertex_attrs", False))
+
     if cluster is None or super_ is None:
         # keyed on CAPACITY, not num_active: edits must never change table
         # shapes (the no-recompile invariant, models/scene.py)
@@ -209,7 +244,8 @@ def pack_scene_tables(scene, with_uv: bool = False,
         cluster = c0 if cluster is None else cluster
         super_ = s0 if super_ is None else super_
 
-    if not force_numpy and pack_native.available():
+    # native packer doesn't emit the vertex-attr rows yet: numpy fallback
+    if not force_numpy and not with_vattrs and pack_native.available():
         from ...models.bvh import primitive_aabbs
 
         idx = scene.active_indices()
@@ -239,12 +275,14 @@ def pack_scene_tables(scene, with_uv: bool = False,
         return SceneTables(S, P, clusters, supers, n_super, prim_map,
                            cluster, super_)
 
-    return _pack_scene_tables_numpy(scene, with_uv, cluster, super_)
+    return _pack_scene_tables_numpy(scene, with_uv, cluster, super_,
+                                    with_vattrs)
 
 
 def _pack_scene_tables_numpy(scene, with_uv: bool = False,
                              cluster: int = CLUSTER,
-                             super_: int = SUPER) -> SceneTables:
+                             super_: int = SUPER,
+                             with_vattrs: bool = False) -> SceneTables:
     """Pure-NumPy packer (the reference implementation for the native one)."""
     from ...models.bvh import primitive_aabbs
 
@@ -253,7 +291,7 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
     npad = _npad_for(scene, cluster, super_)
 
     S = np.zeros((16, npad), np.float32)
-    P = np.zeros((P_ROWS_UV if with_uv else P_ROWS, npad), np.float32)
+    P = np.zeros((p_rows_for(with_uv, with_vattrs), npad), np.float32)
     # padding lanes can never hit: r^2 = -1 makes the sphere discriminant
     # strictly negative (Cauchy-Schwarz) and half-extents of -1 fail the
     # rect bounds test, so the kernel needs no per-primitive active test
@@ -393,6 +431,35 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
                 np.linalg.norm(n2, axis=1, keepdims=True), np.float32(1e-20))
             P[P_CX, td], P[P_CY, td], P[P_CZ, td] = nh.astype(np.float32).T
 
+            if with_vattrs:
+                # per-vertex attr rows (module P-table comment): quantized
+                # vertex normals (+uv rows with_uv).  All-f32 op order must
+                # match the native packer when that learns these rows.
+                vn_base = P_ROWS_UV if with_uv else P_ROWS
+
+                def pack_vn(vn):
+                    vn = np.asarray(vn, np.float32)
+                    q = np.floor(
+                        (vn * np.float32(0.5) + np.float32(0.5))
+                        * np.float32(255.0) + np.float32(0.5)
+                    ).astype(np.int64)
+                    packed = (q[:, 0] * 65536 + q[:, 1] * 256
+                              + q[:, 2]).astype(np.float32)
+                    packed[(vn == 0).all(1)] = 0.0  # flat sentinel
+                    return packed
+
+                P[vn_base + 0, td] = pack_vn(scene.vnorm0[sidx][tri])
+                P[vn_base + 1, td] = pack_vn(scene.vnorm1[sidx][tri])
+                P[vn_base + 2, td] = pack_vn(scene.vnorm2[sidx][tri])
+                if with_uv:
+                    ub_ = vn_base + 3
+                    u0 = np.asarray(scene.uv0[sidx][tri], np.float32)
+                    u1 = np.asarray(scene.uv1[sidx][tri], np.float32)
+                    u2 = np.asarray(scene.uv2[sidx][tri], np.float32)
+                    P[ub_ + 0, td], P[ub_ + 1, td] = u0.T
+                    P[ub_ + 2, td], P[ub_ + 3, td] = (u1 - u0).T
+                    P[ub_ + 4, td], P[ub_ + 5, td] = (u2 - u0).T
+
         bmin = bmin0[rsel]
         bmax = bmax0[rsel]
         col_of = np.full(ncols, -1, np.int64)
@@ -421,7 +488,7 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             supers[3:6, si] = bmax[members].max(0)
 
     return SceneTables(S, P, clusters, supers, n_super, prim_map,
-                       cluster, super_)
+                       cluster, super_, vattrs=with_vattrs)
 
 
 def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
@@ -778,6 +845,7 @@ def _render_kernel(
     super_: int = SUPER,
     octant_split: bool = False,
     has_tris: bool = False,
+    has_vattrs: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -871,7 +939,10 @@ def _render_kernel(
         (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 0.0, spp_f
     )
 
-    p_rows = P_ROWS_UV if has_images else P_ROWS
+    # payload rows in P, plus (has_vattrs) 8 S-table plane selects appended
+    # at indices [p_rows, p_rows+8) of the payload tuple
+    p_rows = p_rows_for(has_images, has_vattrs)
+    pay_n = p_rows + (8 if has_vattrs else 0)
 
     def bounce_body(state):
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -1026,9 +1097,17 @@ def _render_kernel(
 
             def prim_pay(j, pay):
                 m = best_j == jnp.float32(j)
-                return tuple(
+                new = [
                     jnp.where(m, p_ref[k, j], pay[k]) for k in range(p_rows)
-                )
+                ]
+                if has_vattrs:
+                    # the winner's barycentric planes, straight from the
+                    # S table already resident in SMEM (S_VATTR_SEL)
+                    new += [
+                        jnp.where(m, s_ref[k, j], pay[p_rows + i])
+                        for i, k in enumerate(S_VATTR_SEL)
+                    ]
+                return tuple(new)
 
             def run(pay):
                 return lax.fori_loop(ci * cluster, (ci + 1) * cluster, prim_pay, pay)
@@ -1044,7 +1123,7 @@ def _render_kernel(
 
             return lax.cond(in_super, run, lambda p: p, pay)
 
-        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * p_rows)
+        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * pay_n)
 
         # -------- unpack the packed payload rows (once per wave) --------
         packc = pay[P_PACKC]
@@ -1077,6 +1156,14 @@ def _render_kernel(
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
+        if has_vattrs:
+            # winner's barycentrics from the selected Havel-Herout planes
+            # (u = p.n1 + d1, v = p.m2 + d2); garbage for non-triangle
+            # winners, masked by is_tri_p below
+            ub = (px * pay[p_rows + 0] + py * pay[p_rows + 1]
+                  + pz * pay[p_rows + 2] + pay[p_rows + 3])
+            vb = (px * pay[p_rows + 4] + py * pay[p_rows + 5]
+                  + pz * pay[p_rows + 6] + pay[p_rows + 7])
         # unit normal = normalize(p - c) * sign(r) == (p - c)/r at the hit
         # (negative radii flip the normal inward: the hollow-glass idiom,
         # Hittable.cuh:96 divides by the SIGNED radius)
@@ -1105,6 +1192,32 @@ def _render_kernel(
                 rny = jnp.where(is_tri_p, pay[P_CY], rny)
                 rnz = jnp.where(is_tri_p, pay[P_CZ], rnz)
             d_dot_out = dx * rnx + dy * rny + dz * rnz
+            if has_vattrs:
+                # smooth (Phong) shading normal: dequantize the vertex
+                # normals (8:8:8, P-table comment), barycentric-
+                # interpolate, renormalize.  front_face/flip stay GEOMETRIC
+                # (d_dot_out above uses the face normal) so dielectric sign
+                # logic is unchanged; the smooth normal is flipped to the
+                # same side.  0.0-packed rows = flat triangles keep the
+                # face normal (matches ops/intersect.py::make_hit_record).
+                vn_base = P_ROWS_UV if has_images else P_ROWS
+
+                def unq(v):
+                    r, g, b = unpack_rgb(v)
+                    return 2.0 * r - 1.0, 2.0 * g - 1.0, 2.0 * b - 1.0
+
+                n0x, n0y, n0z = unq(pay[vn_base + 0])
+                n1x_, n1y_, n1z_ = unq(pay[vn_base + 1])
+                n2x_, n2y_, n2z_ = unq(pay[vn_base + 2])
+                ix_ = n0x + ub * (n1x_ - n0x) + vb * (n2x_ - n0x)
+                iy_ = n0y + ub * (n1y_ - n0y) + vb * (n2y_ - n0y)
+                iz_ = n0z + ub * (n1z_ - n0z) + vb * (n2z_ - n0z)
+                irl = lax.rsqrt(
+                    jnp.maximum(ix_ * ix_ + iy_ * iy_ + iz_ * iz_, 1e-20))
+                sm = is_tri_p & (pay[vn_base + 0] > 0.5)
+                rnx = jnp.where(sm, ix_ * irl, rnx)
+                rny = jnp.where(sm, iy_ * irl, rny)
+                rnz = jnp.where(sm, iz_ * irl, rnz)
             flip = jnp.where(d_dot_out < 0.0, 1.0, -1.0)
             nx = jnp.where(is_sphere, snx, rnx * flip)
             ny = jnp.where(is_sphere, sny, rny * flip)
@@ -1162,11 +1275,12 @@ def _render_kernel(
             has_data = tidp1 > 0.5
             is_img = (tex > 1.5) & lit_i
             eligible = is_img & has_data & ~is_diel
-            if has_tris:
-                # image-textured TRIANGLES are not deferred: barycentric
-                # (u, v) is not a meaningful image map without per-vertex
-                # UVs, so they shade with the atlas mean color (PACKA) —
-                # documented in PARITY.md (XLA paths sample barycentrically)
+            if has_tris and not has_vattrs:
+                # image-textured TRIANGLES in attr-less scenes are not
+                # deferred: barycentric (u, v) is not a meaningful image
+                # map without per-vertex UVs, so they shade with the atlas
+                # mean color (PACKA) — documented in PARITY.md.  With
+                # vertex attrs they defer exactly (interpolated uv below).
                 eligible = eligible & (ptype16 < 3.5)
             first = eligible & ~(used1_f > 0.5)
             second = eligible & (used1_f > 0.5) & ~(used2_f > 0.5)
@@ -1192,6 +1306,21 @@ def _render_kernel(
                 vv = jnp.where(is_sph_uv, sph_v, rect_v)
             else:
                 uu, vv = sph_u, sph_v
+            if has_vattrs:
+                # triangle texcoords: uv0 + u*duv1 + v*duv2 at FULL
+                # precision from the payload uv rows — image textures on
+                # meshes defer exactly like spheres/rects (the default
+                # rows make this the raw barycentrics, matching the XLA
+                # paths' sampling)
+                uvb = (P_ROWS_UV if has_images else P_ROWS) + 3
+                uu = jnp.where(
+                    is_tri_p,
+                    pay[uvb + 0] + ub * pay[uvb + 2] + vb * pay[uvb + 4],
+                    uu)
+                vv = jnp.where(
+                    is_tri_p,
+                    pay[uvb + 1] + ub * pay[uvb + 3] + vb * pay[uvb + 5],
+                    vv)
             iu = jnp.where(first, uu, iu)
             iv = jnp.where(first, vv, iv)
             iid = jnp.where(first, tidp1 - 1.0, iid)
@@ -1443,6 +1572,7 @@ def pallas_render_sample(
     super_: int = SUPER,
     octant_split: bool = False,
     has_tris: bool = False,
+    has_vattrs: bool = False,
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -1491,8 +1621,10 @@ def pallas_render_sample(
     assert pad_w % tile_w == 0 and pad_w >= width, (width, pad_w, tile_w)
     assert band_h % tile_h == 0, (band_h, tile_h)
     has_images = atlas is not None
-    expect_rows = P_ROWS_UV if has_images else P_ROWS
-    assert p_tab.shape[0] == expect_rows, (p_tab.shape, has_images)
+    assert not has_vattrs or has_tris, "has_vattrs requires has_tris"
+    expect_rows = p_rows_for(has_images, has_vattrs)
+    assert p_tab.shape[0] == expect_rows, (
+        p_tab.shape, has_images, has_vattrs)
     nchan = 17 if has_images else 3
     grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([
@@ -1509,7 +1641,7 @@ def pallas_render_sample(
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
-        has_tris=has_tris,
+        has_tris=has_tris, has_vattrs=has_vattrs,
     )
     out = pl.pallas_call(
         kern,

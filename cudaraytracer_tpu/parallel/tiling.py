@@ -140,6 +140,7 @@ def render_sharded_pallas(
     cluster: int | None = None,
     super_: int | None = None,
     has_tris: bool = False,
+    has_vattrs: bool = False,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -193,6 +194,7 @@ def render_sharded_pallas(
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
+            has_vattrs=has_vattrs,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

@@ -120,14 +120,73 @@ def box(size=(1.0, 1.0, 1.0)) -> tuple[np.ndarray, np.ndarray]:
     return verts, faces
 
 
-def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
-    """Minimal Wavefront OBJ reader: ``v`` and ``f`` records (the subset
-    virtually every mesh exporter emits).  Faces with >3 vertices are
-    fan-triangulated; negative indices are resolved per the OBJ spec.
-    Normals/texcoords/materials are ignored (shading comes from the scene
-    material, like every other primitive)."""
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals, f32[V,3] (unit length).
+
+    Each face contributes its UNnormalized cross product e1 x e2 (whose
+    magnitude is twice the face area) to its three vertices — the standard
+    area weighting that makes large faces dominate their corners.
+    Isolated vertices get an arbitrary +y normal.
+    """
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    fn = np.cross(
+        vertices[faces[:, 1]] - vertices[faces[:, 0]],
+        vertices[faces[:, 2]] - vertices[faces[:, 0]],
+    ).astype(np.float64)
+    vn = np.zeros((len(vertices), 3), np.float64)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    lens = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = np.where(lens > 1e-20, vn / np.maximum(lens, 1e-20), (0.0, 1.0, 0.0))
+    return vn.astype(np.float32)
+
+
+class MeshData:
+    """Loaded mesh: vertices/faces plus optional OBJ-style indexed
+    texcoords and normals (``uvs``/``uv_faces``, ``normals``/
+    ``normal_faces`` — each None when the file has none).  The attribute
+    bundle feeds ``Scene.add_mesh`` directly via ``attrs()``."""
+
+    def __init__(self, vertices, faces, uvs=None, uv_faces=None,
+                 normals=None, normal_faces=None):
+        self.vertices = vertices
+        self.faces = faces
+        self.uvs = uvs
+        self.uv_faces = uv_faces
+        self.normals = normals
+        self.normal_faces = normal_faces
+
+    def attrs(self) -> dict:
+        """kwargs for Scene.add_mesh(vertices, faces, **attrs())."""
+        out = {}
+        if self.uvs is not None:
+            out.update(uvs=self.uvs, uv_faces=self.uv_faces)
+        if self.normals is not None:
+            out.update(normals=self.normals, normal_faces=self.normal_faces)
+        return out
+
+
+def load_obj_full(path: str) -> MeshData:
+    """Wavefront OBJ reader with attributes: ``v``/``vt``/``vn`` records
+    and ``f`` faces in any of the v, v/vt, v//vn, v/vt/vn index forms.
+    Faces with >3 vertices are fan-triangulated; negative indices are
+    resolved per the OBJ spec.  uv/normal index arrays are emitted only
+    when EVERY face corner carries that attribute (mixed files drop it)."""
     verts: list[tuple[float, float, float]] = []
+    uvs: list[tuple[float, float]] = []
+    norms: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
+    uv_faces: list[tuple[int, int, int]] = []
+    n_faces: list[tuple[int, int, int]] = []
+    uv_ok = norm_ok = True
+
+    def resolve(tok: str, n: int) -> int | None:
+        if not tok:
+            return None
+        k = int(tok)
+        return k - 1 if k > 0 else n + k
+
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -135,22 +194,81 @@ def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
                 continue
             if parts[0] == "v" and len(parts) >= 4:
                 verts.append(tuple(float(x) for x in parts[1:4]))
+            elif parts[0] == "vt" and len(parts) >= 3:
+                uvs.append((float(parts[1]), float(parts[2])))
+            elif parts[0] == "vn" and len(parts) >= 4:
+                norms.append(tuple(float(x) for x in parts[1:4]))
             elif parts[0] == "f" and len(parts) >= 4:
-                idx = []
+                vi, ti, ni = [], [], []
                 for tok in parts[1:]:
-                    k = int(tok.split("/")[0])
-                    idx.append(k - 1 if k > 0 else len(verts) + k)
-                for i in range(1, len(idx) - 1):  # fan triangulation
-                    faces.append((idx[0], idx[i], idx[i + 1]))
+                    fields = tok.split("/")
+                    vi.append(resolve(fields[0], len(verts)))
+                    t = resolve(fields[1], len(uvs)) if len(fields) > 1 else None
+                    n = (resolve(fields[2], len(norms))
+                         if len(fields) > 2 else None)
+                    ti.append(t)
+                    ni.append(n)
+                    uv_ok &= t is not None
+                    norm_ok &= n is not None
+                for i in range(1, len(vi) - 1):  # fan triangulation
+                    faces.append((vi[0], vi[i], vi[i + 1]))
+                    uv_faces.append((ti[0], ti[i], ti[i + 1]))
+                    n_faces.append((ni[0], ni[i], ni[i + 1]))
     if not verts or not faces:
         raise ValueError(f"no triangles in OBJ file {path!r}")
-    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+    return MeshData(
+        np.asarray(verts, np.float32),
+        np.asarray(faces, np.int64),
+        uvs=np.asarray(uvs, np.float32) if uvs and uv_ok else None,
+        uv_faces=np.asarray(uv_faces, np.int64) if uvs and uv_ok else None,
+        normals=np.asarray(norms, np.float32) if norms and norm_ok else None,
+        normal_faces=(np.asarray(n_faces, np.int64)
+                      if norms and norm_ok else None),
+    )
 
 
-def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:
-    """Write (vertices, faces) as a Wavefront OBJ (round-trips load_obj)."""
+def load_obj(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal Wavefront OBJ reader: geometry only (``v`` + ``f``).
+    Use load_obj_full for texcoords/normals."""
+    m = load_obj_full(path)
+    return m.vertices, m.faces
+
+
+def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
+             uvs=None, uv_faces=None, normals=None,
+             normal_faces=None) -> None:
+    """Write a mesh as a Wavefront OBJ (round-trips load_obj_full).
+    ``uvs``/``normals`` are optional; their index arrays default to
+    ``faces``."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    uvf = nf = None
+    if uvs is not None:
+        uvs = np.asarray(uvs, np.float32)
+        uvf = faces if uv_faces is None else np.asarray(uv_faces, np.int64)
+    if normals is not None:
+        normals = np.asarray(normals, np.float32)
+        nf = (faces if normal_faces is None
+              else np.asarray(normal_faces, np.int64))
     with open(path, "w") as f:
-        for v in np.asarray(vertices, np.float32):
+        for v in vertices:
             f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for a, b, c in np.asarray(faces, np.int64):
-            f.write(f"f {a + 1} {b + 1} {c + 1}\n")
+        if uvs is not None:
+            for u, v in uvs:
+                f.write(f"vt {u} {v}\n")
+        if normals is not None:
+            for n in normals:
+                f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+        for i, (a, b, c) in enumerate(faces):
+            if uvs is not None and normals is not None:
+                t, n = uvf[i] + 1, nf[i] + 1
+                f.write(f"f {a+1}/{t[0]}/{n[0]} {b+1}/{t[1]}/{n[1]} "
+                        f"{c+1}/{t[2]}/{n[2]}\n")
+            elif uvs is not None:
+                t = uvf[i] + 1
+                f.write(f"f {a+1}/{t[0]} {b+1}/{t[1]} {c+1}/{t[2]}\n")
+            elif normals is not None:
+                n = nf[i] + 1
+                f.write(f"f {a+1}//{n[0]} {b+1}//{n[1]} {c+1}//{n[2]}\n")
+            else:
+                f.write(f"f {a + 1} {b + 1} {c + 1}\n")

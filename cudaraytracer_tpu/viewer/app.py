@@ -446,7 +446,7 @@ def _tpu_interpret_mode_active() -> bool:
 @functools.lru_cache(maxsize=16)
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
-                 interpret_ctx, has_tris=False):
+                 interpret_ctx, has_tris=False, has_vattrs=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -488,6 +488,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
+            has_vattrs=has_vattrs,
         )
         if has_images:
             rad, counts = out
@@ -549,7 +550,7 @@ class _PallasPipeline:
             cfg.width, cfg.height, self._wpad, self._hpad,
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
-            _tpu_interpret_mode_active(), has_tris)
+            _tpu_interpret_mode_active(), has_tris, t.vattrs)
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
                    caccum, spp: int = 1):
