@@ -17,7 +17,7 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcrt_nat
 _lib = None
 
 
-ABI_VERSION = 3  # table layout (PACKC bits, Havel-Herout tri rows, 4 segments)
+ABI_VERSION = 4  # table layout (+ per-vertex attr rows, vattr flags)
 
 
 def _load():
@@ -29,6 +29,8 @@ def _load():
         lib.crt_pack_tables.restype = ctypes.c_int
         lib.crt_pack_tables.argtypes = [
             fp, fp, fp, fp, ip, ip, fp, ip, ip, fp, fp, fp, fp,
+            fp, fp, fp, fp, fp, fp,
+            ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
             fp, fp, fp, fp, ip, ip, ip,
@@ -54,12 +56,16 @@ def available() -> bool:
 
 def pack(center, size, edge1, edge2, ptype, mtype, mparam, textype, texid,
          albedo, albedo2, bmin, bmax, slot_ids,
-         npad: int, cluster: int, super_: int, p_rows: int):
+         npad: int, cluster: int, super_: int, p_rows: int,
+         uv0=None, uv1=None, uv2=None, vn0=None, vn1=None, vn2=None,
+         with_uv: bool = False, with_vattrs: bool = False):
     """Fill (S, P, clusters, supers, prim_map, n_super) for the megakernel.
 
     All inputs are the ACTIVE-primitive arrays in scene-active order;
     ``slot_ids`` maps row -> scene slot for prim_map; ``edge1``/``edge2``
     are the triangle edge vectors (zeros for other primitive types).
+    ``with_vattrs`` packs the per-vertex attr rows (quantized normals,
+    plus uv0+deltas when ``with_uv``) from ``uv0..vn2``.
     """
     lib = _load()
     n = len(slot_ids)
@@ -70,6 +76,14 @@ def pack(center, size, edge1, edge2, ptype, mtype, mparam, textype, texid,
     albedo, albedo2, bmin, bmax = f32(albedo), f32(albedo2), f32(bmin), f32(bmax)
     ptype, mtype, textype, texid, slot_ids = map(
         i32, (ptype, mtype, textype, texid, slot_ids))
+    if with_vattrs:
+        uv0, uv1, uv2 = f32(uv0), f32(uv1), f32(uv2)
+        vn0, vn1, vn2 = f32(vn0), f32(vn1), f32(vn2)
+    else:
+        z2 = np.zeros((n, 2), np.float32)
+        z3 = np.zeros((n, 3), np.float32)
+        uv0 = uv1 = uv2 = z2
+        vn0 = vn1 = vn2 = z3
 
     S = np.empty((16, npad), np.float32)
     P = np.empty((p_rows, npad), np.float32)
@@ -88,6 +102,11 @@ def pack(center, size, edge1, edge2, ptype, mtype, mparam, textype, texid,
         textype.ctypes.data_as(ip), texid.ctypes.data_as(ip),
         albedo.ctypes.data_as(fp), albedo2.ctypes.data_as(fp),
         bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        uv0.ctypes.data_as(fp), uv1.ctypes.data_as(fp),
+        uv2.ctypes.data_as(fp),
+        vn0.ctypes.data_as(fp), vn1.ctypes.data_as(fp),
+        vn2.ctypes.data_as(fp),
+        int(bool(with_uv)), int(bool(with_vattrs)),
         n, npad, cluster, super_, p_rows,
         S.ctypes.data_as(fp), P.ctypes.data_as(fp),
         clusters.ctypes.data_as(fp), supers.ctypes.data_as(fp),

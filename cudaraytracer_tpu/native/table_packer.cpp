@@ -80,7 +80,22 @@ enum { P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, P_HA, P_HB };
 
 // Table-layout ABI version; pack_native.available() refuses a stale .so
 // whose PACKC bit layout / segment order predates the Python packer's.
-extern "C" int crt_pack_abi_version() { return 3; }
+extern "C" int crt_pack_abi_version() { return 4; }
+
+namespace {
+// 8:8:8 quantized unit normal (render_kernel.py P-table comment); f32 op
+// order matches the numpy packer EXACTLY (floor((n*0.5+0.5)*255+0.5)).
+// All-zero input (flat triangle) packs the 0.0 sentinel.
+inline float pack_vn(const float* vn) {
+    if (vn[0] == 0.0f && vn[1] == 0.0f && vn[2] == 0.0f) return 0.0f;
+    long q[3];
+    for (int k = 0; k < 3; ++k) {
+        float t = (vn[k] * 0.5f + 0.5f) * 255.0f + 0.5f;
+        q[k] = (long)std::floor(t);
+    }
+    return (float)(q[0] * 65536 + q[1] * 256 + q[2]);
+}
+}  // namespace
 
 extern "C" int crt_pack_tables(
     const float* center,   // [n,3] active prims, scene order (tri: v0)
@@ -96,6 +111,13 @@ extern "C" int crt_pack_tables(
     const float* albedo2,  // [n,3]
     const float* bmin,     // [n,3] primitive AABBs
     const float* bmax,     // [n,3]
+    const float* uv0,      // [n,2] per-vertex texcoords (vattrs; else null)
+    const float* uv1,      // [n,2]
+    const float* uv2,      // [n,2]
+    const float* vn0,      // [n,3] per-vertex normals (vattrs; else null)
+    const float* vn1,      // [n,3]
+    const float* vn2,      // [n,3]
+    int with_uv, int with_vattrs,
     int n, int npad, int cluster, int nsuper_clusters, int p_rows,
     float* S,              // [16, npad] out
     float* P,              // [p_rows, npad] out
@@ -221,7 +243,7 @@ extern "C" int crt_pack_tables(
         P[P_PACKC * npad + j] =
             (float)(mtype[i] + 4 * textype[i] + 16 * t + 128 * neg +
                     256 * (tid + 1));
-        if (p_rows > P_HA) {
+        if (with_uv) {  // NOT p_rows>P_HA: vattr layouts reuse rows 7-8
             P[P_HA * npad + j] = ha;
             P[P_HB * npad + j] = hb;
         }
@@ -273,6 +295,26 @@ extern "C" int crt_pack_tables(
             P[P_CX * npad + j] = n2x / nn;
             P[P_CY * npad + j] = n2y / nn;
             P[P_CZ * npad + j] = n2z / nn;
+
+            if (with_vattrs) {
+                // per-vertex attr rows (render_kernel.py p_rows_for):
+                // quantized normals at vn_base, uv0+deltas after (with_uv)
+                int vb = (with_uv ? 9 : 7);
+                P[(vb + 0) * npad + j] = pack_vn(&vn0[i * 3]);
+                P[(vb + 1) * npad + j] = pack_vn(&vn1[i * 3]);
+                P[(vb + 2) * npad + j] = pack_vn(&vn2[i * 3]);
+                if (with_uv) {
+                    const float* a0 = &uv0[i * 2];
+                    const float* a1 = &uv1[i * 2];
+                    const float* a2 = &uv2[i * 2];
+                    P[(vb + 3) * npad + j] = a0[0];
+                    P[(vb + 4) * npad + j] = a0[1];
+                    P[(vb + 5) * npad + j] = a1[0] - a0[0];
+                    P[(vb + 6) * npad + j] = a1[1] - a0[1];
+                    P[(vb + 7) * npad + j] = a2[0] - a0[0];
+                    P[(vb + 8) * npad + j] = a2[1] - a0[1];
+                }
+            }
         }
     }
 

@@ -244,16 +244,16 @@ def pack_scene_tables(scene, with_uv: bool = False,
         cluster = c0 if cluster is None else cluster
         super_ = s0 if super_ is None else super_
 
-    # native packer doesn't emit the vertex-attr rows yet: numpy fallback
-    if not force_numpy and not with_vattrs and pack_native.available():
+    if not force_numpy and pack_native.available():
         from ...models.bvh import primitive_aabbs
 
         idx = scene.active_indices()
         npad = _npad_for(scene, cluster, super_)
-        p_rows = P_ROWS_UV if with_uv else P_ROWS
+        p_rows = p_rows_for(with_uv, with_vattrs)
         n = len(idx)
         if n == 0:
-            return _pack_scene_tables_numpy(scene, with_uv, cluster, super_)
+            return _pack_scene_tables_numpy(scene, with_uv, cluster, super_,
+                                            with_vattrs)
         bmin0, bmax0 = primitive_aabbs(scene, idx)
         mat = scene.mat_type[idx].astype(np.int64)
         mparam = np.choose(
@@ -265,15 +265,23 @@ def pack_scene_tables(scene, with_uv: bool = False,
         albedo = scene.albedo[idx]
         if with_uv:
             albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
+        vattr_kw = {}
+        if with_vattrs:
+            vattr_kw = dict(
+                uv0=scene.uv0[idx], uv1=scene.uv1[idx], uv2=scene.uv2[idx],
+                vn0=scene.vnorm0[idx], vn1=scene.vnorm1[idx],
+                vn2=scene.vnorm2[idx],
+            )
         S, P, clusters, supers, n_super, prim_map = pack_native.pack(
             scene.center[idx], scene.size[idx],
             scene.edge1[idx], scene.edge2[idx], scene.prim_type[idx],
             scene.mat_type[idx], mparam, scene.tex_type[idx],
             tex_id, albedo, scene.albedo2[idx],
             bmin0, bmax0, idx, npad, cluster, super_, p_rows,
+            with_uv=with_uv, with_vattrs=with_vattrs, **vattr_kw,
         )
         return SceneTables(S, P, clusters, supers, n_super, prim_map,
-                           cluster, super_)
+                           cluster, super_, vattrs=with_vattrs)
 
     return _pack_scene_tables_numpy(scene, with_uv, cluster, super_,
                                     with_vattrs)

@@ -332,6 +332,42 @@ def test_smooth_mesh_renders_brute_and_bvh():
     assert np.abs(img_b - img_f).max() > 0.05  # shading visibly differs
 
 
+def test_native_packer_bit_identical_with_vattrs():
+    """Native C++ packer == NumPy packer on a vertex-attr scene (quantized
+    normal rows + uv rows included), for both the plain and image
+    layouts."""
+    from cudaraytracer_tpu.native import pack_native
+    from cudaraytracer_tpu.ops.pallas.render_kernel import pack_scene_tables
+
+    if not pack_native.available():
+        import pytest
+
+        pytest.skip("native packer not built")
+
+    v, f = mesh.icosphere(1)
+    sc = Scene(capacity=256)
+    sc.add_sphere((0, -100.6, -1), 100.0, albedo=(0.5, 0.5, 0.5))
+    slot = sc.load_image_texture(_checker_image())
+    theta = np.arccos(np.clip(-v[:, 1], -1, 1))
+    phi = np.arctan2(-v[:, 2], v[:, 0]) + np.pi
+    uvs = np.stack([phi / (2 * np.pi), theta / np.pi], 1).astype(np.float32)
+    sc.add_mesh(v, f, uvs=uvs, normals=v, tex_type=2, tex_id=slot)
+    sc.add_triangle((2, 0, 0), (3, 0, 0), (2, 1, 0))  # flat, default uv
+    assert sc.has_vertex_attrs
+
+    for with_uv in (False, True):
+        tn = pack_scene_tables(sc, with_uv=with_uv)
+        tp = pack_scene_tables(sc, with_uv=with_uv, force_numpy=True)
+        assert tn.P.shape == tp.P.shape, (with_uv, tn.P.shape, tp.P.shape)
+        for a, b, name in ((tn.S, tp.S, "S"), (tn.P, tp.P, "P"),
+                           (tn.clusters, tp.clusters, "clusters"),
+                           (tn.supers, tp.supers, "supers"),
+                           (tn.prim_map, tp.prim_map, "prim_map")):
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} uv={with_uv}")
+        assert tn.n_super == tp.n_super
+        assert tn.vattrs and tp.vattrs
+
+
 # ----------------------------------------------------------- megakernel
 def test_pallas_smooth_mesh_matches_xla():
     """Megakernel smooth shading (quantized vertex normals + in-kernel
