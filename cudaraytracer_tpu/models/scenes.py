@@ -277,6 +277,37 @@ def mesh_demo_camera(**kw):
     )
 
 
+def mesh_smooth_scene(capacity: int = 1024) -> Scene:
+    """mesh_demo with PER-VERTEX ATTRIBUTES (round 3): the same geometry,
+    but the icosphere and torus carry smooth vertex normals and the
+    icosphere a spherical uv map — the benchmark scene for the vattr
+    payload-row + plane-select cost in the megakernel (BASELINE.md)."""
+    import numpy as np
+
+    from ..utils import mesh
+
+    scene = Scene(capacity=capacity)
+    scene.add_xz_rect((0.0, -0.5, 0.0), 60.0, 60.0, mat_type=LAMBERTIAN,
+                      tex_type=CHECKER, albedo=(0.2, 0.3, 0.1),
+                      albedo2=(0.9, 0.9, 0.9))
+    v, f = mesh.icosphere(2)  # 320 faces; unit sphere: normals == verts
+    theta = np.arccos(np.clip(-v[:, 1], -1.0, 1.0))
+    phi = np.arctan2(-v[:, 2], v[:, 0]) + np.pi
+    uvs = np.stack([phi / (2 * np.pi), theta / np.pi], 1).astype(np.float32)
+    scene.add_mesh(mesh.transformed(v, scale=0.85, translate=(-1.6, 0.35, -2.2)),
+                   f, uvs=uvs, normals=v,
+                   mat_type=METAL, albedo=(0.85, 0.82, 0.75), fuzz=0.03)
+    v, f = mesh.torus(0.9, 0.32, segments=20, sides=10)  # 400 faces
+    scene.add_mesh(mesh.transformed(v, rotate_y=0.6, translate=(1.4, 0.0, -2.6)),
+                   f, smooth=True, mat_type=LAMBERTIAN,
+                   albedo=(0.75, 0.25, 0.2))
+    v, f = mesh.box((1.0, 1.6, 0.25))  # 12 faces, stays faceted (flat rows)
+    scene.add_mesh(mesh.transformed(v, rotate_y=-0.4, translate=(0.0, 0.3, -3.6)),
+                   f, mat_type=METAL, albedo=(0.7, 0.8, 0.9), fuzz=0.0)
+    scene.add_sphere((0.1, 0.1, -1.3), 0.6, mat_type=DIELECTRIC, ior=1.5)
+    return scene
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
@@ -285,4 +316,5 @@ SCENES = {
     "cornell": (cornell_like_scene, cornell_like_camera),
     "mirror_room": (mirror_room_scene, mirror_room_camera),
     "mesh_demo": (mesh_demo_scene, mesh_demo_camera),
+    "mesh_smooth": (mesh_smooth_scene, mesh_demo_camera),
 }
