@@ -274,7 +274,7 @@ def main():
     scene = make_scene()
     sd = scene.device()
     cam = make_cam()
-    camera_model = "look_at" if args.scene.startswith("rtow") else "two_plane"
+    camera_model = scenes.camera_model_for(args.scene)
 
     key = rngu.base_key()
     if accel == "wavefront":

@@ -58,7 +58,9 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     from .models.scenes import SCENES as _SCENES
 
     parser.add_argument("--scene", choices=list(_SCENES), default=d.scene)
-    parser.add_argument("--camera-model", dest="camera_model", choices=["two_plane", "look_at"], default=d.camera_model)
+    # default None = resolve from the scene registry in from_args (each
+    # registered camera was authored for one projection model)
+    parser.add_argument("--camera-model", dest="camera_model", choices=["two_plane", "look_at"], default=None)
     parser.add_argument("--accel", choices=["auto", "brute", "bvh", "pallas", "wavefront"], default=d.accel)
     parser.add_argument("--block", type=int, default=d.block)
     parser.add_argument("--rr-start", dest="rr_start", type=int, default=d.rr_start)
@@ -73,7 +75,12 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
 def from_args(args: argparse.Namespace) -> RenderConfig:
     fields = {f.name for f in dataclasses.fields(RenderConfig)}
-    return RenderConfig(**{k: v for k, v in vars(args).items() if k in fields})
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    if kw.get("camera_model") is None:
+        from .models.scenes import camera_model_for
+
+        kw["camera_model"] = camera_model_for(kw.get("scene", RenderConfig.scene))
+    return RenderConfig(**kw)
 
 
 def apply_debug_flags(cfg: RenderConfig):

@@ -318,3 +318,25 @@ SCENES = {
     "mesh_demo": (mesh_demo_scene, mesh_demo_camera),
     "mesh_smooth": (mesh_smooth_scene, mesh_demo_camera),
 }
+
+# Each registered camera was authored for one projection model; rendering
+# it through the other flips the vertical axis and changes the framing
+# (camera.py: two_plane row 0 = image bottom, look_at row 0 = image top).
+# Consumers (bench, gallery, CLI config) resolve the model here instead of
+# keeping their own name-pattern rules.
+CAMERA_MODELS = {
+    "default": "two_plane",
+    "rtow_final": "look_at",
+    "rtow_image": "look_at",
+    "rtow_big": "look_at",
+    "cornell": "two_plane",
+    "mirror_room": "two_plane",
+    "mesh_demo": "look_at",
+    "mesh_smooth": "look_at",
+}
+
+
+def camera_model_for(name: str) -> str:
+    """The projection model the named scene's registered camera was
+    authored for ("two_plane" reference parity / "look_at")."""
+    return CAMERA_MODELS.get(name, "two_plane")

@@ -38,19 +38,13 @@ def main():
     outdir = os.path.join(os.path.dirname(__file__), "gallery")
     os.makedirs(outdir, exist_ok=True)
 
-    jobs = {
-        "default": ("two_plane", None),
-        "rtow_final": ("look_at", None),
-        "rtow_image": ("look_at", None),
-        "rtow_big": ("look_at", None),
-        "cornell": ("two_plane", None),
-    }
     import numpy as np
 
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    for name, (cam_model, _) in jobs.items():
+    for name in scenes.SCENES:
+        cam_model = scenes.camera_model_for(name)
         make_scene, make_cam = scenes.SCENES[name]
         scene = make_scene()
         cam = make_cam()
@@ -91,6 +85,7 @@ def main():
                         width=args.width, height=args.height,
                         camera_model=cam_model, spp=1, rr_start=2,
                         atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
+                        has_vattrs=t.vattrs,
                     )
 
                 acc = cnt = 0.0
@@ -108,7 +103,7 @@ def main():
                     *tabs, t.n_super, cam_vec, 7, args.depth,
                     width=args.width, height=args.height,
                     camera_model=cam_model, spp=args.spp, rr_start=2,
-                    has_tris=has_tris,
+                    has_tris=has_tris, has_vattrs=t.vattrs,
                 )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)

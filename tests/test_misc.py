@@ -51,6 +51,27 @@ def test_config_cli_roundtrip():
     assert cfg.aperture == 0.2 and not cfg.progressive
 
 
+def test_config_camera_model_from_scene_registry():
+    """--camera-model defaults to the model each scene's registered camera
+    was authored for; an explicit flag wins over the registry."""
+    import argparse
+
+    from cudaraytracer_tpu.models import scenes
+
+    def parse(argv):
+        ap = argparse.ArgumentParser()
+        cfg_mod.add_arguments(ap)
+        return cfg_mod.from_args(ap.parse_args(argv))
+
+    assert parse([]).camera_model == "two_plane"  # default scene
+    for name in scenes.SCENES:
+        assert parse(["--scene", name]).camera_model == \
+            scenes.camera_model_for(name)
+    assert parse(["--scene", "mesh_demo"]).camera_model == "look_at"
+    assert parse(["--scene", "mesh_demo",
+                  "--camera-model", "two_plane"]).camera_model == "two_plane"
+
+
 def test_cli_render_subprocess(tmp_path):
     """End-to-end: the module CLI renders a PNG headlessly."""
     out = str(tmp_path / "cli.png")
