@@ -156,6 +156,12 @@ class Scene:
         self.background_end = np.asarray(background_end, np.float32)
         # free-list mirrors the reference's m_InactiveHittables (CudaLayer.h:110)
         self._free = list(range(self.capacity - 1, -1, -1))
+        # host-only mesh grouping: triangles added through add_mesh share a
+        # group id (-1 = standalone primitive); the viewer edits a mesh as
+        # ONE object the way the reference edits one hittable.  Never sent
+        # to the device — shading is per-triangle either way.
+        self.mesh_id = np.full(self.capacity, -1, np.int32)
+        self._next_mesh_id = 0
         self.version = 0
 
     # ------------------------------------------------------------- counts
@@ -187,6 +193,9 @@ class Scene:
         self.ior[old:] = 1.0
         self.tex_id[old:] = -1
         self.uv0[old:], self.uv1[old:], self.uv2[old:] = _UV_DEFAULT
+        grown_mid = np.full(new, -1, np.int32)
+        grown_mid[:old] = self.mesh_id
+        self.mesh_id = grown_mid
         self._free = list(range(new - 1, old - 1, -1)) + self._free
         self.capacity = new
         self.version += 1
@@ -217,10 +226,11 @@ class Scene:
         self.albedo[i] = np.asarray(albedo, np.float32)
         self.albedo2[i] = np.asarray(albedo2, np.float32)
         self.tex_id[i] = tex_id
-        # reset per-vertex attrs: a recycled slot must not leak a previous
-        # triangle's uv/normal data into a new primitive
+        # reset per-vertex attrs and mesh membership: a recycled slot must
+        # not leak a previous triangle's uv/normal/group data
         self.uv0[i], self.uv1[i], self.uv2[i] = _UV_DEFAULT
         self.vnorm0[i] = self.vnorm1[i] = self.vnorm2[i] = 0.0
+        self.mesh_id[i] = -1
         self.active[i] = True
         self.version += 1
         return i
@@ -309,7 +319,37 @@ class Scene:
                 kw["normals"] = normals[nf[f]]
             out.append(self.add_triangle(
                 vertices[a], vertices[b], vertices[c], **kw, **mat))
+        mid = self._next_mesh_id
+        self._next_mesh_id += 1
+        self.mesh_id[out] = mid
         return out
+
+    # ------------------------------------------------------------- meshes
+    def mesh_group_ids(self) -> list[int]:
+        """Group ids of all active meshes, ascending."""
+        mids = np.unique(self.mesh_id[self.active])
+        return [int(m) for m in mids if m >= 0]
+
+    def mesh_indices(self, mid: int) -> np.ndarray:
+        """Active slot indices of mesh group ``mid``."""
+        return np.nonzero(self.active & (self.mesh_id == mid))[0]
+
+    def update_mesh(self, mid: int, **fields):
+        """Edit a per-primitive field on EVERY triangle of a mesh — the
+        one-hittable-one-material semantics of add_mesh, kept editable."""
+        idx = self.mesh_indices(mid)
+        if idx.size == 0:
+            raise ValueError(f"mesh {mid} has no active triangles")
+        for i in idx:
+            self.update(int(i), **fields)
+
+    def delete_mesh(self, mid: int):
+        """Deactivate every triangle of a mesh group."""
+        idx = self.mesh_indices(mid)
+        if idx.size == 0:
+            raise ValueError(f"mesh {mid} has no active triangles")
+        for i in idx:
+            self.delete(int(i))
 
     @property
     def num_triangles(self) -> int:
@@ -449,6 +489,8 @@ class Scene:
                     [self.vnorm0[i], self.vnorm1[i], self.vnorm2[i]])
                 if (vn != 0).any():
                     p["vnormals"] = vn.tolist()
+                if self.mesh_id[i] >= 0:
+                    p["mesh_id"] = int(self.mesh_id[i])
             doc["primitives"].append(p)
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
@@ -488,6 +530,10 @@ class Scene:
                 if "vnormals" in p:
                     vn = np.asarray(p["vnormals"], np.float32)
                     scene.vnorm0[i], scene.vnorm1[i], scene.vnorm2[i] = vn
+                if "mesh_id" in p:
+                    scene.mesh_id[i] = int(p["mesh_id"])
+                    scene._next_mesh_id = max(scene._next_mesh_id,
+                                              int(p["mesh_id"]) + 1)
         try:
             side = np.load(path + ".atlas.npz")
             scene.atlas = side["atlas"]

@@ -127,26 +127,27 @@ let S={scene:[]},sceneSig='';
 function rgb2hex(c){return '#'+c.map(v=>Math.round(v*255).toString(16).padStart(2,'0')).join('')}
 function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
 function upd(id,field,value){post('/edit',{op:'update',id,field,value})}
-function updC(id,k,v){const p=S.scene.find(q=>q.id===id);p.center[k]=v;upd(id,'center',p.center)}
-function num(id,k,v,step){return `<input type=number step=${step||0.1} value=${v} onchange="updC(${id},${k},+this.value)">`}
+function updC(id,k,v){const p=S.scene.find(q=>String(q.id)===String(id));p.center[k]=v;upd(id,'center',p.center)}
+function num(id,k,v,step){return `<input type=number step=${step||0.1} value=${v} onchange="updC('${id}',${k},+this.value)">`}
 function primPanel(p){
  const mats=['lambertian','metal','dielectric','diffuse_light'];
  const texs=['constant','checker','image'];
  let rows=`<div class=row><span class=lbl>pos</span>${[0,1,2].map(k=>num(p.id,k,p.center[k])).join('')}</div>`;
  if(p.prim==='sphere')
-  rows+=`<div class=row><span class=lbl>radius</span><input type=number step=0.05 value=${p.size[0]} onchange="upd(${p.id},'radius',+this.value)"></div>`;
- else
-  rows+=`<div class=row><span class=lbl>size</span><input type=number step=0.1 value=${p.size[0]} onchange="upd(${p.id},'width',+this.value)">x<input type=number step=0.1 value=${p.size[1]} onchange="upd(${p.id},'height',+this.value)"></div>`;
- rows+=`<div class=row><span class=lbl>mat</span><select onchange="upd(${p.id},'mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
-  <select onchange="if(this.value==='image'){uploadTex(${p.id})}else{upd(${p.id},'tex',this.value)}">${texs.map(t=>`<option ${t===p.tex?'selected':''}>${t}</option>`).join('')}</select></div>`;
- rows+=`<div class=row><span class=lbl>albedo</span><input type=color value=${rgb2hex(p.albedo)} onchange="upd(${p.id},'albedo',hex2rgb(this.value))">`;
- if(p.tex==='checker')rows+=`<input type=color value=${rgb2hex(p.albedo2)} onchange="upd(${p.id},'albedo2',hex2rgb(this.value))">`;
+  rows+=`<div class=row><span class=lbl>radius</span><input type=number step=0.05 value=${p.size[0]} onchange="upd('${p.id}','radius',+this.value)"></div>`;
+ else if(p.prim!=='mesh')
+  rows+=`<div class=row><span class=lbl>size</span><input type=number step=0.1 value=${p.size[0]} onchange="upd('${p.id}','width',+this.value)">x<input type=number step=0.1 value=${p.size[1]} onchange="upd('${p.id}','height',+this.value)"></div>`;
+ rows+=`<div class=row><span class=lbl>mat</span><select onchange="upd('${p.id}','mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
+  <select onchange="if(this.value==='image'){uploadTex('${p.id}')}else{upd('${p.id}','tex',this.value)}">${texs.map(t=>`<option ${t===p.tex?'selected':''}>${t}</option>`).join('')}</select></div>`;
+ rows+=`<div class=row><span class=lbl>albedo</span><input type=color value=${rgb2hex(p.albedo)} onchange="upd('${p.id}','albedo',hex2rgb(this.value))">`;
+ if(p.tex==='checker')rows+=`<input type=color value=${rgb2hex(p.albedo2)} onchange="upd('${p.id}','albedo2',hex2rgb(this.value))">`;
  rows+=`</div>`;
- if(p.mat==='metal')rows+=`<div class=row><span class=lbl>fuzz</span><input type=range min=0 max=1 step=0.01 value=${p.fuzz} onchange="upd(${p.id},'fuzz',+this.value)"><span>${p.fuzz.toFixed(2)}</span></div>`;
- if(p.mat==='dielectric')rows+=`<div class=row><span class=lbl>ior</span><input type=number step=0.05 value=${p.ior} onchange="upd(${p.id},'ior',+this.value)"></div>`;
- if(p.mat==='diffuse_light')rows+=`<div class=row><span class=lbl>light</span><input type=range min=0 max=10 step=1 value=${p.light} onchange="upd(${p.id},'light',+this.value)"><span>${p.light}</span></div>`;
- return `<details class=prim data-id=${p.id}><summary>#${p.id} ${p.prim} / ${p.mat}
-  <button onclick="event.preventDefault();post('/edit',{op:'delete',id:${p.id}})">x</button></summary>${rows}</details>`}
+ if(p.mat==='metal')rows+=`<div class=row><span class=lbl>fuzz</span><input type=range min=0 max=1 step=0.01 value=${p.fuzz} onchange="upd('${p.id}','fuzz',+this.value)"><span>${p.fuzz.toFixed(2)}</span></div>`;
+ if(p.mat==='dielectric')rows+=`<div class=row><span class=lbl>ior</span><input type=number step=0.05 value=${p.ior} onchange="upd('${p.id}','ior',+this.value)"></div>`;
+ if(p.mat==='diffuse_light')rows+=`<div class=row><span class=lbl>light</span><input type=range min=0 max=10 step=1 value=${p.light} onchange="upd('${p.id}','light',+this.value)"><span>${p.light}</span></div>`;
+ const label=p.prim==='mesh'?`${p.id} mesh (${p.tris} tris)`:`#${p.id} ${p.prim}`;
+ return `<details class=prim data-id=${p.id}><summary>${label} / ${p.mat}
+  <button onclick="event.preventDefault();post('/edit',{op:'delete',id:'${p.id}'})">x</button></summary>${rows}</details>`}
 function renderScene(){
  const el=document.getElementById('scene');
  const open=new Set([...el.querySelectorAll('details[open]')].map(d=>d.dataset.id));
@@ -186,6 +187,15 @@ function uploadTex(id){const f=document.getElementById('texfile');
  f.click()}
 </script></body></html>"""
 
+def _mesh_mid(obj_id) -> int | None:
+    """Panel object ids are slot ints (plain primitives) or "m<gid>"
+    strings (mesh groups, state_json); returns the group id or None."""
+    s = str(obj_id)
+    if s.startswith("m"):
+        return int(s[1:])
+    return None
+
+
 _PRIM_IDS = {v: k for k, v in scene_mod.PRIM_NAMES.items()}
 _MAT_IDS = {v: k for k, v in scene_mod.MAT_NAMES.items()}
 _TEX_IDS = {v: k for k, v in scene_mod.TEX_NAMES.items()}
@@ -214,6 +224,8 @@ class ViewerServer:
         scene = rl.scene
         prims = []
         for i in scene.active_indices():
+            if scene.mesh_id[i] >= 0:
+                continue  # grouped below: a mesh is ONE object in the panel
             prims.append({
                 "id": int(i),
                 "prim": scene_mod.PRIM_NAMES[int(scene.prim_type[i])],
@@ -221,6 +233,25 @@ class ViewerServer:
                 "tex": scene_mod.TEX_NAMES[int(scene.tex_type[i])],
                 "center": [round(float(v), 4) for v in scene.center[i]],
                 "size": [round(float(v), 4) for v in scene.size[i]],
+                "albedo": [round(float(v), 4) for v in scene.albedo[i]],
+                "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
+                "fuzz": round(float(scene.fuzz[i]), 4),
+                "ior": round(float(scene.ior[i]), 4),
+                "light": round(float(scene.light[i]), 4),
+            })
+        for mid in scene.mesh_group_ids():
+            idx = scene.mesh_indices(mid)
+            i = int(idx[0])  # add_mesh gives every triangle one material
+            prims.append({
+                "id": f"m{mid}",
+                "prim": "mesh",
+                "tris": int(idx.size),
+                "mat": scene_mod.MAT_NAMES[int(scene.mat_type[i])],
+                "tex": scene_mod.TEX_NAMES[int(scene.tex_type[i])],
+                # editable position = v0 centroid; updates translate the mesh
+                "center": [round(float(v), 4)
+                           for v in scene.center[idx].mean(0)],
+                "size": [0.0, 0.0],
                 "albedo": [round(float(v), 4) for v in scene.albedo[i]],
                 "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
                 "fuzz": round(float(scene.fuzz[i]), 4),
@@ -274,13 +305,42 @@ class ViewerServer:
                 add(center, float(data.get("width", 2.0)), float(data.get("height", 2.0)), **kw)
             rtlog.rt_info("Added %s (%s)", data.get("prim"), data.get("mat"))
         elif op == "delete":
-            scene.delete(int(data["id"]))
-            rtlog.rt_info("Deleted hittable %d", data["id"])
+            mid = _mesh_mid(data["id"])
+            if mid is not None:
+                scene.delete_mesh(mid)
+                rtlog.rt_info("Deleted mesh m%d", mid)
+            else:
+                scene.delete(int(data["id"]))
+                rtlog.rt_info("Deleted hittable %d", int(data["id"]))
         elif op == "clear":
             keep = [int(scene.active_indices()[0])] if scene.num_active else []
             scene.clear(keep=keep)
             rtlog.rt_info("Scene cleared (ground kept)")
         elif op == "update":
+            mid = _mesh_mid(data["id"])
+            if mid is not None:
+                field, value = data["field"], data["value"]
+                if field == "center":
+                    # translate the whole mesh: shift every triangle's v0 by
+                    # the delta from the current centroid (edges move with it)
+                    idx = scene.mesh_indices(mid)
+                    delta = (np.asarray(value, np.float32)
+                             - scene.center[idx].mean(0))
+                    for j in idx:
+                        scene.update(int(j), center=scene.center[j] + delta)
+                elif field in ("mat", "material"):
+                    scene.update_mesh(mid, mat_type=_MAT_IDS[value])
+                elif field in ("tex", "texture"):
+                    scene.update_mesh(mid, tex_type=_TEX_IDS[value])
+                elif field == "fuzz":
+                    scene.update_mesh(
+                        mid, fuzz=min(1.0, max(0.0, float(value))))
+                elif field in ("radius", "width", "height"):
+                    raise ValueError(f"meshes have no {field!r} field")
+                else:
+                    scene.update_mesh(mid, **{field: value})
+                rtlog.rt_info("Updated mesh m%d: %s", mid, field)
+                return
             i, field, value = int(data["id"]), data["field"], data["value"]
             if field == "radius":
                 scene.update(i, size=(float(value), float(value)))
@@ -350,13 +410,28 @@ class ViewerServer:
         if "resume" in data:
             rl.load_state(self._safe_path(data["resume"]))
 
-    def handle_texture_upload(self, prim_id: int, image_bytes: bytes):
+    def handle_texture_upload(self, prim_id, image_bytes: bytes):
         """Image-texture upload: the file-dialog + ImageAllocation path
         (CudaLayer.cpp:846-916) — decode, stage into the atlas, point the
-        primitive's texture at the slot."""
+        primitive's (or whole mesh's) texture at the slot."""
         import io as _io
 
         from PIL import Image
+
+        mid = _mesh_mid(prim_id)
+        if mid is not None:
+            scene = self.app.render_layer.scene
+            img = Image.open(_io.BytesIO(image_bytes)).convert("RGB")
+            idx = scene.mesh_indices(mid)
+            old = int(scene.tex_id[idx[0]]) if idx.size else -1
+            slot = scene.load_image_texture(img)
+            scene.update_mesh(mid, tex_type=scene_mod.IMAGE, tex_id=slot)
+            if old >= 0:
+                scene.free_image_texture(old)
+            rtlog.rt_info("Loaded %dx%d image texture into slot %d (mesh m%d)",
+                          img.width, img.height, slot, mid)
+            return
+        prim_id = int(prim_id)
 
         rl = self.app.render_layer
         scene = rl.scene
@@ -440,8 +515,7 @@ class ViewerServer:
                         from urllib.parse import parse_qs, urlparse
 
                         q = parse_qs(urlparse(self.path).query)
-                        viewer.handle_texture_upload(
-                            int(q["id"][0]), data_raw)
+                        viewer.handle_texture_upload(q["id"][0], data_raw)
                         self._send(200, b"{}", "application/json")
                         return
                     if self.path == "/input":

@@ -261,6 +261,50 @@ def test_scene_add_mesh_and_persistence(tmp_path):
     assert sc.num_triangles == 79
 
 
+def test_mesh_grouping_and_group_edits(tmp_path):
+    """add_mesh assigns one group id per mesh; group edits fan out; a
+    recycled slot never inherits the old group; save/load keeps groups."""
+    sc = Scene(capacity=64)
+    sc.add_sphere((0, 0, 0), 1.0)
+    v, f = mesh.box((1, 1, 1))
+    ids_a = sc.add_mesh(v, f, albedo=(0.8, 0.2, 0.2))
+    ids_b = sc.add_mesh(mesh.transformed(v, translate=(3, 0, 0)), f)
+    assert sc.mesh_group_ids() == [0, 1]
+    assert set(sc.mesh_indices(0)) == set(ids_a)
+    assert int(sc.mesh_id[0]) == -1  # the sphere is standalone
+
+    from cudaraytracer_tpu.models.scene import METAL
+
+    sc.update_mesh(1, mat_type=METAL, fuzz=0.3)
+    assert (sc.mat_type[ids_b] == METAL).all()
+    assert (sc.fuzz[ids_b] == np.float32(0.3)).all()
+    assert (sc.mat_type[ids_a] != METAL).all()
+
+    p = str(tmp_path / "grouped.json")
+    sc.save(p)
+    sc2 = Scene.load(p)
+    assert sc2.mesh_group_ids() == [0, 1]
+    assert len(sc2.mesh_indices(1)) == len(ids_b)
+    # the loaded scene's next group id never collides with a loaded group
+    sc2.add_mesh(mesh.transformed(v, translate=(6, 0, 0)), f)
+    assert sc2.mesh_group_ids() == [0, 1, 2]
+
+    sc.delete_mesh(0)
+    assert sc.mesh_group_ids() == [1]
+    # recycled slots come back standalone
+    j = sc.add_sphere((1, 1, 1), 0.5)
+    assert j in ids_a and int(sc.mesh_id[j]) == -1
+    with pytest.raises(ValueError):
+        sc.delete_mesh(0)
+
+    # capacity growth preserves group membership
+    sc3 = Scene(capacity=8)
+    gids = sc3.add_mesh(v, f)  # 12 tris force a growth past 8 slots
+    assert sc3.capacity > 8
+    assert set(sc3.mesh_indices(0)) == set(gids)
+    assert (sc3.mesh_id[~sc3.active] == -1).all()
+
+
 def test_mesh_scene_renders_brute_and_bvh():
     from cudaraytracer_tpu.models.camera import make_camera_params
     from cudaraytracer_tpu.models.renderer import Renderer

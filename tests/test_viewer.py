@@ -269,6 +269,53 @@ def test_scene_load_and_checkpoint_buttons(served, tmp_path):
         assert marker in page, marker
 
 
+def test_mesh_rows_grouped_and_editable():
+    """A mesh appears in the Scene panel as ONE object (id "m<gid>"), and
+    panel edits on it fan out: material, translate, delete (round 3)."""
+    from cudaraytracer_tpu.models.scene import METAL
+
+    app = Application(RenderConfig(width=32, height=24, max_depth=3,
+                                   scene="mesh_demo", camera_model="look_at"))
+    app.setup_default_layers()
+    app.run(max_frames=1)
+    server = ViewerServer(app, port=0)
+    httpd = server.start()
+    port = httpd.server_address[1]
+    try:
+        scene = app.render_layer.scene
+        s = json.loads(get(port, "/state"))
+        meshes = [p for p in s["scene"] if p["prim"] == "mesh"]
+        plain = [p for p in s["scene"] if p["prim"] != "mesh"]
+        assert len(meshes) == 3 and len(plain) == 2  # ground rect + sphere
+        assert sum(m["tris"] for m in meshes) == scene.num_triangles
+        ico = next(m for m in meshes if m["tris"] == 320)
+        assert str(ico["id"]).startswith("m")
+
+        # material edit fans out to every triangle of that mesh only
+        post(port, "/edit", {"op": "update", "id": ico["id"],
+                             "field": "mat", "value": "metal"})
+        mid = int(str(ico["id"])[1:])
+        idx = scene.mesh_indices(mid)
+        assert (scene.mat_type[idx] == METAL).all()
+
+        # translating the mesh moves its centroid to the requested point
+        target = [c + 1.0 for c in ico["center"]]
+        post(port, "/edit", {"op": "update", "id": ico["id"],
+                             "field": "center", "value": target})
+        np.testing.assert_allclose(scene.center[idx].mean(0), target,
+                                   atol=1e-4)
+
+        # deleting the mesh removes all and only its triangles
+        n0 = scene.num_active
+        post(port, "/edit", {"op": "delete", "id": ico["id"]})
+        assert scene.num_active == n0 - 320
+        s2 = json.loads(get(port, "/state"))
+        assert len([p for p in s2["scene"] if p["prim"] == "mesh"]) == 2
+    finally:
+        server.stop()
+        app.close()
+
+
 def test_status_line_shows_pause_and_spp(served):
     app, server, port = served
     page = get(port, "/").decode()
