@@ -167,12 +167,14 @@ class MeshData:
         return out
 
 
-def load_obj_full(path: str) -> MeshData:
+def load_obj_full(path) -> MeshData:
     """Wavefront OBJ reader with attributes: ``v``/``vt``/``vn`` records
     and ``f`` faces in any of the v, v/vt, v//vn, v/vt/vn index forms.
     Faces with >3 vertices are fan-triangulated; negative indices are
     resolved per the OBJ spec.  uv/normal index arrays are emitted only
-    when EVERY face corner carries that attribute (mixed files drop it)."""
+    when EVERY face corner carries that attribute (mixed files drop it).
+    ``path``: a filesystem path or an open text-file object (the viewer's
+    OBJ-upload endpoint passes a StringIO)."""
     verts: list[tuple[float, float, float]] = []
     uvs: list[tuple[float, float]] = []
     norms: list[tuple[float, float, float]] = []
@@ -187,7 +189,7 @@ def load_obj_full(path: str) -> MeshData:
         k = int(tok)
         return k - 1 if k > 0 else n + k
 
-    with open(path) as f:
+    with (path if hasattr(path, "read") else open(path)) as f:
         for line in f:
             parts = line.split()
             if not parts or parts[0].startswith("#"):

@@ -85,10 +85,12 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <div class=row><span class=lbl>fov</span><input id=cfov type=number step=1 min=1 max=120>
   <button onclick="setCam()">set</button></div>
  <h3>Scene</h3>
- <div class=row>+ add <select id=addtype><option>sphere</option><option>xy_rect</option><option>xz_rect</option><option>yz_rect</option></select>
+ <div class=row>+ add <select id=addtype><option>sphere</option><option>xy_rect</option><option>xz_rect</option><option>yz_rect</option><option>icosphere</option><option>torus</option><option>box</option></select>
   <select id=addmat><option>lambertian</option><option>metal</option><option>dielectric</option><option>diffuse_light</option></select>
   <button onclick="addPrim()">add</button>
+  <button onclick="uploadObj()">load OBJ</button>
   <button onclick="post('/edit',{op:'clear'})">clear</button></div>
+ <input type=file id=objfile style="display:none" accept=".obj">
  <div id=scene></div>
  <h3>Console</h3>
  <div>filter <input id=cfilter style="width:140px" oninput="cflt=this.value">
@@ -180,8 +182,12 @@ function setOpt(){post('/options',{max_depth:+document.getElementById('depth').v
  spp:+document.getElementById('spp').value})}
 function setBg(){post('/options',{background_start:hex2rgb(document.getElementById('bg0').value),
  background_end:hex2rgb(document.getElementById('bg1').value)})}
-function addPrim(){post('/edit',{op:'add',prim:document.getElementById('addtype').value,
- mat:document.getElementById('addmat').value,center:[0,1,0],radius:0.5,width:2,height:2})}
+function addPrim(){const t=document.getElementById('addtype').value,m=document.getElementById('addmat').value;
+ if(['icosphere','torus','box'].includes(t))post('/edit',{op:'add_mesh',shape:t,mat:m,center:[0,1,0],scale:0.7});
+ else post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
+function uploadObj(){const f=document.getElementById('objfile');
+ f.onchange=async()=>{if(f.files[0]){await fetch('/mesh?mat='+document.getElementById('addmat').value,{method:'POST',body:f.files[0]})}};
+ f.click()}
 function uploadTex(id){const f=document.getElementById('texfile');
  f.onchange=async()=>{if(f.files[0]){await fetch('/texture?id='+id,{method:'POST',body:f.files[0]})}};
  f.click()}
@@ -304,6 +310,29 @@ class ViewerServer:
                 add = {1: scene.add_xy_rect, 2: scene.add_xz_rect, 3: scene.add_yz_rect}[prim]
                 add(center, float(data.get("width", 2.0)), float(data.get("height", 2.0)), **kw)
             rtlog.rt_info("Added %s (%s)", data.get("prim"), data.get("mat"))
+        elif op == "add_mesh":
+            # procedural mesh shapes from the panel (BEYOND-REFERENCE: the
+            # reference's AddHittable knows spheres/rects only)
+            from ..utils import mesh as meshlib
+
+            shape = data.get("shape", "icosphere")
+            builders = {
+                "icosphere": (lambda: meshlib.icosphere(2), True),
+                "torus": (lambda: meshlib.torus(1.0, 0.35, segments=16,
+                                                sides=10), True),
+                "box": (lambda: meshlib.box((1.0, 1.0, 1.0)), False),
+            }
+            if shape not in builders:
+                raise ValueError(f"unknown mesh shape {shape!r}")
+            build, smooth = builders[shape]
+            v, f = build()
+            ids = scene.add_mesh(
+                meshlib.transformed(v, scale=float(data.get("scale", 0.7)),
+                                    translate=data.get("center", (0, 1, 0))),
+                f, smooth=smooth,
+                mat_type=_MAT_IDS.get(data.get("mat", "lambertian"), 0))
+            rtlog.rt_info("Added %s mesh m%d (%d tris)", shape,
+                          int(scene.mesh_id[ids[0]]), len(ids))
         elif op == "delete":
             mid = _mesh_mid(data["id"])
             if mid is not None:
@@ -444,6 +473,31 @@ class ViewerServer:
         rtlog.rt_info("Loaded %dx%d image texture into slot %d (hittable %d)",
                       img.width, img.height, slot, prim_id)
 
+    def handle_mesh_upload(self, body: bytes, mat: str = "lambertian",
+                           scale: float = 1.0) -> dict:
+        """OBJ upload: parse, normalize to a unit bounding box centered at
+        the panel spawn point, and add as one mesh group (the mesh analog
+        of the reference's ImGuiFileDialog texture loading)."""
+        import io as _io
+
+        from ..utils import mesh as meshlib
+
+        m = meshlib.load_obj_full(
+            _io.StringIO(body.decode("utf-8", "replace")))
+        v = m.vertices
+        lo, hi = v.min(0), v.max(0)
+        extent = float((hi - lo).max())
+        v = (v - (lo + hi) * 0.5) / max(extent, 1e-12)  # fit a unit box
+        scene = self.app.render_layer.scene
+        ids = scene.add_mesh(
+            meshlib.transformed(v, scale=float(scale),
+                                translate=(0.0, 1.0, 0.0)),
+            m.faces, **m.attrs(),
+            mat_type=_MAT_IDS.get(mat, 0))
+        mid = int(scene.mesh_id[ids[0]])
+        rtlog.rt_info("Loaded OBJ mesh m%d (%d tris)", mid, len(ids))
+        return {"id": f"m{mid}", "tris": len(ids)}
+
     def frame_png(self, scale: int = 1) -> bytes:
         """Encode the current framebuffer; cached per (spp, scale) so
         repeated polls between progressive frames cost no device pull."""
@@ -509,8 +563,20 @@ class ViewerServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     data_raw = self.rfile.read(n)
-                    data = (json.loads(data_raw or b"{}")
-                            if not self.path.startswith("/texture") else None)
+                    raw_body = (self.path.startswith("/texture")
+                                or self.path.startswith("/mesh"))
+                    data = json.loads(data_raw or b"{}") if not raw_body else None
+                    if self.path.startswith("/mesh"):
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        out = viewer.handle_mesh_upload(
+                            data_raw,
+                            mat=q.get("mat", ["lambertian"])[0],
+                            scale=float(q.get("scale", ["1.0"])[0]))
+                        self._send(200, json.dumps(out).encode(),
+                                   "application/json")
+                        return
                     if self.path.startswith("/texture"):
                         from urllib.parse import parse_qs, urlparse
 

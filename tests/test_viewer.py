@@ -316,6 +316,40 @@ def test_mesh_rows_grouped_and_editable():
         app.close()
 
 
+def test_add_mesh_and_obj_upload(served):
+    """The panel's add-mesh shapes and the /mesh OBJ-upload endpoint add
+    whole mesh groups (round 3)."""
+    app, server, port = served
+    scene = app.render_layer.scene
+    n0 = scene.num_active
+    post(port, "/edit", {"op": "add_mesh", "shape": "box",
+                         "mat": "metal", "center": [0, 1, 0], "scale": 0.5})
+    assert scene.num_active == n0 + 12  # a box is 12 triangles
+    assert len(scene.mesh_group_ids()) == 1
+
+    # OBJ upload: a unit quad (2 triangles), fit+rescaled server-side
+    obj = "v 0 0 0\nv 4 0 0\nv 4 4 0\nv 0 4 0\nf 1 2 3 4\n"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/mesh?mat=lambertian&scale=2.0",
+        data=obj.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["tris"] == 2
+    mid = int(out["id"][1:])
+    idx = scene.mesh_indices(mid)
+    assert idx.size == 2
+    # normalized to a unit box then scaled by 2: vertex extent == 2
+    v0s = scene.center[idx]
+    e1s, e2s = scene.edge1[idx], scene.edge2[idx]
+    pts = np.concatenate([v0s, v0s + e1s, v0s + e2s])
+    assert np.isclose(pts[:, 0].max() - pts[:, 0].min(), 2.0, atol=1e-5)
+    # spawn point (0, 1, 0) is the bbox center
+    assert np.isclose((pts[:, 1].max() + pts[:, 1].min()) / 2, 1.0, atol=1e-5)
+    page = get(port, "/").decode()
+    for marker in ("icosphere", "torus", "load OBJ", "objfile"):
+        assert marker in page, marker
+
+
 def test_status_line_shows_pause_and_spp(served):
     app, server, port = served
     page = get(port, "/").decode()
