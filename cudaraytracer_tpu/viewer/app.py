@@ -92,18 +92,7 @@ class RenderLayer(Layer):
             # start the fly camera at the scene's REGISTERED pose (each
             # SCENES entry ships a camera; previously only rtow* scenes
             # got a pose and e.g. mirror_room opened BEHIND its light)
-            import math
-
-            cam0 = make_cam_params()
-            origin = [float(v) for v in np.asarray(cam0.origin)]
-            f = np.asarray(cam0.forward, np.float64)
-            f = f / max(float(np.linalg.norm(f)), 1e-12)
-            self.fly.position = origin
-            self.fly.home = tuple(origin)
-            self.fly.pitch = math.degrees(math.asin(max(-1.0, min(1.0, f[1]))))
-            self.fly.yaw = math.degrees(math.atan2(f[2], f[0])) % 360.0
-            self.fly.fov_deg = math.degrees(float(cam0.fov))
-            self.fly._update_orientation()
+            self._pose_fly_at(make_cam_params())
         self.key = rngu.base_key(cfg.seed)
         self.metrics = Metrics()
         self.metrics.width, self.metrics.height = cfg.width, cfg.height
@@ -118,6 +107,43 @@ class RenderLayer(Layer):
         self._counts = None  # per-pixel sample counts (image-texture scenes)
         self._pallas = None  # lazily-built pallas pipeline
         self._wavefront = None  # lazily-built sorted-wavefront renderer
+
+    def _pose_fly_at(self, cam0):
+        """Point the fly camera at a registered CameraParams pose."""
+        import math
+
+        origin = [float(v) for v in np.asarray(cam0.origin)]
+        f = np.asarray(cam0.forward, np.float64)
+        f = f / max(float(np.linalg.norm(f)), 1e-12)
+        self.fly.position = origin
+        self.fly.home = tuple(origin)
+        self.fly.pitch = math.degrees(math.asin(max(-1.0, min(1.0, f[1]))))
+        self.fly.yaw = math.degrees(math.atan2(f[2], f[0])) % 360.0
+        self.fly.fov_deg = math.degrees(float(cam0.fov))
+        self.fly._update_orientation()
+        self.fly.version += 1
+
+    def set_scene(self, name: str):
+        """Switch to a registered built-in scene at runtime (the viewer's
+        scene combo; BEYOND-REFERENCE — the reference bakes one world at
+        startup, CudaLayer.cpp:103-256).  Re-poses the fly camera and, when
+        the new scene's authored projection differs, rebuilds the renderer
+        (same accepted recompile cost as a resize)."""
+        make_scene, make_cam_params = scene_lib.SCENES[name]
+        self.scene = make_scene()
+        self.cfg.scene = name
+        self._pose_fly_at(make_cam_params())
+        model = scene_lib.camera_model_for(name)
+        if model != self.cfg.camera_model:
+            self.cfg.camera_model = model
+            self.renderer = Renderer(
+                self.cfg.width, self.cfg.height, camera_model=model,
+                t_min=self.cfg.t_min, block=self.cfg.block,
+            )
+            self._pallas = None
+            self._wavefront = None
+        self._scene_version = -1  # force a full device re-sync
+        rtlog.rt_info("Scene switched to %s (camera=%s)", name, model)
 
     # -------------------------------------------------------- lifecycle
     def on_attach(self, app: "Application"):

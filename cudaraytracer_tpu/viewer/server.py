@@ -70,6 +70,7 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <div>bg <input id=bg0 type=color><input id=bg1 type=color>
   <button onclick="setBg()">set</button>
  </div>
+ <div>scene <select id=sceneSel onchange="post('/options',{scene:this.value})"></select></div>
  <div>file <input id=fname value="scene.json" style="width:110px">
   <button onclick="post('/options',{save:fname.value})">save scene</button>
   <button onclick="post('/options',{load:fname.value})">load scene</button>
@@ -169,6 +170,9 @@ async function state(){try{const r=await fetch('/state?filter='+encodeURICompone
  const sig=JSON.stringify(s.scene);
  if(sig!==sceneSig&&!document.getElementById('scene').contains(document.activeElement)){
   sceneSig=sig;renderScene()}
+ const ss=document.getElementById('sceneSel');
+ if(!ss.options.length&&s.options.scenes)for(const n of s.options.scenes){const o=document.createElement('option');o.textContent=n;ss.add(o)}
+ if(document.activeElement!==ss)ss.value=s.options.scene;
  if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
  if(document.activeElement.id!=='spp')document.getElementById('spp').value=s.options.spp;
  for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
@@ -192,6 +196,9 @@ function uploadTex(id){const f=document.getElementById('texfile');
  f.onchange=async()=>{if(f.files[0]){await fetch('/texture?id='+id,{method:'POST',body:f.files[0]})}};
  f.click()}
 </script></body></html>"""
+
+from ..models.scenes import SCENES as _SCENE_REGISTRY
+
 
 def _mesh_mid(obj_id) -> int | None:
     """Panel object ids are slot ints (plain primitives) or "m<gid>"
@@ -281,6 +288,8 @@ class ViewerServer:
                 "spp": rl.cfg.spp,
                 "paused": self.app.paused,
                 "accumulated_spp": rl._spp_done,
+                "scene": rl.cfg.scene,
+                "scenes": list(_SCENE_REGISTRY),
             },
         }
 
@@ -418,6 +427,12 @@ class ViewerServer:
                 rl.fly.fov_deg = max(1.0, min(120.0, float(c["fov"])))
             rl.fly._update_orientation()
             rl.fly.version += 1
+        if "scene" in data:
+            name = str(data["scene"])
+            if name not in _SCENE_REGISTRY:
+                raise ValueError(f"unknown scene {name!r}")
+            if name != rl.cfg.scene:
+                rl.set_scene(name)
         if "resize" in data:
             w, h = data["resize"]
             rl.resize(int(w), int(h))

@@ -350,6 +350,41 @@ def test_add_mesh_and_obj_upload(served):
         assert marker in page, marker
 
 
+def test_scene_switch_endpoint(served):
+    """/options {"scene": name} swaps the world at runtime, re-poses the
+    fly camera at the scene's registered pose, and switches the camera
+    model to the authored projection (round 3)."""
+    from cudaraytracer_tpu.models import scenes as scenes_mod
+
+    app, server, port = served
+    s = json.loads(get(port, "/state"))
+    assert s["options"]["scene"] == "default"
+    assert set(s["options"]["scenes"]) == set(scenes_mod.SCENES)
+
+    post(port, "/options", {"scene": "cornell"})
+    rl = app.render_layer
+    assert rl.cfg.scene == "cornell" and rl.scene.num_active == 8
+    cam0 = scenes_mod.cornell_like_camera()
+    np.testing.assert_allclose(rl.fly.position, np.asarray(cam0.origin),
+                               atol=1e-5)
+
+    post(port, "/options", {"scene": "rtow_final"})
+    assert rl.cfg.camera_model == "look_at"  # authored projection followed
+    app.run(max_frames=1)  # renders through the rebuilt pipeline
+    s2 = json.loads(get(port, "/state"))
+    assert s2["options"]["scene"] == "rtow_final"
+    assert len(s2["scene"]) == rl.scene.num_active
+    assert "sceneSel" in get(port, "/").decode()
+
+    # unknown names are rejected without changing anything
+    try:
+        post(port, "/options", {"scene": "nope"})
+        raised = False
+    except Exception:
+        raised = True
+    assert raised and rl.cfg.scene == "rtow_final"
+
+
 def test_status_line_shows_pause_and_spp(served):
     app, server, port = served
     page = get(port, "/").decode()
