@@ -103,9 +103,13 @@ P_ROWS_UV = 9
 #   with_uv only, +3..+8: uv0.u, uv0.v, duv1.u, duv1.v, duv2.u, duv2.v
 #   at FULL precision — interpolated texcoords uv0 + u*duv1 + v*duv2
 #   make image textures on meshes exact in the deferral path.
-# The barycentric (u, v) at the winner is reconstructed at payload time
-# from the Havel-Herout planes ALREADY in the S table (8 extra selects,
-# S_VATTR_SEL), not carried through the search.
+# The barycentric (u, v) at the winner is CARRIED through the search
+# (hierarchical_search carry_uv: 2 selects per prim apply in tri/mixed
+# clusters only), replacing the round-3 first cut that reconstructed it
+# at payload time from the Havel-Herout planes (8 S-selects per winner's
+# cluster prim + a per-lane plane evaluation).  Strictly fewer ops on
+# vattr scenes; TPU delta pending (BASELINE.md vattr row has the
+# plane-reconstruction numbers).
 
 
 def p_rows_for(with_uv: bool, with_vattrs: bool) -> int:
@@ -117,10 +121,6 @@ def p_rows_for(with_uv: bool, with_vattrs: bool) -> int:
     return base
 
 
-# S-table rows selected (in this order) alongside the payload rows when
-# has_vattrs: the winner's barycentric planes for u = p.n1 + d1,
-# v = p.m2 + d2.
-S_VATTR_SEL = (S_N1X, S_N1Y, S_N1Z, S_D1, S_M2X, S_M2Y, S_M2Z, S_D2)
 
 # Measured optimum on v5e RTOW 720p depth12 (Mrays/s): the parameters
 # interact — coarser clusters cut box/cond overhead, finer tiles and
@@ -586,6 +586,7 @@ def hierarchical_search(
     cluster: int = CLUSTER,
     super_: int = SUPER,
     has_tris: bool = False,
+    carry_uv: bool = False,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -597,6 +598,16 @@ def hierarchical_search(
     best_t == t_min and can never record a hit.  Returns (best_t, best_j,
     n_entered_clusters) with best_j = packed primitive column as f32, -1
     for miss; the scalar cluster count is a culling diagnostic.
+
+    ``carry_uv`` (vattr scenes): also return the winner's triangle
+    barycentrics, carried stale-best through the search — (best_t, best_j,
+    best_u, best_v, n_entered).  The Havel-Herout test computes (u, v) for
+    every candidate anyway, so this costs 2 selects per prim apply in
+    triangle/mixed clusters ONLY (sphere/rect loops thread the values
+    through untouched) and replaces the payload loop's 8 plane selects per
+    prim + per-wave plane evaluation — strictly fewer ops.
+    Bit-identical to the plane reconstruction: u = p.n1+d1
+    at p = o + t_win d is evaluated with the same ops either way.
 
     ``order_ref`` (optional SMEM i32[NSC]) remaps supercluster visit order —
     front-to-back visiting tightens best_t early so later box gates cull
@@ -693,7 +704,7 @@ def hierarchical_search(
             ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
             & (t_t > t_min) & (t_t < best_t)
         )
-        return hit_t, t_t
+        return hit_t, t_t, u, v
 
     def _dual_test(j, best_t):
         ptype = s_ref[S_PTYPE, j]
@@ -705,51 +716,56 @@ def hierarchical_search(
         hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
         if has_tris:
             is_tri = ptype > 3.5
-            hit_t, t_t = _tri_test(j, best_t)
+            hit_t, t_t, u_t, v_t = _tri_test(j, best_t)
             t_j = jnp.where(is_tri, t_t, t_j)
             hit_j = (is_tri & hit_t) | (~is_tri & hit_j)
+            if carry_uv:
+                return hit_j, t_j, u_t, v_t  # non-tri winners: uv is junk,
+                # exactly like the plane-reconstruction path (masked by
+                # is_tri_p at use)
         return hit_j, t_j
 
-    def _prim_loop(test):
+    def _prim_loop(test, test_uv: bool = False):
+        """``test_uv``: the test emits candidate (u, v) and the loop
+        carries the winner's pair (only meaningful when carry_uv)."""
         def prim_quad(i, carry):
             """Four primitives per step: all tested against the SAME stale
             best_t (independent -> instruction-level parallelism, breaking
             the serial best_t dependency chain), then applied in order with
             an exact (t < running best) re-check — the stale window is a
             superset, so the winner is exact."""
-            best_t, best_j, base = carry
+            if carry_uv:
+                best_t, best_j, best_u, best_v, base = carry
+            else:
+                best_t, best_j, base = carry
             j0 = base + 4 * i
-            j1, j2, j3 = j0 + 1, j0 + 2, j0 + 3
-            hit0, t0 = test(j0, best_t)
-            hit1, t1 = test(j1, best_t)
-            hit2, t2 = test(j2, best_t)
-            hit3, t3 = test(j3, best_t)
-            best_t = jnp.where(hit0, t0, best_t)
-            best_j = jnp.where(hit0, jnp.float32(j0), best_j)
-            hit1 = hit1 & (t1 < best_t)
-            best_t = jnp.where(hit1, t1, best_t)
-            best_j = jnp.where(hit1, jnp.float32(j1), best_j)
-            hit2 = hit2 & (t2 < best_t)
-            best_t = jnp.where(hit2, t2, best_t)
-            best_j = jnp.where(hit2, jnp.float32(j2), best_j)
-            hit3 = hit3 & (t3 < best_t)
-            best_t = jnp.where(hit3, t3, best_t)
-            best_j = jnp.where(hit3, jnp.float32(j3), best_j)
+            res = [test(j0 + k, best_t) for k in range(4)]
+            for k, r in enumerate(res):
+                hitk, tk = r[0], r[1]
+                if k:
+                    hitk = hitk & (tk < best_t)
+                best_t = jnp.where(hitk, tk, best_t)
+                best_j = jnp.where(hitk, jnp.float32(j0 + k), best_j)
+                if carry_uv and test_uv:
+                    best_u = jnp.where(hitk, r[2], best_u)
+                    best_v = jnp.where(hitk, r[3], best_v)
+            if carry_uv:
+                return best_t, best_j, best_u, best_v, base
             return best_t, best_j, base
 
         def run(carry):
             out = lax.fori_loop(0, cluster // 4, prim_quad, carry)
-            return out[0], out[1], carry[2]
+            return out[:-1] + (carry[-1],)
 
         return run
 
     run_sphere = _prim_loop(_sphere_test)
     run_rect = _prim_loop(_rect_test)
-    run_dual = _prim_loop(_dual_test)
-    run_tri = _prim_loop(_tri_test)
+    run_dual = _prim_loop(_dual_test, test_uv=True)
+    run_tri = _prim_loop(_tri_test, test_uv=True)
 
     def cluster_scan(ci, carry):
-        best_t, best_j, nclus = carry
+        best_t, nclus = carry[0], carry[-1]
         any_hit = _box_any(clus_ref, ci, best_t)
 
         def run(carry3):
@@ -774,12 +790,12 @@ def hierarchical_search(
                 carry3,
             )
 
-        bt, bj, _ = lax.cond(
-            any_hit, run, lambda c: c, (best_t, best_j, ci * cluster)
+        out = lax.cond(
+            any_hit, run, lambda c: c, carry[:-1] + (ci * cluster,)
         )
         # culling diagnostic: count clusters whose prim loop actually ran
         # (one scalar add, hidden under the vector work)
-        return bt, bj, nclus + jnp.where(any_hit, 1.0, 0.0)
+        return out[:-1] + (nclus + jnp.where(any_hit, 1.0, 0.0),)
 
     def super_scan(k, carry):
         si = k if order_ref is None else order_ref[k]
@@ -791,10 +807,10 @@ def hierarchical_search(
 
         return lax.cond(any_hit, run, lambda c: c, carry)
 
-    return lax.fori_loop(
-        0, n_super, super_scan,
-        (best_t0, jnp.full_like(best_t0, -1.0), jnp.float32(0.0)),
-    )
+    init = (best_t0, jnp.full_like(best_t0, -1.0))
+    if carry_uv:
+        init = init + (jnp.zeros_like(best_t0), jnp.zeros_like(best_t0))
+    return lax.fori_loop(0, n_super, super_scan, init + (jnp.float32(0.0),))
 
 
 def _u01(shape):
@@ -947,10 +963,10 @@ def _render_kernel(
         (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 0.0, spp_f
     )
 
-    # payload rows in P, plus (has_vattrs) 8 S-table plane selects appended
-    # at indices [p_rows, p_rows+8) of the payload tuple
+    # payload rows in P (the winner's barycentrics ride the SEARCH carry
+    # in vattr scenes — hierarchical_search carry_uv — not the payload)
     p_rows = p_rows_for(has_images, has_vattrs)
-    pay_n = p_rows + (8 if has_vattrs else 0)
+    pay_n = p_rows
 
     def bounce_body(state):
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -1055,15 +1071,19 @@ def _render_kernel(
             lax.fori_loop(0, n_super - 1, sort_outer, 0)
 
         # -------- closest hit (shared hierarchical search) --------
+        ub = vb = None  # winner barycentrics (vattr scenes, carried)
         if not octant_split:
             front_to_back_order(alive_f)
-            best_t, best_j, nc_wave = hierarchical_search(
+            found = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
-                has_tris=has_tris,
+                has_tris=has_tris, carry_uv=has_vattrs,
             )
+            best_t, best_j, nc_wave = found[0], found[1], found[-1]
+            if has_vattrs:
+                ub, vb = found[2], found[3]
         else:
             # MEASURED PROBE (round-3 verdict Next #8): partition live
             # lanes into two direction buckets (sign of dz) and search per
@@ -1075,25 +1095,28 @@ def _render_kernel(
             fwd_f = jnp.where(alive & (dz >= 0.0), 1.0, 0.0)
             bwd_f = alive_f - fwd_f
             front_to_back_order(fwd_f)
-            bt_a, bj_a, nc_a = hierarchical_search(
+            found_a = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
-                has_tris=has_tris,
+                has_tris=has_tris, carry_uv=has_vattrs,
             )
             front_to_back_order(bwd_f)
-            bt_b, bj_b, nc_b = hierarchical_search(
+            found_b = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
-                has_tris=has_tris,
+                has_tris=has_tris, carry_uv=has_vattrs,
             )
             is_fwd = fwd_f > 0.5
-            best_t = jnp.where(is_fwd, bt_a, bt_b)
-            best_j = jnp.where(is_fwd, bj_a, bj_b)
-            nc_wave = nc_a + nc_b
+            best_t = jnp.where(is_fwd, found_a[0], found_b[0])
+            best_j = jnp.where(is_fwd, found_a[1], found_b[1])
+            if has_vattrs:
+                ub = jnp.where(is_fwd, found_a[2], found_b[2])
+                vb = jnp.where(is_fwd, found_a[3], found_b[3])
+            nc_wave = found_a[-1] + found_b[-1]
         hit = best_j >= 0.0
         nclus = nclus + nc_wave
 
@@ -1105,17 +1128,9 @@ def _render_kernel(
 
             def prim_pay(j, pay):
                 m = best_j == jnp.float32(j)
-                new = [
+                return tuple(
                     jnp.where(m, p_ref[k, j], pay[k]) for k in range(p_rows)
-                ]
-                if has_vattrs:
-                    # the winner's barycentric planes, straight from the
-                    # S table already resident in SMEM (S_VATTR_SEL)
-                    new += [
-                        jnp.where(m, s_ref[k, j], pay[p_rows + i])
-                        for i, k in enumerate(S_VATTR_SEL)
-                    ]
-                return tuple(new)
+                )
 
             def run(pay):
                 return lax.fori_loop(ci * cluster, (ci + 1) * cluster, prim_pay, pay)
@@ -1164,14 +1179,9 @@ def _render_kernel(
         px = ox + best_t * dx
         py = oy + best_t * dy
         pz = oz + best_t * dz
-        if has_vattrs:
-            # winner's barycentrics from the selected Havel-Herout planes
-            # (u = p.n1 + d1, v = p.m2 + d2); garbage for non-triangle
-            # winners, masked by is_tri_p below
-            ub = (px * pay[p_rows + 0] + py * pay[p_rows + 1]
-                  + pz * pay[p_rows + 2] + pay[p_rows + 3])
-            vb = (px * pay[p_rows + 4] + py * pay[p_rows + 5]
-                  + pz * pay[p_rows + 6] + pay[p_rows + 7])
+        # (vattr scenes: ub/vb — the winner's barycentrics — were carried
+        # through the search above; garbage for non-triangle winners,
+        # masked by is_tri_p below)
         # unit normal = normalize(p - c) * sign(r) == (p - c)/r at the hit
         # (negative radii flip the normal inward: the hollow-glass idiom,
         # Hittable.cuh:96 divides by the SIGNED radius)
