@@ -23,6 +23,64 @@ import time
 NOMINAL_BASELINE_MRAYS = 100.0
 
 
+def await_backend(budget_s: float | None = None, probe_timeout_s: float = 90.0):
+    """Wait (bounded) for the accelerator backend to answer, or die fast.
+
+    The TPU here sits behind a tunnel whose backend init (`jax.devices()`)
+    can HANG INDEFINITELY after a device fault or a SIGKILLed client
+    (BASELINE.md measurement-protocol notes; wedges usually clear in
+    1-10 min).  A benchmark that hangs forever is worse than one that
+    fails: probe the backend in a bounded SUBPROCESS (a hung probe can be
+    killed; a hung in-process init cannot), retry with backoff while the
+    wedge clears, and exit(1) with a diagnostic if the budget runs out.
+    Returns silently as soon as a probe sees a device.
+
+    Budget from CRT_BENCH_PROBE_BUDGET_S (default 480 s ~ the observed
+    wedge-recovery ceiling).  Probes inherit the environment (the axon
+    plugin arrives via PYTHONPATH)."""
+    import os
+    import subprocess
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("CRT_BENCH_PROBE_BUDGET_S", "480"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.monotonic()
+        if left <= 0:
+            print(
+                f"bench: accelerator backend never answered within "
+                f"{budget_s:.0f}s ({attempt - 1} probes): the tunnel/device "
+                "is down or wedged (see BASELINE.md protocol notes). "
+                "Re-run later or pass --cpu for an interpret-mode check.",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        t0 = time.monotonic()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(d[0].platform, len(d))"],
+                timeout=min(probe_timeout_s, max(left, 10.0)),
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip()
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"bench: backend probe {attempt} failed "
+            f"({time.monotonic() - t0:.0f}s); retrying "
+            f"({deadline - time.monotonic():.0f}s left in budget)",
+            file=sys.stderr,
+        )
+        # leave the device alone between probes: stacked retries queue
+        # behind the wedge and prolong it (BASELINE.md)
+        time.sleep(min(60.0, max(deadline - time.monotonic(), 0.0)))
+
+
 def bench_multichip(args):
     """Sharded-megakernel frame over an N-device (rows x samples) mesh.
 
@@ -253,6 +311,10 @@ def main():
 
     if args.multichip:
         return bench_multichip(args)
+
+    if not args.cpu:
+        # bounded wait for the tunneled accelerator (hang -> fail fast)
+        await_backend()
 
     import jax
 
