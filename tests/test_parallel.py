@@ -151,6 +151,77 @@ def test_sharded_pallas_image_mode():
     assert rp[..., 0].mean() > rp[..., 1].mean()
 
 
+def test_sharded_pallas_vattr_mesh_exact_interior():
+    """Triangle mesh with per-vertex UVs (round-3 vattr path) over the
+    device mesh: an emissive UV-mapped quad (two triangles) with a
+    quadrant texture renders deterministically (emission-terminated
+    paths), so interior pixels of the sharded megakernel must match the
+    single-device XLA renderer EXACTLY — this drives carry_uv barycentrics
+    + interpolated texcoords + the image-deferral epilogue through
+    shard_map.  2x2 mesh for the same interpret-simulator reason as
+    test_sharded_pallas_image_mode."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import DIFFUSE_LIGHT, Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables)
+    from cudaraytracer_tpu.parallel import render_sharded_pallas
+
+    img_tex = np.zeros((64, 64, 3), np.uint8)
+    img_tex[:32, :32] = (255, 40, 40)
+    img_tex[:32, 32:] = (40, 255, 40)
+    img_tex[32:, :32] = (40, 40, 255)
+    img_tex[32:, 32:] = (250, 250, 60)
+
+    scene = Scene(capacity=16, background_start=(0, 0, 0),
+                  background_end=(0, 0, 0))
+    slot = scene.load_image_texture(img_tex)
+    v = np.array([(-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0)], np.float32)
+    uv = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    f = np.array([(0, 1, 2), (0, 2, 3)], np.int64)
+    scene.add_mesh(v, f, uvs=uv, mat_type=DIFFUSE_LIGHT, light=2.0,
+                   tex_type=2, tex_id=slot)
+    sd = scene.device()
+    assert scene.has_vertex_attrs
+
+    W, H, DEPTH = 128, 32, 3
+    cam = make_camera_params(origin=(0, 0, 1.6), forward=(0, 0, -1))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    t = pack_scene_tables(scene, with_uv=True)
+    assert t.vattrs
+    tables = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    mesh = make_mesh(n_rows=2, n_samples=2, devices=jax.devices()[:4])
+    with pltpu.force_tpu_interpret_mode():
+        rad, counts = render_sharded_pallas(
+            tables, t.n_super, cam_vec, 5, DEPTH,
+            width=W, height=H, mesh=mesh, camera_model="look_at",
+            tile_h=16, tile_w=128, spp=1, has_rects=False,
+            has_tris=True, has_vattrs=True,
+            atlas=sd.atlas, tex_hw=sd.tex_hw,
+        )
+        pal = np.asarray(rad) / np.maximum(
+            np.asarray(counts), 1.0)[..., None]
+    assert pal.shape == (H, W, 3) and np.isfinite(pal).all()
+
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(2), 1, DEPTH,
+                        width=W, height=H, camera_model="look_at"))
+    # interior mask: pixels whose 3x3 XLA neighborhood is constant
+    const = np.ones((H, W), bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = np.roll(np.roll(xla, dy, 0), dx, 1)
+            const &= (np.abs(shifted - xla) < 1e-6).all(-1)
+    const[[0, -1], :] = False
+    const[:, [0, -1]] = False
+    assert const.sum() > H * W * 0.25
+    assert np.abs(pal[const] - xla[const]).max() < 1e-5
+    # all four quadrant colors appear (the UVs really interpolate)
+    assert len({tuple(np.round(c, 3)) for c in pal[const]}) >= 4
+
+
 def test_dryrun_multichip_is_hermetic():
     """dryrun_multichip must be green even when the machine's TPU is broken.
 
