@@ -69,8 +69,25 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="cudaraytracer_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    def add_obj_args(p):
+        p.add_argument("--obj", default=None, metavar="PATH",
+                       help="render a Wavefront OBJ model: loads it, "
+                            "normalizes it onto the checkered ground and "
+                            "registers it as the active scene (overrides "
+                            "--scene); per-vertex uvs/normals are kept")
+        p.add_argument("--obj-mat", dest="obj_mat", default="lambertian",
+                       choices=["lambertian", "metal", "dielectric", "light"])
+        p.add_argument("--obj-albedo", dest="obj_albedo", default="0.75,0.73,0.70",
+                       metavar="R,G,B")
+        p.add_argument("--obj-fuzz", dest="obj_fuzz", type=float, default=0.0)
+        p.add_argument("--obj-ior", dest="obj_ior", type=float, default=1.5)
+        p.add_argument("--obj-smooth", dest="obj_smooth", action="store_true",
+                       help="compute smooth vertex normals when the file "
+                            "has none")
+
     p_render = sub.add_parser("render", help="offline render to PNG")
     config_mod.add_arguments(p_render)
+    add_obj_args(p_render)
     p_render.add_argument("-o", "--output", default="render.png")
     p_render.add_argument("--frames", type=int, default=None,
                           help="progressive frames (default: spp)")
@@ -78,6 +95,7 @@ def main(argv=None):
 
     p_serve = sub.add_parser("serve", help="interactive viewer")
     config_mod.add_arguments(p_serve)
+    add_obj_args(p_serve)
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8000)
     p_serve.add_argument("--data-dir", dest="data_dir", default=None,
@@ -96,6 +114,20 @@ def main(argv=None):
     rtlog.init()
     if args.cmd == "bench":
         return cmd_bench(None, args)
+    if getattr(args, "obj", None):
+        from .models import scene as scene_mod
+        from .models import scenes as scene_lib
+
+        mat = {"lambertian": scene_mod.LAMBERTIAN, "metal": scene_mod.METAL,
+               "dielectric": scene_mod.DIELECTRIC,
+               "light": scene_mod.DIFFUSE_LIGHT}[args.obj_mat]
+        albedo = tuple(float(x) for x in args.obj_albedo.split(","))
+        args.scene = scene_lib.register_obj_scene(
+            args.obj, mat_type=mat, albedo=albedo, fuzz=args.obj_fuzz,
+            ior=args.obj_ior, smooth=args.obj_smooth)
+        # camera_model stays as parsed: None resolves to the registry's
+        # look_at; an explicit --camera-model still wins
+        rtlog.rt_info("Registered OBJ scene %r from %s", args.scene, args.obj)
     cfg = config_mod.from_args(args)
     config_mod.apply_debug_flags(cfg)
     if args.cmd == "render":

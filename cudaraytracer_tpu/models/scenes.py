@@ -308,6 +308,73 @@ def mesh_smooth_scene(capacity: int = 1024) -> Scene:
     return scene
 
 
+def register_obj_scene(path, name: str | None = None, *,
+                       mat_type: int = LAMBERTIAN,
+                       albedo=(0.75, 0.73, 0.70), fuzz: float = 0.0,
+                       ior: float = 1.5, light: float = 1.0,
+                       smooth: bool = False) -> str:
+    """Load a Wavefront OBJ and register it as a model-viewer scene.
+
+    BEYOND-REFERENCE (the reference bakes one hard-coded world at startup,
+    CudaLayer.cpp:103-256; its ImGuiFileDialog loads only textures): the
+    mesh is normalized — centered, scaled to a 2-unit max extent, rested on
+    the checkered ground plane — and registered in SCENES/CAMERA_MODELS
+    under ``name`` (default ``obj:<stem>``), so the CLI (``--obj``), the
+    viewer's scene combo, the gallery and ``bench.py --scene`` all accept
+    it like a built-in.  Per-vertex uvs/normals in the file are kept
+    (smooth shading + exact texturing); ``smooth=True`` computes
+    area-weighted vertex normals when the file has none.  Returns the
+    registered name.
+    """
+    import os
+
+    from ..utils import mesh as meshlib
+
+    m = meshlib.load_obj_full(path)
+    v = m.vertices.astype(np.float64)
+    lo, hi = v.min(0), v.max(0)
+    scale = 2.0 / max(float((hi - lo).max()), 1e-12)
+    center = 0.5 * (lo + hi)
+    v = (v - center) * scale
+    v[:, 1] -= float(v[:, 1].min()) + 0.5  # rest on the y=-0.5 ground
+    v = v.astype(np.float32)
+
+    n_faces = len(m.faces)
+    attrs = dict(m.attrs())
+    if smooth and "normals" not in attrs:
+        attrs["smooth"] = True
+    mat_kw = dict(mat_type=mat_type, albedo=albedo)
+    if mat_type == METAL:
+        mat_kw["fuzz"] = fuzz
+    elif mat_type == DIELECTRIC:
+        mat_kw["ior"] = ior
+    elif mat_type == DIFFUSE_LIGHT:
+        mat_kw["light"] = light
+
+    def make_scene(capacity: int | None = None) -> Scene:
+        cap = capacity if capacity is not None else n_faces + 16
+        scene = Scene(capacity=cap)
+        scene.add_xz_rect((0.0, -0.5, 0.0), 60.0, 60.0, mat_type=LAMBERTIAN,
+                          tex_type=CHECKER, albedo=(0.2, 0.3, 0.1),
+                          albedo2=(0.9, 0.9, 0.9))
+        scene.add_mesh(v, m.faces, **attrs, **mat_kw)
+        return scene
+
+    def make_cam(**kw):
+        return make_camera_params(
+            origin=(0.0, 0.9, 2.6), forward=(0.0, -0.22, -1.0),
+            fov_deg=50.0, **kw,
+        )
+
+    if name is None:
+        stem = os.path.splitext(os.path.basename(
+            getattr(path, "name", None) or str(path)))[0]
+        name = f"obj:{stem}"
+    SCENES[name] = (make_scene, make_cam)
+    CAMERA_MODELS[name] = "look_at"
+    return name
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),

@@ -90,6 +90,70 @@ def test_cli_render_subprocess(tmp_path):
     assert img.sum() > 0
 
 
+def _write_ball_obj(path):
+    from cudaraytracer_tpu.utils import mesh
+
+    v, f = mesh.icosphere(1)  # 80 faces
+    v = v * 3.0 + (5.0, 2.0, -1.0)  # offset/scale: normalization must undo
+    mesh.save_obj(str(path), v, f, normals=(v - (5.0, 2.0, -1.0)) / 3.0)
+    return len(f)
+
+
+def test_register_obj_scene(tmp_path):
+    """--obj scene registration: normalization, attrs, registry entries."""
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.models.bvh import primitive_aabbs
+    from cudaraytracer_tpu.models.renderer import render_radiance
+    from cudaraytracer_tpu.models.scene import METAL
+    from cudaraytracer_tpu.utils import rng as rngu
+
+    p = tmp_path / "ball.obj"
+    nf = _write_ball_obj(p)
+    name = scn.register_obj_scene(str(p), mat_type=METAL, fuzz=0.1)
+    try:
+        assert name == "obj:ball"
+        assert name in scn.SCENES
+        assert scn.camera_model_for(name) == "look_at"
+        make_scene, make_cam = scn.SCENES[name]
+        scene = make_scene()
+        idx = scene.active_indices()
+        assert len(idx) == nf + 1  # ground rect + triangles
+        assert scene.has_vertex_attrs  # file normals kept (smooth shading)
+        # normalized: 2-unit max extent resting on the y=-0.5 ground
+        bmin, bmax = primitive_aabbs(scene, idx)
+        tri = scene.prim_type[idx] == 4
+        lo, hi = bmin[tri].min(0), bmax[tri].max(0)
+        assert abs(float((hi - lo).max()) - 2.0) < 1e-3
+        assert abs(float(lo[1]) + 0.5) < 1e-3
+        img = np.asarray(render_radiance(
+            scene.device(), make_cam(), rngu.base_key(), 1, 2,
+            width=24, height=16, camera_model="look_at"))
+        assert np.isfinite(img).all() and img.sum() > 0
+    finally:
+        scn.SCENES.pop(name, None)
+        scn.CAMERA_MODELS.pop(name, None)
+
+
+def test_cli_render_obj_subprocess(tmp_path):
+    """End-to-end: `render --obj model.obj` renders the model headlessly."""
+    p = tmp_path / "ball.obj"
+    _write_ball_obj(p)
+    out = str(tmp_path / "obj.png")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "cudaraytracer_tpu", "render", "--cpu",
+         "--obj", str(p), "--obj-mat", "metal", "--obj-fuzz", "0.05",
+         "--width", "48", "--height", "32", "--spp", "2", "--max-depth", "3",
+         "--frames", "2", "-o", out],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = load_rgb(out)
+    assert img.shape == (32, 48, 3)
+    assert img.sum() > 0
+
+
 def test_every_registered_scene_renders():
     """Registry smoke test: every SCENES entry constructs and renders a
     tiny brute-force frame with finite, non-black output (guards new
