@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 from typing import Optional
 
 import jax
@@ -342,6 +343,36 @@ class Scene:
             raise ValueError(f"mesh {mid} has no active triangles")
         for i in idx:
             self.update(int(i), **fields)
+
+    def transform_mesh(self, mid: int, scale: float = 1.0,
+                       rotate_y: float = 0.0):
+        """Uniform-scale and/or yaw-rotate (radians) a mesh group about
+        its centroid: vertex positions, edge vectors AND shading normals
+        transform together (normals only rotate — uniform scale preserves
+        them; uvs are intrinsic and unchanged).  Same rotation convention
+        as utils.mesh.transformed.  Host-side SoA writes; like every edit,
+        the next frame repacks tables without recompiling."""
+        idx = self.mesh_indices(mid)
+        if idx.size == 0:
+            raise ValueError(f"mesh {mid} has no active triangles")
+        c = math.cos(rotate_y)
+        s = math.sin(rotate_y)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        # centroid over all vertices (v0, v1 = v0+e1, v2 = v0+e2)
+        v0 = self.center[idx]
+        v1 = v0 + self.edge1[idx]
+        v2 = v0 + self.edge2[idx]
+        ctr = np.concatenate([v0, v1, v2]).mean(0)
+        sf = np.float32(scale)
+        self.center[idx] = (v0 - ctr) * sf @ R.T + ctr
+        self.edge1[idx] = self.edge1[idx] * sf @ R.T
+        self.edge2[idx] = self.edge2[idx] * sf @ R.T
+        if rotate_y:
+            for vn in (self.vnorm0, self.vnorm1, self.vnorm2):
+                live = vn[idx]
+                flat = (live == 0.0).all(1)  # keep the flat sentinel
+                vn[idx] = np.where(flat[:, None], live, live @ R.T)
+        self.version += 1
 
     def delete_mesh(self, mid: int):
         """Deactivate every triangle of a mesh group."""

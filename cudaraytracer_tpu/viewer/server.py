@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -140,6 +141,8 @@ function primPanel(p){
   rows+=`<div class=row><span class=lbl>radius</span><input type=number step=0.05 value=${p.size[0]} onchange="upd('${p.id}','radius',+this.value)"></div>`;
  else if(p.prim!=='mesh')
   rows+=`<div class=row><span class=lbl>size</span><input type=number step=0.1 value=${p.size[0]} onchange="upd('${p.id}','width',+this.value)">x<input type=number step=0.1 value=${p.size[1]} onchange="upd('${p.id}','height',+this.value)"></div>`;
+ else
+  rows+=`<div class=row><span class=lbl>xform</span><input type=number step=0.1 min=0.01 value=1 title="scale multiplier" onchange="upd('${p.id}','scale',+this.value);this.value=1">&times; <input type=number step=5 value=0 title="yaw degrees" onchange="upd('${p.id}','rotate_y',+this.value);this.value=0">&deg;</div>`;
  rows+=`<div class=row><span class=lbl>mat</span><select onchange="upd('${p.id}','mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
   <select onchange="if(this.value==='image'){uploadTex('${p.id}')}else{upd('${p.id}','tex',this.value)}">${texs.map(t=>`<option ${t===p.tex?'selected':''}>${t}</option>`).join('')}</select></div>`;
  rows+=`<div class=row><span class=lbl>albedo</span><input type=color value=${rgb2hex(p.albedo)} onchange="upd('${p.id}','albedo',hex2rgb(this.value))">`;
@@ -366,6 +369,11 @@ class ViewerServer:
                              - scene.center[idx].mean(0))
                     for j in idx:
                         scene.update(int(j), center=scene.center[j] + delta)
+                elif field == "scale":
+                    scene.transform_mesh(mid, scale=max(1e-3, float(value)))
+                elif field == "rotate_y":
+                    scene.transform_mesh(
+                        mid, rotate_y=math.radians(float(value)))
                 elif field in ("mat", "material"):
                     scene.update_mesh(mid, mat_type=_MAT_IDS[value])
                 elif field in ("tex", "texture"):

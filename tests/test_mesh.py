@@ -261,6 +261,54 @@ def test_scene_add_mesh_and_persistence(tmp_path):
     assert sc.num_triangles == 79
 
 
+def test_transform_mesh_rotate_scale():
+    """transform_mesh: scale/rotation about the group centroid transforms
+    vertices, edges AND vertex normals; flat sentinels and uvs survive."""
+    sc = Scene(capacity=32)
+    v = np.array([(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)], np.float32)
+    f = np.array([(0, 1, 2), (0, 2, 3)], np.int64)
+    uvs = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    vns = np.array([(0, 0, 1), (1, 0, 0), (0, 1, 0), (0, 0, 1)], np.float32)
+    ids = sc.add_mesh(v, f, uvs=uvs, normals=vns)
+    mid = int(sc.mesh_id[ids[0]])
+    # a second FLAT mesh: its zero-vnorm sentinel must survive rotation
+    ids2 = sc.add_mesh(v + (5, 0, 0), f)
+    mid2 = int(sc.mesh_id[ids2[0]])
+
+    def pts(ix):
+        v0 = sc.center[ix]
+        return np.concatenate([v0, v0 + sc.edge1[ix], v0 + sc.edge2[ix]])
+
+    idx = sc.mesh_indices(mid)
+    p0 = pts(idx)
+    ctr = p0.mean(0)
+    uv_before = sc.uv0[idx].copy()
+    ver = sc.version
+
+    sc.transform_mesh(mid, scale=3.0)
+    p1 = pts(idx)
+    np.testing.assert_allclose(p1, (p0 - ctr) * 3.0 + ctr, atol=1e-5)
+    # uniform scale: normals and uvs untouched
+    np.testing.assert_allclose(sc.vnorm0[idx][0], (0, 0, 1), atol=1e-6)
+    np.testing.assert_allclose(sc.uv0[idx], uv_before, atol=1e-7)
+    assert sc.version > ver
+
+    sc.transform_mesh(mid, rotate_y=np.pi / 2)
+    p2 = pts(idx)
+    # y-rotation convention of utils.mesh.transformed: (x,y,z)->(z,y,-x)
+    rel = p1 - p2.mean(0)
+    want = np.stack([rel[:, 2], rel[:, 1], -rel[:, 0]], 1) + p2.mean(0)
+    np.testing.assert_allclose(p2, want, atol=1e-4)
+    np.testing.assert_allclose(p2.mean(0), p1.mean(0), atol=1e-5)
+    # vertex normals rotate with the geometry: (1,0,0) -> (0,0,-1)
+    np.testing.assert_allclose(sc.vnorm1[idx][0], (0, 0, -1), atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(sc.vnorm0[idx], axis=1), 1.0,
+                               atol=1e-6)
+
+    sc.transform_mesh(mid2, rotate_y=1.0)
+    assert (sc.vnorm0[sc.mesh_indices(mid2)] == 0.0).all()  # still flat
+
+
 def test_mesh_grouping_and_group_edits(tmp_path):
     """add_mesh assigns one group id per mesh; group edits fan out; a
     recycled slot never inherits the old group; save/load keeps groups."""

@@ -305,6 +305,26 @@ def test_mesh_rows_grouped_and_editable():
         np.testing.assert_allclose(scene.center[idx].mean(0), target,
                                    atol=1e-4)
 
+        # xform widgets: scale doubles the extent about a fixed centroid,
+        # rotate keeps centroid and extent (round 3)
+        def span(ix):
+            v0 = scene.center[ix]
+            pts = np.concatenate([v0, v0 + scene.edge1[ix],
+                                  v0 + scene.edge2[ix]])
+            return pts.max(0) - pts.min(0), pts.mean(0)
+
+        d0, c0 = span(idx)
+        post(port, "/edit", {"op": "update", "id": ico["id"],
+                             "field": "scale", "value": 2.0})
+        d1, c1 = span(idx)
+        np.testing.assert_allclose(d1, d0 * 2.0, rtol=1e-4)
+        np.testing.assert_allclose(c1, c0, atol=1e-4)
+        post(port, "/edit", {"op": "update", "id": ico["id"],
+                             "field": "rotate_y", "value": 90.0})
+        d2, c2 = span(idx)
+        np.testing.assert_allclose(c2, c1, atol=1e-4)
+        np.testing.assert_allclose(sorted(d2), sorted(d1), rtol=1e-3)
+
         # deleting the mesh removes all and only its triangles
         n0 = scene.num_active
         post(port, "/edit", {"op": "delete", "id": ico["id"]})
