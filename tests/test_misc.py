@@ -167,7 +167,7 @@ def test_every_registered_scene_renders():
     for name, (make_scene, make_cam) in scn.SCENES.items():
         scene = make_scene()
         cam = make_cam()
-        model = "look_at" if name.startswith("rtow") else "two_plane"
+        model = scn.camera_model_for(name)  # the authored projection
         img = np.asarray(render_radiance(
             scene.device(), cam, rngu.base_key(), 1, 2,
             width=24, height=16, camera_model=model))
