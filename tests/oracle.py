@@ -5,6 +5,11 @@ A direct, slow transliteration of the reference's radiance algorithm
 Texture.cuh), used as the golden model for statistical comparison with the
 vectorized JAX renderer (SURVEY.md §4 test plan item b).  Python loops,
 NumPy RNG — intentionally nothing shared with the production code paths.
+
+Beyond-reference coverage mirrored here so the golden model spans the
+framework's own additions: scalar Möller–Trumbore triangles with two-sided
+face normals and smooth per-vertex-normal shading, and the RTOW look_at
+thin-lens camera (row 0 = top).  Image textures remain unmodeled.
 """
 
 from __future__ import annotations
@@ -45,17 +50,45 @@ def _rect_hit(o, d, ptype, center, size, t_min, t_max):
     return t
 
 
+def _tri_hit(o, d, v0, e1, e2, t_min, t_max):
+    """Möller–Trumbore, scalar; returns (t, u, v) or None."""
+    pv = np.cross(d, e2)
+    det = e1 @ pv
+    if abs(det) < 1e-9:
+        return None
+    inv = 1.0 / det
+    tv = o - v0
+    u = (tv @ pv) * inv
+    if u < 0.0 or u > 1.0:
+        return None
+    qv = np.cross(tv, e1)
+    v = (d @ qv) * inv
+    if v < 0.0 or u + v > 1.0:
+        return None
+    t = (e2 @ qv) * inv
+    if not (t_min < t < t_max):
+        return None
+    return t, u, v
+
+
 def _closest_hit(scene, o, d, t_min=1e-3):
-    best_t, best_i = 3.4e38, -1
+    best_t, best_i, best_uv = 3.4e38, -1, (0.0, 0.0)
     for i in scene.active_indices():
         pt = int(scene.prim_type[i])
         if pt == 0:
             t = _sphere_hit(o, d, scene.center[i], scene.size[i][0], t_min, best_t)
+        elif pt == 4:
+            r = _tri_hit(o, d, scene.center[i].astype(float),
+                         scene.edge1[i].astype(float),
+                         scene.edge2[i].astype(float), t_min, best_t)
+            if r is not None:
+                best_t, best_i, best_uv = r[0], i, (r[1], r[2])
+            continue
         else:
             t = _rect_hit(o, d, pt, scene.center[i], scene.size[i], t_min, best_t)
         if t is not None:
             best_t, best_i = t, i
-    return (best_i, best_t) if best_i >= 0 else (None, None)
+    return (best_i, best_t, best_uv) if best_i >= 0 else (None, None, None)
 
 
 def _rand_in_sphere(rng):
@@ -83,7 +116,7 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
     """color() (Kernel.cu:30-80) transliterated."""
     throughput = np.ones(3)
     for _ in range(max_depth):
-        i, t = _closest_hit(scene, o, d, t_min)
+        i, t, buv = _closest_hit(scene, o, d, t_min)
         if i is None:
             unit = d / np.linalg.norm(d)
             s = 0.5 * (unit[1] + 1.0)
@@ -91,10 +124,30 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
             return throughput * sky
         p = o + t * d
         mat = int(scene.mat_type[i])
-        if int(scene.prim_type[i]) == 0:
+        pt = int(scene.prim_type[i])
+        if pt == 0:
             normal = (p - scene.center[i]) / scene.size[i][0]
+        elif pt == 4:
+            # triangle: two-sided face normal; smooth shading interpolates
+            # per-vertex normals and flips them to the geometric front side
+            # (intersect.make_hit_record semantics)
+            e1 = scene.edge1[i].astype(float)
+            e2 = scene.edge2[i].astype(float)
+            n = np.cross(e1, e2)
+            n /= max(np.linalg.norm(n), 1e-20)
+            front = d @ n < 0
+            normal = n if front else -n
+            vn0 = scene.vnorm0[i].astype(float)
+            if (np.abs(vn0) > 0).any():
+                u, v = buv
+                ni = (vn0 + u * (scene.vnorm1[i] - scene.vnorm0[i])
+                      + v * (scene.vnorm2[i] - scene.vnorm0[i]))
+                ln = np.linalg.norm(ni)
+                if ln > 1e-8:
+                    ni = ni / ln
+                    normal = ni if front else -ni
         else:
-            k_ax = {1: 2, 2: 1, 3: 0}[int(scene.prim_type[i])]
+            k_ax = {1: 2, 2: 1, 3: 0}[pt]
             outward = np.zeros(3)
             outward[k_ax] = 1.0
             normal = outward if d @ outward < 0 else -outward
@@ -133,6 +186,39 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
                 nd = ni * (uv - outward * dt) - outward * np.sqrt(disc)
         o, d = p, nd
     return np.zeros(3)
+
+
+def render_look_at(scene, cam_origin, forward, width, height, spp, max_depth,
+                   seed, fov_deg=45.0, focus_dist=10.0):
+    """RTOW thin-lens look_at render, aperture 0 (camera.look_at_frame /
+    generate_rays_look_at transliterated).  Row 0 = image TOP, matching the
+    production look_at raygen; directions unnormalized like production."""
+    rng = np.random.RandomState(seed)
+    origin = np.asarray(cam_origin, float)
+    fwd = np.asarray(forward, float)
+    w = -fwd / np.linalg.norm(fwd)
+    world_up = np.array([0.0, 1.0, 0.0])
+    u_axis = np.cross(world_up, w)
+    u_axis /= np.linalg.norm(u_axis)
+    v_axis = np.cross(w, u_axis)
+    half_h = np.tan(np.radians(fov_deg) / 2.0)
+    half_w = (width / height) * half_h
+    lower_left = (origin - half_w * focus_dist * u_axis
+                  - half_h * focus_dist * v_axis - focus_dist * w)
+    horizontal = 2.0 * half_w * focus_dist * u_axis
+    vertical = 2.0 * half_h * focus_dist * v_axis
+
+    img = np.zeros((height, width, 3))
+    for y in range(height):
+        for x in range(width):
+            col = np.zeros(3)
+            for _ in range(spp):
+                s = (x + rng.random_sample()) / width
+                t = (height - 1.0 - y + rng.random_sample()) / height
+                d = lower_left + s * horizontal + t * vertical - origin
+                col += trace_ray(scene, origin, d, max_depth, rng)
+            img[y, x] = col / spp
+    return img.astype(np.float32)
 
 
 def render(scene, cam_origin, forward, width, height, spp, max_depth, seed,

@@ -63,6 +63,57 @@ def test_emissive_scene_matches_oracle():
     np.testing.assert_allclose(ours.mean((0, 1)), gold.mean((0, 1)), atol=0.05)
 
 
+def test_mesh_scene_matches_oracle():
+    """Triangle meshes against the scalar golden model: a smooth-shaded
+    lambertian icosphere and a flat metal tetrahedron over the ground,
+    rendered through the look_at camera — block means must agree with the
+    oracle's scalar Möller–Trumbore + interpolated-normal path."""
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import LAMBERTIAN, METAL, Scene
+    from cudaraytracer_tpu.utils import mesh
+
+    W, H, SPP, DEPTH = 24, 16, 16, 5
+    sc = Scene(capacity=64)
+    sc.add_xz_rect((0, -0.5, 0), 30.0, 30.0, mat_type=LAMBERTIAN,
+                   albedo=(0.5, 0.5, 0.5))
+    v, f = mesh.icosphere(0)  # 20 coarse faces: smooth shading is visible
+    sc.add_mesh(mesh.transformed(v, scale=0.55, translate=(-0.7, 0.1, -2.0)),
+                f, normals=v, mat_type=LAMBERTIAN, albedo=(0.8, 0.3, 0.25))
+    tet = np.array([(0, 0, 0), (1, 0, 0), (0.5, 1.0, 0.3), (0.4, 0.1, 1.0)],
+                   np.float32)
+    tf = np.array([(0, 1, 2), (0, 3, 1), (0, 2, 3), (1, 3, 2)], np.int64)
+    sc.add_mesh(mesh.transformed(tet, scale=0.9, translate=(0.5, -0.4, -2.2)),
+                tf, mat_type=METAL, albedo=(0.8, 0.8, 0.6), fuzz=0.1)
+
+    origin, forward, fov = (0.0, 0.6, 0.9), (0.0, -0.25, -1.0), 55.0
+    gold = oracle.render_look_at(sc, origin, forward, W, H, SPP, DEPTH,
+                                 seed=9, fov_deg=fov)
+    cam = make_camera_params(origin=origin, forward=forward, fov_deg=fov)
+    ours = np.asarray(
+        render_radiance(sc.device(), cam, rngu.base_key(), SPP * 2, DEPTH,
+                        width=W, height=H, camera_model="look_at")
+    ) / (SPP * 2)
+
+    np.testing.assert_allclose(ours.mean((0, 1)), gold.mean((0, 1)), atol=0.04)
+    blk_g = gold.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    blk_o = ours.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    err = np.abs(blk_g - blk_o)
+    assert err.mean() < 0.05, f"mean block error {err.mean()}"
+    assert err.max() < 0.35, f"max block error {err.max()}"
+
+    # the smooth icosphere really shades smoothly in the ORACLE too:
+    # flat-normal variant differs visibly (guards the oracle's own path)
+    sc_flat = Scene(capacity=64)
+    sc_flat.add_xz_rect((0, -0.5, 0), 30.0, 30.0, mat_type=LAMBERTIAN,
+                        albedo=(0.5, 0.5, 0.5))
+    sc_flat.add_mesh(
+        mesh.transformed(v, scale=0.55, translate=(-0.7, 0.1, -2.0)), f,
+        mat_type=LAMBERTIAN, albedo=(0.8, 0.3, 0.25))
+    gold_flat = oracle.render_look_at(sc_flat, origin, forward, W, H, SPP,
+                                      DEPTH, seed=9, fov_deg=fov)
+    assert np.abs(gold - gold_flat).max() > 0.05
+
+
 def test_pallas_framing_at_non_tile_multiple():
     """Regression: the megakernel's camera math must use the TRUE image
     dims, not the tile-padded ones — at 96x24 (pads to 256x32) the old code
