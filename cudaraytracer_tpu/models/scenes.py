@@ -308,6 +308,65 @@ def mesh_smooth_scene(capacity: int = 1024) -> Scene:
     return scene
 
 
+def terrain_scene(capacity: int = 1024, n: int = 23) -> Scene:
+    """Textured heightfield terrain (round 3): a (n-1)^2-quad grid mesh —
+    968 triangles at the default — with smooth area-weighted vertex
+    normals and a height-painted image texture sampled through per-vertex
+    uvs, plus a metal and a glass sphere.  The mesh-family scaling
+    workload at the proven ~1000-primitive table size (rtow_big envelope,
+    BASELINE.md), exercising vattr payload rows + image deferral +
+    triangle clusters together."""
+    from ..utils import mesh
+
+    # deterministic rolling heightfield on a [-4, 4]^2 grid
+    xs = np.linspace(-4.0, 4.0, n, dtype=np.float64)
+    zs = np.linspace(-4.0, 4.0, n, dtype=np.float64)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    H = (0.55 * np.sin(1.1 * X) * np.cos(0.8 * Z)
+         + 0.25 * np.sin(2.3 * X + 1.7) * np.sin(1.9 * Z + 0.4)
+         + 0.12 * np.cos(3.7 * X - 2.1 * Z))
+    V = np.stack([X, H - 0.5, Z], -1).reshape(-1, 3).astype(np.float32)
+    idx = np.arange(n * n).reshape(n, n)
+    a, b = idx[:-1, :-1].ravel(), idx[1:, :-1].ravel()
+    c, d = idx[1:, 1:].ravel(), idx[:-1, 1:].ravel()
+    # CCW seen from +y (outward normal up): (a, d, c) and (a, c, b)
+    F = np.concatenate([np.stack([a, d, c], 1),
+                        np.stack([a, c, b], 1)]).astype(np.int64)
+    U, W2 = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                        indexing="ij")
+    uvs = np.stack([U, W2], -1).reshape(-1, 2).astype(np.float32)
+
+    # height-painted texture: deep green valleys -> rocky gray -> snow,
+    # sampled by the SAME uv grid the mesh carries (v row = x, u col = z)
+    hn = (H - H.min()) / max(float(H.max() - H.min()), 1e-9)
+    t = hn[:, :]  # [n, n] in [0, 1], indexed (x, z) like the uv grid
+    lo = np.array([0.18, 0.42, 0.12])
+    mid = np.array([0.45, 0.40, 0.33])
+    hi = np.array([0.92, 0.94, 0.97])
+    w_lo = np.clip(1.0 - t / 0.72, 0.0, 1.0)
+    w_hi = np.clip((t - 0.78) / 0.22, 0.0, 1.0)
+    w_mid = np.clip(1.0 - w_lo - w_hi, 0.0, 1.0)
+    img = (w_lo[..., None] * lo + w_mid[..., None] * mid
+           + w_hi[..., None] * hi)
+    img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+    scene = Scene(capacity=capacity)
+    slot = scene.load_image_texture(img)
+    scene.add_mesh(V, F, uvs=uvs, normals=mesh.vertex_normals(V, F),
+                   mat_type=LAMBERTIAN, tex_type=IMAGE, tex_id=slot)
+    scene.add_sphere((-1.2, 0.45, -0.6), 0.55, mat_type=METAL,
+                     albedo=(0.85, 0.83, 0.78), fuzz=0.02)
+    scene.add_sphere((1.3, 0.35, 0.9), 0.45, mat_type=DIELECTRIC, ior=1.5)
+    return scene
+
+
+def terrain_camera(**kw):
+    return make_camera_params(
+        origin=(0.0, 2.4, 5.2), forward=(0.0, -0.42, -1.0), fov_deg=55.0,
+        **kw,
+    )
+
+
 def register_obj_scene(path, name: str | None = None, *,
                        mat_type: int = LAMBERTIAN,
                        albedo=(0.75, 0.73, 0.70), fuzz: float = 0.0,
@@ -384,6 +443,7 @@ SCENES = {
     "mirror_room": (mirror_room_scene, mirror_room_camera),
     "mesh_demo": (mesh_demo_scene, mesh_demo_camera),
     "mesh_smooth": (mesh_smooth_scene, mesh_demo_camera),
+    "terrain": (terrain_scene, terrain_camera),
 }
 
 # Each registered camera was authored for one projection model; rendering
@@ -400,6 +460,7 @@ CAMERA_MODELS = {
     "mirror_room": "two_plane",
     "mesh_demo": "look_at",
     "mesh_smooth": "look_at",
+    "terrain": "look_at",
 }
 
 
