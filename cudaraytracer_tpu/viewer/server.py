@@ -64,6 +64,10 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
   <button onclick="setOpt()">apply</button>
   <button onclick="post('/options',{pause:true})">pause/resume</button>
  </div>
+ <div>lens <input id=apert type=number min=0 step=0.02 title="aperture (defocus blur; look_at scenes)">
+  focus <input id=fdist type=number min=0.1 step=0.5 title="focus distance">
+  <button onclick="post('/options',{aperture:+document.getElementById('apert').value,focus_dist:+document.getElementById('fdist').value})">set</button>
+ </div>
  <div>resize <input id=rw type=number value=640>x<input id=rh type=number value=360>
   <button onclick="post('/options',{resize:[+document.getElementById('rw').value,+document.getElementById('rh').value]})">apply</button>
  </div>
@@ -178,6 +182,8 @@ async function state(){try{const r=await fetch('/state?filter='+encodeURICompone
  if(document.activeElement!==ss)ss.value=s.options.scene;
  if(document.activeElement.id!=='depth')document.getElementById('depth').value=s.options.max_depth;
  if(document.activeElement.id!=='spp')document.getElementById('spp').value=s.options.spp;
+ if(document.activeElement.id!=='apert')document.getElementById('apert').value=s.options.aperture;
+ if(document.activeElement.id!=='fdist')document.getElementById('fdist').value=s.options.focus_dist;
  for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
   ['cyaw',s.camera.yaw],['cpitch',s.camera.pitch],['cfov',s.camera.fov]])
   if(document.activeElement.id!==el)document.getElementById(el).value=v;
@@ -293,6 +299,8 @@ class ViewerServer:
                 "accumulated_spp": rl._spp_done,
                 "scene": rl.cfg.scene,
                 "scenes": list(_SCENE_REGISTRY),
+                "aperture": round(float(rl.cfg.aperture), 4),
+                "focus_dist": round(float(rl.cfg.focus_dist), 4),
             },
         }
 
@@ -415,6 +423,16 @@ class ViewerServer:
         if "spp" in data:
             rl.cfg.spp = max(1, int(data["spp"]))
             rl.reset_accumulation()
+        if "aperture" in data or "focus_dist" in data:
+            # thin-lens defocus blur (look_at camera; RTOW 12.2 semantics).
+            # aperture/focus ride the per-frame camera vector — a traced
+            # change, no recompile; bump the camera version so the
+            # accumulator restarts on the new lens
+            if "aperture" in data:
+                rl.cfg.aperture = max(0.0, float(data["aperture"]))
+            if "focus_dist" in data:
+                rl.cfg.focus_dist = max(1e-3, float(data["focus_dist"]))
+            rl.fly.version += 1
         if "background_start" in data:
             rl.scene.background_start = np.asarray(data["background_start"], np.float32)
             rl.scene.version += 1

@@ -109,6 +109,23 @@ def test_options_endpoint(served, tmp_path):
     assert not os.path.exists("/tmp/evil_abs.json")
 
 
+def test_lens_options(served):
+    """Aperture/focus (thin-lens defocus) are runtime options: they update
+    the config, bump the camera version (accumulator restart) and appear
+    in /state for the panel inputs."""
+    app, server, port = served
+    rl = app.render_layer
+    v0 = rl.fly.version
+    post(port, "/options", {"aperture": 0.3, "focus_dist": 4.0})
+    assert rl.cfg.aperture == 0.3 and rl.cfg.focus_dist == 4.0
+    assert rl.fly.version > v0
+    s = json.loads(get(port, "/state"))
+    assert s["options"]["aperture"] == 0.3
+    assert s["options"]["focus_dist"] == 4.0
+    post(port, "/options", {"aperture": -1.0})  # clamped to pinhole
+    assert rl.cfg.aperture == 0.0
+
+
 def test_accumulation_reset_on_edit(served):
     app, server, port = served
     rl = app.render_layer
