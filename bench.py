@@ -35,16 +35,19 @@ def await_backend(budget_s: float | None = None, probe_timeout_s: float = 90.0):
     wedge clears, and exit(1) with a diagnostic if the budget runs out.
     Returns silently as soon as a probe sees a device.
 
-    Budget from CRT_BENCH_PROBE_BUDGET_S (default 480 s ~ the observed
-    wedge-recovery ceiling).  Probes inherit the environment (the axon
-    plugin arrives via PYTHONPATH)."""
+    Budget from CRT_BENCH_PROBE_BUDGET_S (default 900 s: a killed probe is
+    itself a killed TPU client, and the documented wedge protocol is to
+    leave the device COMPLETELY idle afterwards — so idle gaps between
+    probes back off 60 s -> 180 s -> 420 s instead of hammering).  Probes
+    inherit the environment (the axon plugin arrives via PYTHONPATH)."""
     import os
     import subprocess
 
     if budget_s is None:
-        budget_s = float(os.environ.get("CRT_BENCH_PROBE_BUDGET_S", "480"))
+        budget_s = float(os.environ.get("CRT_BENCH_PROBE_BUDGET_S", "900"))
     deadline = time.monotonic() + budget_s
     attempt = 0
+    idle = 60.0
     while True:
         attempt += 1
         left = deadline - time.monotonic()
@@ -58,6 +61,7 @@ def await_backend(budget_s: float | None = None, probe_timeout_s: float = 90.0):
             )
             raise SystemExit(1)
         t0 = time.monotonic()
+        timed_out = False
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -69,7 +73,7 @@ def await_backend(budget_s: float | None = None, probe_timeout_s: float = 90.0):
             if r.returncode == 0 and r.stdout.strip():
                 return r.stdout.strip()
         except subprocess.TimeoutExpired:
-            pass
+            timed_out = True
         print(
             f"bench: backend probe {attempt} failed "
             f"({time.monotonic() - t0:.0f}s); retrying "
@@ -77,8 +81,11 @@ def await_backend(budget_s: float | None = None, probe_timeout_s: float = 90.0):
             file=sys.stderr,
         )
         # leave the device alone between probes: stacked retries queue
-        # behind the wedge and prolong it (BASELINE.md)
-        time.sleep(min(60.0, max(deadline - time.monotonic(), 0.0)))
+        # behind a wedge and prolong it (BASELINE.md), and a TIMED-OUT
+        # probe was itself a killed client — back off harder after those
+        time.sleep(min(idle, max(deadline - time.monotonic(), 0.0)))
+        if timed_out:
+            idle = min(idle * 3.0, 420.0)
 
 
 def bench_multichip(args):
@@ -310,6 +317,10 @@ def main():
     args = p.parse_args()
 
     if args.multichip:
+        if args.multichip_real:
+            # the real-device path initializes the tunneled backend; the
+            # hermetic virtual-CPU mesh never touches it
+            await_backend()
         return bench_multichip(args)
 
     if not args.cpu:

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 from typing import Optional
 
 import jax
@@ -352,12 +351,17 @@ class Scene:
         them; uvs are intrinsic and unchanged).  Same rotation convention
         as utils.mesh.transformed.  Host-side SoA writes; like every edit,
         the next frame repacks tables without recompiling."""
+        if not scale > 0.0:
+            # scale 0 collapses edges to NaN-normal degenerates; negative
+            # scale mirrors the winding while vertex normals keep pointing
+            # the old way — both rejected
+            raise ValueError(f"transform_mesh scale must be > 0, got {scale}")
         idx = self.mesh_indices(mid)
         if idx.size == 0:
             raise ValueError(f"mesh {mid} has no active triangles")
-        c = math.cos(rotate_y)
-        s = math.sin(rotate_y)
-        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        from ..utils.mesh import rot_y
+
+        R = rot_y(rotate_y)
         # centroid over all vertices (v0, v1 = v0+e1, v2 = v0+e2)
         v0 = self.center[idx]
         v1 = v0 + self.edge1[idx]

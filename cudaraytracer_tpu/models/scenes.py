@@ -336,10 +336,26 @@ def terrain_scene(capacity: int = 1024, n: int = 23) -> Scene:
                         indexing="ij")
     uvs = np.stack([U, W2], -1).reshape(-1, 2).astype(np.float32)
 
-    # height-painted texture: deep green valleys -> rocky gray -> snow,
-    # sampled by the SAME uv grid the mesh carries (v row = x, u col = z)
+    # height-painted texture: deep green valleys -> rocky gray -> snow.
+    # The mesh uvs are (u = x fraction, v = z fraction) and the sampler
+    # (ops/textures.py, Texture.cuh:81-105 semantics) reads
+    # img[(1 - v) * h, u * w], so color(hn)[ix, iz] must land at
+    # img[n-1-iz, ix]: paint color(hn).T[::-1].
     hn = (H - H.min()) / max(float(H.max() - H.min()), 1e-9)
-    t = hn[:, :]  # [n, n] in [0, 1], indexed (x, z) like the uv grid
+    # paint at 8x the grid resolution (bilinear-upsampled heights) so the
+    # nearest-neighbor sampler shows smooth bands, not 23x23 blocks
+    up = 8
+    m = n * up
+    # texel c holds grid coordinate that the SAMPLER maps to it: the
+    # sampler takes u = ix/(n-1) to col floor(u*m), so invert col -> grid
+    # coord with c/m*(n-1) (+half-texel centering)
+    g = np.clip((np.arange(m) + 0.5) / m * (n - 1), 0, n - 1)
+    i0 = np.floor(g).astype(int)
+    i1 = np.minimum(i0 + 1, n - 1)
+    f = g - i0
+    rows = (hn[i0][:, i0] * (1 - f)[None, :] + hn[i0][:, i1] * f[None, :])
+    rows1 = (hn[i1][:, i0] * (1 - f)[None, :] + hn[i1][:, i1] * f[None, :])
+    t = rows * (1 - f)[:, None] + rows1 * f[:, None]  # [m, m], indexed (x, z)
     lo = np.array([0.18, 0.42, 0.12])
     mid = np.array([0.45, 0.40, 0.33])
     hi = np.array([0.92, 0.94, 0.97])
@@ -349,6 +365,7 @@ def terrain_scene(capacity: int = 1024, n: int = 23) -> Scene:
     img = (w_lo[..., None] * lo + w_mid[..., None] * mid
            + w_hi[..., None] * hi)
     img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    img = np.ascontiguousarray(img.transpose(1, 0, 2)[::-1])
 
     scene = Scene(capacity=capacity)
     slot = scene.load_image_texture(img)

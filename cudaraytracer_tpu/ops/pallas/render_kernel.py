@@ -966,7 +966,6 @@ def _render_kernel(
     # payload rows in P (the winner's barycentrics ride the SEARCH carry
     # in vattr scenes — hierarchical_search carry_uv — not the payload)
     p_rows = p_rows_for(has_images, has_vattrs)
-    pay_n = p_rows
 
     def bounce_body(state):
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -1146,7 +1145,7 @@ def _render_kernel(
 
             return lax.cond(in_super, run, lambda p: p, pay)
 
-        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * pay_n)
+        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * p_rows)
 
         # -------- unpack the packed payload rows (once per wave) --------
         packc = pay[P_PACKC]

@@ -18,13 +18,19 @@ import math
 import numpy as np
 
 
+def rot_y(angle: float) -> np.ndarray:
+    """Y-axis (yaw) rotation matrix, radians — THE mesh rotation
+    convention (shared by ``transformed`` and ``Scene.transform_mesh``)."""
+    c, s = math.cos(angle), math.sin(angle)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
 def transformed(vertices: np.ndarray, scale=1.0, translate=(0.0, 0.0, 0.0),
                 rotate_y: float = 0.0) -> np.ndarray:
     """Uniform scale + Y-axis rotation (radians) + translation."""
     v = np.asarray(vertices, np.float32) * np.float32(scale)
     if rotate_y:
-        c, s = math.cos(rotate_y), math.sin(rotate_y)
-        v = v @ np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32).T
+        v = v @ rot_y(rotate_y).T
     return v + np.asarray(translate, np.float32)
 
 

@@ -426,13 +426,17 @@ class ViewerServer:
         if "aperture" in data or "focus_dist" in data:
             # thin-lens defocus blur (look_at camera; RTOW 12.2 semantics).
             # aperture/focus ride the per-frame camera vector — a traced
-            # change, no recompile; bump the camera version so the
-            # accumulator restarts on the new lens
-            if "aperture" in data:
-                rl.cfg.aperture = max(0.0, float(data["aperture"]))
-            if "focus_dist" in data:
-                rl.cfg.focus_dist = max(1e-3, float(data["focus_dist"]))
-            rl.fly.version += 1
+            # change, no recompile; bump the camera version (accumulator
+            # restart) only when a value actually changes.  A non-positive
+            # focus (e.g. an empty panel input posting 0) is ignored, not
+            # clamped to a degenerate lens.
+            ap = max(0.0, float(data.get("aperture", rl.cfg.aperture)))
+            fd = float(data.get("focus_dist", rl.cfg.focus_dist))
+            if fd <= 0.0:
+                fd = rl.cfg.focus_dist
+            if (ap, fd) != (rl.cfg.aperture, rl.cfg.focus_dist):
+                rl.cfg.aperture, rl.cfg.focus_dist = ap, fd
+                rl.fly.version += 1
         if "background_start" in data:
             rl.scene.background_start = np.asarray(data["background_start"], np.float32)
             rl.scene.version += 1

@@ -154,6 +154,39 @@ def test_cli_render_obj_subprocess(tmp_path):
     assert img.sum() > 0
 
 
+def test_terrain_texture_height_alignment():
+    """The terrain texture is height-painted: the texel each vertex's uv
+    actually SAMPLES (ops/textures.py mapping: col = u*w, row = (1-v)*h)
+    must match the palette color of that vertex's height.  Guards the
+    image orientation (a transposed/flipped paint passed rendering tests
+    while coloring random geometry)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from cudaraytracer_tpu.models import scenes as scn
+
+    sc = scn.terrain_scene()
+    idx = sc.active_indices()
+    tid = int(sc.tex_id[idx[0]])
+    h, w = sc.tex_hw[tid]
+    img = sc.atlas[tid, :h, :w].astype(float) / 255.0
+    tri = idx[sc.prim_type[idx] == 4]
+    uv = sc.uv0[tri]
+    t = sc.center[tri][:, 1]
+    t = (t - t.min()) / (t.max() - t.min())
+    lo = np.array([0.18, 0.42, 0.12])
+    mid = np.array([0.45, 0.40, 0.33])
+    hi = np.array([0.92, 0.94, 0.97])
+    w_lo = np.clip(1.0 - t / 0.72, 0, 1)
+    w_hi = np.clip((t - 0.78) / 0.22, 0, 1)
+    w_mid = np.clip(1.0 - w_lo - w_hi, 0, 1)
+    want = w_lo[:, None] * lo + w_mid[:, None] * mid + w_hi[:, None] * hi
+    i = np.minimum((np.clip(uv[:, 0], 0, 1) * w).astype(int), w - 1)
+    j = np.minimum(((1.0 - np.clip(uv[:, 1], 0, 1)) * h).astype(int), h - 1)
+    err = np.abs(img[j, i] - want)
+    assert err.max() < 0.08, err.max()
+
+
 def test_every_registered_scene_renders():
     """Registry smoke test: every SCENES entry constructs and renders a
     tiny brute-force frame with finite, non-black output (guards new

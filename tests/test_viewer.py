@@ -122,6 +122,13 @@ def test_lens_options(served):
     s = json.loads(get(port, "/state"))
     assert s["options"]["aperture"] == 0.3
     assert s["options"]["focus_dist"] == 4.0
+    # re-posting identical values is a no-op (no accumulator restart)
+    v1 = rl.fly.version
+    post(port, "/options", {"aperture": 0.3, "focus_dist": 4.0})
+    assert rl.fly.version == v1
+    # a non-positive focus (empty panel input posts 0) is ignored
+    post(port, "/options", {"focus_dist": 0})
+    assert rl.cfg.focus_dist == 4.0
     post(port, "/options", {"aperture": -1.0})  # clamped to pinhole
     assert rl.cfg.aperture == 0.0
 

@@ -17,7 +17,9 @@ OUT="${1:-/tmp/tpu_measurements.out}"
 
 run() {
   echo "=== $* ===" | tee -a "$OUT"
-  timeout 900 python "$@" 2>>"$OUT" | tee -a "$OUT"
+  # per-command bound > probe budget so a dead tunnel exits via the
+  # bench's own fail-fast (exit 1), never via SIGTERM mid-TPU-execution
+  CRT_BENCH_PROBE_BUDGET_S=600 timeout 1800 python "$@" 2>>"$OUT" | tee -a "$OUT"
   echo >> "$OUT"
 }
 
