@@ -8,8 +8,10 @@ NumPy RNG — intentionally nothing shared with the production code paths.
 
 Beyond-reference coverage mirrored here so the golden model spans the
 framework's own additions: scalar Möller–Trumbore triangles with two-sided
-face normals and smooth per-vertex-normal shading, and the RTOW look_at
-thin-lens camera (row 0 = top).  Image textures remain unmodeled.
+face normals and smooth per-vertex-normal shading, the RTOW look_at
+thin-lens camera (row 0 = top), and nearest-texel image textures with
+per-primitive (u, v) (sphere GetSphereUV / rect in-plane fractions /
+triangle barycentrics, optionally through per-vertex uv rows).
 """
 
 from __future__ import annotations
@@ -98,14 +100,52 @@ def _rand_in_sphere(rng):
             return p
 
 
-def _texture(scene, i, p):
+def _hit_uv(scene, i, p, buv):
+    """(u, v) of the hit — sphere GetSphereUV (Hittable.cuh:117-125), rect
+    in-plane fractions (Hittable.cuh:139-277), triangle barycentrics
+    (optionally interpolated through per-vertex uv rows)."""
+    pt = int(scene.prim_type[i])
+    if pt == 0:
+        n = (p - scene.center[i]) / scene.size[i][0]
+        theta = np.arccos(np.clip(-n[1], -1.0, 1.0))
+        phi = np.arctan2(-n[2], n[0]) + np.pi
+        return phi / (2 * np.pi), theta / np.pi
+    if pt == 4:
+        u, v = buv
+        uv0, uv1, uv2 = scene.uv0[i], scene.uv1[i], scene.uv2[i]
+        out = uv0 + u * (uv1 - uv0) + v * (uv2 - uv0)
+        return float(out[0]), float(out[1])
+    k_ax = {1: 2, 2: 1, 3: 0}[pt]
+    a_ax = {1: 0, 2: 0, 3: 1}[pt]
+    b_ax = {1: 1, 2: 2, 3: 2}[pt]
+    ext_a = scene.size[i][0] if pt in (1, 2) else scene.size[i][1]
+    ext_b = scene.size[i][1] if pt in (1, 2) else scene.size[i][0]
+    u = (p[a_ax] - (scene.center[i][a_ax] - 0.5 * ext_a)) / max(ext_a, 1e-12)
+    v = (p[b_ax] - (scene.center[i][b_ax] - 0.5 * ext_b)) / max(ext_b, 1e-12)
+    return u, v
+
+
+def _texture(scene, i, p, buv=(0.0, 0.0)):
     tt = int(scene.tex_type[i])
     if tt == 0:
         return scene.albedo[i].astype(np.float64)
     if tt == 1:
         sines = np.sin(10 * p[0]) * np.sin(10 * p[1]) * np.sin(10 * p[2])
         return (scene.albedo[i] if sines < 0 else scene.albedo2[i]).astype(np.float64)
-    raise NotImplementedError("oracle: image textures not modeled")
+    # image: clamp u, flip v, nearest texel (Texture.cuh:81-105 /
+    # ops/textures.py) — missing/empty slots return the reference's cyan
+    tid = int(scene.tex_id[i])
+    if tid < 0 or tid >= scene.atlas.shape[0]:
+        return np.array([0.0, 1.0, 1.0])
+    h, w = int(scene.tex_hw[tid][0]), int(scene.tex_hw[tid][1])
+    if h <= 0 or w <= 0:
+        return np.array([0.0, 1.0, 1.0])
+    u, v = _hit_uv(scene, i, p, buv)
+    uu = min(max(u, 0.0), 1.0)
+    vv = 1.0 - min(max(v, 0.0), 1.0)
+    col = min(int(uu * w), w - 1)
+    row = min(int(vv * h), h - 1)
+    return scene.atlas[tid, row, col].astype(np.float64) / 255.0
 
 
 def _reflect(v, n):
@@ -152,16 +192,16 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
             outward[k_ax] = 1.0
             normal = outward if d @ outward < 0 else -outward
         if mat == 3:  # diffuse light
-            return throughput * scene.light[i] * _texture(scene, i, p)
+            return throughput * scene.light[i] * _texture(scene, i, p, buv)
         if mat == 0:  # lambertian
             nd = normal + _rand_in_sphere(rng)
-            throughput = throughput * _texture(scene, i, p)
+            throughput = throughput * _texture(scene, i, p, buv)
         elif mat == 1:  # metal
             refl = _reflect(d / np.linalg.norm(d), normal)
             nd = refl + scene.fuzz[i] * _rand_in_sphere(rng)
             if nd @ normal <= 0:
                 return np.zeros(3)
-            throughput = throughput * _texture(scene, i, p)
+            throughput = throughput * _texture(scene, i, p, buv)
         else:  # dielectric (Material.cuh:104-136)
             ir = float(scene.ior[i])
             ddn = d @ normal

@@ -114,6 +114,54 @@ def test_mesh_scene_matches_oracle():
     assert np.abs(gold - gold_flat).max() > 0.05
 
 
+def test_image_texture_matches_oracle_exact_interior():
+    """Image textures against the ORACLE (independent of the XLA path the
+    other image tests compare to): an emissive quadrant-textured rect on a
+    black background terminates every path at the first hit, so interior
+    pixels (where every jittered sample lands on one texel) must match the
+    scalar golden model exactly."""
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import DIFFUSE_LIGHT, IMAGE, Scene
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:32, :32] = (255, 40, 40)
+    img[:32, 32:] = (40, 255, 40)
+    img[32:, :32] = (40, 40, 255)
+    img[32:, 32:] = (250, 250, 60)
+
+    sc = Scene(capacity=8, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    slot = sc.load_image_texture(img)
+    sc.add_xy_rect((0, 0, -2), 2.0, 2.0, mat_type=DIFFUSE_LIGHT, light=2.0,
+                   tex_type=IMAGE, tex_id=slot)
+
+    W, H, DEPTH = 32, 24, 2
+    origin, forward = (0.0, 0.0, 0.0), (0.0, 0.0, -1.0)
+    gold = oracle.render_look_at(sc, origin, forward, W, H, 1, DEPTH,
+                                 seed=3, fov_deg=60.0)
+    cam = make_camera_params(origin=origin, forward=forward, fov_deg=60.0)
+    ours = np.asarray(
+        render_radiance(sc.device(), cam, rngu.base_key(5), 1, DEPTH,
+                        width=W, height=H, camera_model="look_at"))
+
+    # interior mask: 3x3-constant neighborhoods in BOTH renders
+    def const_mask(a):
+        m = np.ones((H, W), bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                sh = np.roll(np.roll(a, dy, 0), dx, 1)
+                m &= (np.abs(sh - a) < 1e-6).all(-1)
+        m[[0, -1], :] = False
+        m[:, [0, -1]] = False
+        return m
+
+    interior = const_mask(gold) & const_mask(ours)
+    assert interior.sum() > H * W * 0.3
+    assert np.abs(gold[interior] - ours[interior]).max() < 1e-5
+    # all four quadrant colors appear in the interior
+    assert len({tuple(np.round(c, 3)) for c in ours[interior]}) >= 4
+
+
 def test_pallas_framing_at_non_tile_multiple():
     """Regression: the megakernel's camera math must use the TRUE image
     dims, not the tile-padded ones — at 96x24 (pads to 256x32) the old code
