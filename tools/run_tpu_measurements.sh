@@ -36,5 +36,7 @@ run bench.py --scene terrain
 run bench.py --scene rtow_big
 # 6. sharded megakernel compiled on the real chip (1x1 mesh)
 run bench.py --multichip 1 --multichip-real
+# 7. SMEM primitive-ceiling bisection (sizes the round-4 scaling design)
+run tools/smem_probe.py
 
 echo "results in $OUT"
