@@ -319,6 +319,21 @@ class ViewerServer:
         rl = self.app.render_layer
         scene = rl.scene
         op = data.get("op")
+        if op in ("add", "add_mesh", "update"):
+            # reject non-finite numerics up front: one NaN center/radius
+            # poisons the packed tables for every later frame (the browser
+            # number inputs can submit NaN via 'e'/empty strings)
+            def _chk(v):
+                if isinstance(v, (int, float)) and not math.isfinite(v):
+                    raise ValueError(f"non-finite value in edit: {data!r}")
+                if isinstance(v, (list, tuple)):
+                    for x in v:
+                        _chk(x)
+
+            for key in ("center", "radius", "width", "height", "value",
+                        "scale", "fuzz", "ior", "light"):
+                if key in data:
+                    _chk(data[key])
         if op == "add":
             prim = _PRIM_IDS.get(data.get("prim", "sphere"), 0)
             mat = _MAT_IDS.get(data.get("mat", "lambertian"), 0)

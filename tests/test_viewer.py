@@ -133,6 +133,58 @@ def test_lens_options(served):
     assert rl.cfg.aperture == 0.0
 
 
+def test_bad_requests_keep_viewer_alive(served):
+    """Malformed edits/uploads return 500 without mutating the scene or
+    killing the server (the reference's checkCudaErrors would abort; the
+    web viewer must survive bad input)."""
+    import urllib.error
+    import urllib.request
+
+    app, server, port = served
+    scene = app.render_layer.scene
+    n0, ver0 = scene.num_active, scene.version
+
+    def post_raw(path, body: bytes):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            return r.read()
+
+    # garbage OBJ upload: rejected, nothing added
+    with pytest.raises(urllib.error.HTTPError):
+        post_raw("/mesh?mat=metal", b"this is not an obj file\n")
+    # unknown mesh group / out-of-range prim id / bad field
+    for body in (
+        {"op": "update", "id": "m999", "field": "mat", "value": "metal"},
+        {"op": "update", "id": "m999", "field": "scale", "value": 2.0},
+        {"op": "delete", "id": 10 ** 6},
+    ):
+        try:
+            post(port, "/edit", body)
+        except urllib.error.HTTPError:
+            pass  # 500 is acceptable; silent success must not mutate
+    # non-finite numerics are rejected BEFORE touching the scene (a NaN
+    # center/radius would poison the packed tables for every later frame)
+    r0 = float(scene.size[0][0])
+    for body in (
+        {"op": "update", "id": 0, "field": "radius", "value": float("nan")},
+        {"op": "update", "id": 0, "field": "center",
+         "value": [0.0, float("inf"), 0.0]},
+    ):
+        with pytest.raises(urllib.error.HTTPError):
+            post(port, "/edit", body)
+    assert float(scene.size[0][0]) == r0
+    assert np.isfinite(scene.center[scene.active]).all()
+    # unknown scene name
+    with pytest.raises(urllib.error.HTTPError):
+        post(port, "/options", {"scene": "no_such_scene"})
+
+    assert scene.num_active == n0
+    # server still fully alive and consistent
+    s = json.loads(get(port, "/state"))
+    assert len(s["scene"]) >= 1
+
+
 def test_accumulation_reset_on_edit(served):
     app, server, port = served
     rl = app.render_layer
