@@ -492,8 +492,12 @@ class Scene:
         )
 
     # ------------------------------------------------------------- persistence
-    def save(self, path: str):
-        """Serialize to JSON (+ sidecar .npz for the atlas when used)."""
+    def to_doc(self, embed_atlas: bool = False) -> dict:
+        """The scene as a JSON-able document (docs/SCENE_FORMAT.md).
+        ``embed_atlas=True`` inlines the used image-texture atlas as a
+        base64 compressed npz (``atlas_b64``) so ONE document is fully
+        portable — the viewer's download/import buttons use this; the
+        file-based save/load keeps the sidecar .npz instead."""
         doc = {
             "capacity": self.capacity,
             "background_start": self.background_start.tolist(),
@@ -527,15 +531,53 @@ class Scene:
                 if self.mesh_id[i] >= 0:
                     p["mesh_id"] = int(self.mesh_id[i])
             doc["primitives"].append(p)
+        if embed_atlas and any(self._atlas_used):
+            import base64
+            import io as _io
+
+            buf = _io.BytesIO()
+            np.savez_compressed(buf, atlas=self.atlas, tex_hw=self.tex_hw)
+            doc["atlas_b64"] = base64.b64encode(buf.getvalue()).decode()
+        return doc
+
+    def save(self, path: str):
+        """Serialize to JSON (+ sidecar .npz for the atlas when used)."""
         with open(path, "w") as f:
-            json.dump(doc, f, indent=1)
+            json.dump(self.to_doc(), f, indent=1)
         if any(self._atlas_used):
             np.savez_compressed(path + ".atlas.npz", atlas=self.atlas, tex_hw=self.tex_hw)
+
+    @classmethod
+    def from_doc(cls, doc: dict, **kwargs) -> "Scene":
+        """Build a scene from a to_doc()/SCENE_FORMAT document (restores
+        an embedded ``atlas_b64`` when present)."""
+        scene = cls._from_doc_body(doc, **kwargs)
+        if "atlas_b64" in doc:
+            import base64
+            import io as _io
+
+            side = np.load(_io.BytesIO(base64.b64decode(doc["atlas_b64"])))
+            scene.atlas = side["atlas"]
+            scene.tex_hw = side["tex_hw"]
+            scene._atlas_used = [bool(h) for h, _ in scene.tex_hw]
+        return scene
 
     @classmethod
     def load(cls, path: str, **kwargs) -> "Scene":
         with open(path) as f:
             doc = json.load(f)
+        scene = cls._from_doc_body(doc, **kwargs)
+        try:
+            side = np.load(path + ".atlas.npz")
+            scene.atlas = side["atlas"]
+            scene.tex_hw = side["tex_hw"]
+            scene._atlas_used = [bool(h) for h, _ in scene.tex_hw]
+        except FileNotFoundError:
+            pass
+        return scene
+
+    @classmethod
+    def _from_doc_body(cls, doc: dict, **kwargs) -> "Scene":
         scene = cls(
             capacity=doc.get("capacity", 512),
             background_start=doc["background_start"],
@@ -569,13 +611,6 @@ class Scene:
                     scene.mesh_id[i] = int(p["mesh_id"])
                     scene._next_mesh_id = max(scene._next_mesh_id,
                                               int(p["mesh_id"]) + 1)
-        try:
-            side = np.load(path + ".atlas.npz")
-            scene.atlas = side["atlas"]
-            scene.tex_hw = side["tex_hw"]
-            scene._atlas_used = [bool(h) for h, _ in scene.tex_hw]
-        except FileNotFoundError:
-            pass
         return scene
 
 

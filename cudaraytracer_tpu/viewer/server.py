@@ -80,6 +80,11 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
   <button onclick="post('/options',{save:fname.value})">save scene</button>
   <button onclick="post('/options',{load:fname.value})">load scene</button>
  </div>
+ <div>
+  <a href="/scene.json" download="scene.json"><button>download scene</button></a>
+  <button onclick="importScene()">import scene</button>
+  <input type=file id=scenefile style="display:none" accept=".json,application/json">
+ </div>
  <div>ckpt <input id=ckname value="checkpoint" style="width:110px">
   <button onclick="post('/options',{checkpoint:ckname.value})">checkpoint</button>
   <button onclick="post('/options',{resume:ckname.value})">resume</button>
@@ -200,6 +205,10 @@ function addPrim(){const t=document.getElementById('addtype').value,m=document.g
  else post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
 function uploadObj(){const f=document.getElementById('objfile');
  f.onchange=async()=>{if(f.files[0]){await fetch('/mesh?mat='+document.getElementById('addmat').value,{method:'POST',body:f.files[0]})}};
+ f.click()}
+function importScene(){const f=document.getElementById('scenefile');
+ f.onchange=async()=>{if(f.files[0]){const t=await f.files[0].text();
+  await fetch('/scene.json',{method:'POST',body:t})}};
  f.click()}
 function uploadTex(id){const f=document.getElementById('texfile');
  f.onchange=async()=>{if(f.files[0]){await fetch('/texture?id='+id,{method:'POST',body:f.files[0]})}};
@@ -605,6 +614,13 @@ class ViewerServer:
                         flt = q.get("filter", [""])[0]
                         self._send(200, json.dumps(
                             viewer.state_json(flt)).encode(), "application/json")
+                    elif self.path.startswith("/scene.json"):
+                        # portable scene download: ONE document with the
+                        # atlas embedded (docs/SCENE_FORMAT.md atlas_b64)
+                        doc = viewer.app.render_layer.scene.to_doc(
+                            embed_atlas=True)
+                        body = json.dumps(doc).encode()
+                        self._send(200, body, "application/json")
                     elif self.path.startswith("/console.txt"):
                         # full filtered buffer for the Copy button
                         # (Console.h:51 LogToClipboard)
@@ -644,7 +660,15 @@ class ViewerServer:
                         viewer.handle_texture_upload(q["id"][0], data_raw)
                         self._send(200, b"{}", "application/json")
                         return
-                    if self.path == "/input":
+                    if self.path == "/scene.json":
+                        # portable scene import (inverse of GET /scene.json)
+                        rl = viewer.app.render_layer
+                        rl.scene = scene_mod.Scene.from_doc(data)
+                        rl._scene_version = -1
+                        rtlog.rt_info(
+                            "Scene imported from browser (%d primitives)",
+                            rl.scene.num_active)
+                    elif self.path == "/input":
                         viewer.handle_input(data)
                     elif self.path == "/edit":
                         viewer.handle_edit(data)

@@ -133,6 +133,36 @@ def test_lens_options(served):
     assert rl.cfg.aperture == 0.0
 
 
+def test_scene_json_download_import_roundtrip(served):
+    """Portable scenes: GET /scene.json returns ONE document (atlas
+    embedded base64), POST /scene.json restores it — browser-side
+    persistence with no server data-dir involved."""
+    app, server, port = served
+    rl = app.render_layer
+    scene = rl.scene
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4] = (255, 0, 0)
+    slot = scene.load_image_texture(tex)
+    i = scene.add_sphere((0, 1, -2), 0.4, tex_type=2, tex_id=slot)
+    n0 = scene.num_active
+    atlas0 = scene.atlas.copy()
+
+    doc = json.loads(get(port, "/scene.json"))
+    assert "atlas_b64" in doc
+    assert len(doc["primitives"]) == n0
+
+    scene.delete(i)
+    assert rl.scene.num_active == n0 - 1
+    post(port, "/scene.json", doc)
+    s2 = app.render_layer.scene  # import swaps the scene object
+    assert s2.num_active == n0
+    np.testing.assert_array_equal(s2.atlas, atlas0)
+    assert (s2.tex_type[s2.active_indices()] == 2).sum() >= 1
+    # the restored scene renders (device tables rebuild cleanly)
+    s = json.loads(get(port, "/state"))
+    assert len(s["scene"]) >= 1
+
+
 def test_bad_requests_keep_viewer_alive(served):
     """Malformed edits/uploads return 500 without mutating the scene or
     killing the server (the reference's checkCudaErrors would abort; the
