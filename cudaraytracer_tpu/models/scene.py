@@ -547,6 +547,14 @@ class Scene:
         if any(self._atlas_used):
             np.savez_compressed(path + ".atlas.npz", atlas=self.atlas, tex_hw=self.tex_hw)
 
+    def _restore_atlas(self, npz_file):
+        """Adopt a saved atlas npz (file path or file-like): atlas texels,
+        per-slot dims, and the used-slot mask derived from them."""
+        side = np.load(npz_file)
+        self.atlas = side["atlas"]
+        self.tex_hw = side["tex_hw"]
+        self._atlas_used = [bool(h) for h, _ in self.tex_hw]
+
     @classmethod
     def from_doc(cls, doc: dict, **kwargs) -> "Scene":
         """Build a scene from a to_doc()/SCENE_FORMAT document (restores
@@ -556,10 +564,8 @@ class Scene:
             import base64
             import io as _io
 
-            side = np.load(_io.BytesIO(base64.b64decode(doc["atlas_b64"])))
-            scene.atlas = side["atlas"]
-            scene.tex_hw = side["tex_hw"]
-            scene._atlas_used = [bool(h) for h, _ in scene.tex_hw]
+            scene._restore_atlas(
+                _io.BytesIO(base64.b64decode(doc["atlas_b64"])))
         return scene
 
     @classmethod
@@ -568,10 +574,7 @@ class Scene:
             doc = json.load(f)
         scene = cls._from_doc_body(doc, **kwargs)
         try:
-            side = np.load(path + ".atlas.npz")
-            scene.atlas = side["atlas"]
-            scene.tex_hw = side["tex_hw"]
-            scene._atlas_used = [bool(h) for h, _ in scene.tex_hw]
+            scene._restore_atlas(path + ".atlas.npz")
         except FileNotFoundError:
             pass
         return scene

@@ -203,14 +203,14 @@ function setBg(){post('/options',{background_start:hex2rgb(document.getElementBy
 function addPrim(){const t=document.getElementById('addtype').value,m=document.getElementById('addmat').value;
  if(['icosphere','torus','box'].includes(t))post('/edit',{op:'add_mesh',shape:t,mat:m,center:[0,1,0],scale:0.7});
  else post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
-function uploadObj(){const f=document.getElementById('objfile');
+function uploadObj(){const f=document.getElementById('objfile');f.value='';
  f.onchange=async()=>{if(f.files[0]){await fetch('/mesh?mat='+document.getElementById('addmat').value,{method:'POST',body:f.files[0]})}};
  f.click()}
-function importScene(){const f=document.getElementById('scenefile');
+function importScene(){const f=document.getElementById('scenefile');f.value='';
  f.onchange=async()=>{if(f.files[0]){const t=await f.files[0].text();
   await fetch('/scene.json',{method:'POST',body:t})}};
  f.click()}
-function uploadTex(id){const f=document.getElementById('texfile');
+function uploadTex(id){const f=document.getElementById('texfile');f.value='';
  f.onchange=async()=>{if(f.files[0]){await fetch('/texture?id='+id,{method:'POST',body:f.files[0]})}};
  f.click()}
 </script></body></html>"""
@@ -440,6 +440,23 @@ class ViewerServer:
 
     def handle_options(self, data: dict):
         rl = self.app.render_layer
+        # non-finite numerics poison the camera vector or scene tables
+        # for every later frame (same guard as /edit): reject up front.
+        # The browser's number inputs post NaN for 'e'/empty strings.
+        def _chk(v):
+            if isinstance(v, (int, float)) and not math.isfinite(v):
+                raise ValueError(f"non-finite value in options: {data!r}")
+            if isinstance(v, (list, tuple)):
+                for x in v:
+                    _chk(x)
+            if isinstance(v, dict):
+                for x in v.values():
+                    _chk(x)
+
+        for key in ("aperture", "focus_dist", "camera", "background_start",
+                    "background_end", "resize", "max_depth", "spp"):
+            if key in data:
+                _chk(data[key])
         if "max_depth" in data:
             # UI caps depth at 50 like the reference (CudaLayer.cpp:681)
             rl.cfg.max_depth = max(0, min(50, int(data["max_depth"])))
@@ -661,7 +678,16 @@ class ViewerServer:
                         self._send(200, b"{}", "application/json")
                         return
                     if self.path == "/scene.json":
-                        # portable scene import (inverse of GET /scene.json)
+                        # portable scene import (inverse of GET /scene.json).
+                        # Bound the document before allocating: a malformed
+                        # capacity would OOM the render server on this
+                        # HTTP thread (SoA arrays are capacity-sized)
+                        cap = int(data.get("capacity", 0))
+                        nprim = len(data.get("primitives", []))
+                        if not (0 < cap <= 65536 and nprim <= 65536):
+                            raise ValueError(
+                                f"scene document out of bounds: "
+                                f"capacity={cap} primitives={nprim}")
                         rl = viewer.app.render_layer
                         rl.scene = scene_mod.Scene.from_doc(data)
                         rl._scene_version = -1

@@ -205,6 +205,24 @@ def test_bad_requests_keep_viewer_alive(served):
             post(port, "/edit", body)
     assert float(scene.size[0][0]) == r0
     assert np.isfinite(scene.center[scene.active]).all()
+    # /options numerics are guarded too (NaN focus/camera/bg would poison
+    # the camera vector or scene tables)
+    fd0 = app.render_layer.cfg.focus_dist
+    for body in (
+        {"focus_dist": float("nan")},
+        {"camera": {"yaw": float("nan")}},
+        {"background_start": [0.1, float("inf"), 0.1]},
+    ):
+        with pytest.raises(urllib.error.HTTPError):
+            post(port, "/options", body)
+    assert app.render_layer.cfg.focus_dist == fd0
+    assert np.isfinite(scene.background_start).all()
+    # /scene.json import bounds capacity before allocating (a malformed
+    # document must not OOM the render server)
+    with pytest.raises(urllib.error.HTTPError):
+        post(port, "/scene.json",
+             {"capacity": 10 ** 9, "background_start": [0, 0, 0],
+              "background_end": [0, 0, 0], "primitives": []})
     # unknown scene name
     with pytest.raises(urllib.error.HTTPError):
         post(port, "/options", {"scene": "no_such_scene"})

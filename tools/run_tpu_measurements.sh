@@ -36,7 +36,10 @@ run bench.py --scene terrain
 run bench.py --scene rtow_big
 # 6. sharded megakernel compiled on the real chip (1x1 mesh)
 run bench.py --multichip 1 --multichip-real
-# 7. SMEM primitive-ceiling bisection (sizes the round-4 scaling design)
-run tools/smem_probe.py
+# 7. SMEM primitive-ceiling bisection (sizes the round-4 scaling design).
+# Own generous bound: ~18 attempts x up to 300s each + fault-recovery
+# idles — the shared 1800s run() bound would SIGTERM it mid-bisection
+echo "=== tools/smem_probe.py ===" | tee -a "$OUT"
+timeout 14400 python tools/smem_probe.py 2>>"$OUT" | tee -a "$OUT"
 
 echo "results in $OUT"

@@ -94,15 +94,29 @@ print("OK", n, t.S.shape, t.P.shape)
 
 
 def attempt(n: int, vattr: bool, timeout: float = 300.0) -> bool:
-    r = subprocess.run(
-        [sys.executable, "-c", _ATTEMPT, str(n), str(int(vattr))],
-        capture_output=True, text=True, timeout=timeout,
-    )
-    ok = r.returncode == 0 and "OK" in r.stdout
-    tail = (r.stdout + r.stderr).strip().splitlines()
-    print(f"  n={n} vattr={vattr}: {'OK' if ok else 'FAIL'}"
-          + ("" if ok else f" ({tail[-1][:120] if tail else 'no output'})"),
-          flush=True)
+    import time
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _ATTEMPT, str(n), str(int(vattr))],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        ok = r.returncode == 0 and "OK" in r.stdout
+        tail = (r.stdout + r.stderr).strip().splitlines()
+        why = "" if ok else f" ({tail[-1][:120] if tail else 'no output'})"
+    except subprocess.TimeoutExpired:
+        # the killed child was a mid-execution TPU client: per the wedge
+        # protocol leave the device COMPLETELY idle before the next try
+        ok, why = False, " (timeout; idling 10 min for the wedge to clear)"
+        print(f"  n={n} vattr={vattr}: FAIL{why}", flush=True)
+        time.sleep(600)
+        return False
+    print(f"  n={n} vattr={vattr}: {'OK' if ok else 'FAIL'}{why}", flush=True)
+    if not ok:
+        # an SMEM-overflow abort can FAULT the chip (recovers in ~1 min);
+        # probing again immediately would fail spuriously and walk the
+        # bisection below the true ceiling
+        time.sleep(75)
     return ok
 
 
