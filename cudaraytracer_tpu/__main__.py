@@ -33,7 +33,19 @@ def cmd_render(cfg, args):
     dt = time.perf_counter() - t0
     rtlog.rt_info("Done: %.1f ms/frame, accumulated %d spp",
                   dt / args.frames * 1000, rl._spp_done)
-    save_png(args.output, rl.framebuffer_rgba8(), flip_vertical=False)
+    if args.output.lower().endswith((".pfm", ".npy")):
+        # HDR export: linear mean radiance, no gamma/clamp
+        from .utils.image import save_pfm
+
+        rad = rl.radiance_mean()
+        if args.output.lower().endswith(".npy"):
+            import numpy as np
+
+            np.save(args.output, rad)
+        else:
+            save_pfm(args.output, rad)
+    else:
+        save_png(args.output, rl.framebuffer_rgba8(), flip_vertical=False)
     rtlog.rt_info("Wrote %s", args.output)
     app.close()
 

@@ -34,6 +34,31 @@ def save_png(path: str, image: np.ndarray, flip_vertical: bool = True):
             f.write(rgb.tobytes())
 
 
+def save_pfm(path: str, radiance: np.ndarray):
+    """Save LINEAR float radiance as a color PFM (portable float map) —
+    the HDR export for compositing pipelines.  PFM rows are stored
+    bottom-up by spec, so a display-oriented (row 0 = top) input is
+    flipped on write; scale -1.0 = little-endian float32."""
+    arr = np.asarray(radiance, np.float32)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 radiance, got {arr.shape}")
+    with open(path, "wb") as f:
+        f.write(b"PF\n%d %d\n-1.0\n" % (arr.shape[1], arr.shape[0]))
+        f.write(arr[::-1].astype("<f4").tobytes())
+
+
+def load_pfm(path: str) -> np.ndarray:
+    """Read a color PFM back to display-oriented f32[H,W,3]."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"PF":
+            raise ValueError("not a color PFM")
+        w, h = (int(x) for x in f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(w * h * 12),
+                             "<f4" if scale < 0 else ">f4")
+    return data.reshape(h, w, 3)[::-1].astype(np.float32)
+
+
 def load_rgb(path: str) -> np.ndarray:
     """uint8[H,W,3] from any common image file (stbi_load analog)."""
     from PIL import Image

@@ -445,6 +445,13 @@ class RenderLayer(Layer):
         img = np.asarray(tonemap(self._accum, self._display_divisor()))
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
+    def radiance_mean(self) -> np.ndarray:
+        """Mean LINEAR radiance f32[H,W,3], display-oriented — the HDR
+        output (no gamma, no clamp; the reference can't export at all)."""
+        img = np.asarray(self._accum / self._display_divisor(),
+                         dtype=np.float32)
+        return img[::-1] if self.cfg.camera_model == "two_plane" else img
+
     def _display_divisor(self):
         """Per-pixel sample counts for image-texture scenes (sum/count is
         the Wald-consistent estimator), scalar accumulated spp otherwise."""

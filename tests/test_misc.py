@@ -239,3 +239,32 @@ def test_pallas_cull_stats_diagnostic():
     ncl = float(nclus)
     n_tiles = 1
     assert 0 < ncl <= 4 * t.clusters.shape[1] * n_tiles  # <= iters x clusters
+
+
+def test_pfm_roundtrip_and_cli_hdr(tmp_path):
+    """PFM write/read round-trips floats exactly, and `render -o out.pfm`
+    exports linear HDR radiance whose gamma-2 tonemap matches the PNG."""
+    from cudaraytracer_tpu.utils.image import load_pfm, save_pfm
+
+    rad = np.random.RandomState(3).rand(6, 8, 3).astype(np.float32) * 4.0
+    p = str(tmp_path / "x.pfm")
+    save_pfm(p, rad)
+    np.testing.assert_array_equal(load_pfm(p), rad)
+
+    outp = str(tmp_path / "r.pfm")
+    outpng = str(tmp_path / "r.png")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    base = [sys.executable, "-m", "cudaraytracer_tpu", "render", "--cpu",
+            "--width", "48", "--height", "32", "--spp", "2",
+            "--max-depth", "3", "--frames", "2", "--seed", "5"]
+    for out in (outp, outpng):
+        r = subprocess.run(base + ["-o", out], capture_output=True,
+                           text=True, timeout=300, env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+    hdr = load_pfm(outp)
+    assert hdr.shape == (32, 48, 3) and np.isfinite(hdr).all()
+    png = load_rgb(outpng).astype(np.float32) / 255.0
+    # same frames (same seed): png == gamma-2(clamped hdr) within quantization
+    want = np.sqrt(np.clip(hdr, 0.0, 1.0))
+    assert np.abs(want - png).max() < 1.5 / 255.0 + 1e-4
