@@ -34,17 +34,22 @@ def save_png(path: str, image: np.ndarray, flip_vertical: bool = True):
             f.write(rgb.tobytes())
 
 
-def save_pfm(path: str, radiance: np.ndarray):
+def save_pfm(path, radiance: np.ndarray):
     """Save LINEAR float radiance as a color PFM (portable float map) —
     the HDR export for compositing pipelines.  PFM rows are stored
     bottom-up by spec, so a display-oriented (row 0 = top) input is
-    flipped on write; scale -1.0 = little-endian float32."""
+    flipped on write; scale -1.0 = little-endian float32.  ``path`` is a
+    filesystem path or a binary file-like (the viewer's /radiance.pfm)."""
     arr = np.asarray(radiance, np.float32)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected HxWx3 radiance, got {arr.shape}")
-    with open(path, "wb") as f:
+    f = path if hasattr(path, "write") else open(path, "wb")
+    try:
         f.write(b"PF\n%d %d\n-1.0\n" % (arr.shape[1], arr.shape[0]))
         f.write(arr[::-1].astype("<f4").tobytes())
+    finally:
+        if f is not path:
+            f.close()
 
 
 def load_pfm(path: str) -> np.ndarray:

@@ -83,6 +83,7 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <div>
   <a href="/scene.json" download="scene.json"><button>download scene</button></a>
   <button onclick="importScene()">import scene</button>
+  <a href="/radiance.pfm" download="radiance.pfm"><button title="linear HDR radiance">HDR</button></a>
   <input type=file id=scenefile style="display:none" accept=".json,application/json">
  </div>
  <div>ckpt <input id=ckname value="checkpoint" style="width:110px">
@@ -631,6 +632,18 @@ class ViewerServer:
                         flt = q.get("filter", [""])[0]
                         self._send(200, json.dumps(
                             viewer.state_json(flt)).encode(), "application/json")
+                    elif self.path.startswith("/radiance.pfm"):
+                        # HDR download: linear mean radiance as color PFM
+                        # (matches `render -o out.pfm`)
+                        import io as _io
+
+                        from ..utils.image import save_pfm
+
+                        buf = _io.BytesIO()
+                        save_pfm(buf,
+                                 viewer.app.render_layer.radiance_mean())
+                        self._send(200, buf.getvalue(),
+                                   "application/octet-stream")
                     elif self.path.startswith("/scene.json"):
                         # portable scene download: ONE document with the
                         # atlas embedded (docs/SCENE_FORMAT.md atlas_b64)

@@ -133,6 +133,30 @@ def test_lens_options(served):
     assert rl.cfg.aperture == 0.0
 
 
+def test_radiance_pfm_download(served):
+    """GET /radiance.pfm serves the accumulator as linear HDR that
+    tonemaps to the served PNG frame."""
+    import os
+    import tempfile
+
+    from cudaraytracer_tpu.utils.image import load_pfm
+
+    app, server, port = served
+    app.run(max_frames=2)
+    body = get(port, "/radiance.pfm")
+    # parse via the file loader (shared format code)
+    with tempfile.NamedTemporaryFile(suffix=".pfm", delete=False) as tf:
+        tf.write(body)
+        name = tf.name
+    hdr = load_pfm(name)
+    os.remove(name)
+    rl = app.render_layer
+    assert hdr.shape == (rl.cfg.height, rl.cfg.width, 3)
+    assert np.isfinite(hdr).all() and hdr.sum() > 0
+    disp = rl.display_float()
+    np.testing.assert_allclose(np.sqrt(np.clip(hdr, 0, 1)), disp, atol=1e-5)
+
+
 def test_scene_json_download_import_roundtrip(served):
     """Portable scenes: GET /scene.json returns ONE document (atlas
     embedded base64), POST /scene.json restores it — browser-side
