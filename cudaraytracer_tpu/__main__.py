@@ -29,7 +29,28 @@ def cmd_render(cfg, args):
     rtlog.rt_info("Rendering %d frame(s) of %d spp on %s ...",
                   args.frames, 1 if cfg.progressive else cfg.spp, jax.default_backend())
     t0 = time.perf_counter()
-    app.run(max_frames=args.frames)
+    if cfg.adaptive and cfg.progressive and rl._pallas is not None:
+        # adaptive offline render: progressive frames until every tile
+        # converges (max per-pixel rel stderr < adaptive_tau) or the frame
+        # budget runs out.  The activity check costs one small device
+        # fetch, so poll it per CHUNK of frames, not per frame.
+        done = 0
+        frac = 1.0
+        while done < args.frames:
+            chunk = min(8, args.frames - done)
+            app.run(max_frames=chunk)
+            done += chunk
+            frac = rl._pallas.active_fraction()
+            if frac == 0.0:
+                break
+        dt = time.perf_counter() - t0
+        rtlog.rt_info(
+            "Adaptive: %d/%d frames, %.0f%% tiles still active at stop "
+            "(tau=%.3g, %.1f ms/frame)", done, args.frames, frac * 100,
+            cfg.adaptive_tau, dt / max(done, 1) * 1000)
+        args.frames = done
+    else:
+        app.run(max_frames=args.frames)
     dt = time.perf_counter() - t0
     rtlog.rt_info("Done: %.1f ms/frame, accumulated %d spp",
                   dt / args.frames * 1000, rl._spp_done)

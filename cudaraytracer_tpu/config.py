@@ -37,6 +37,15 @@ class RenderConfig:
     progressive_spp: int = 4  # samples per progressive frame (pallas path:
     #                             path regeneration makes extra samples per
     #                             launch nearly marginal-cost)
+    adaptive: bool = False  # adaptive sampling (pallas accel): converged
+    #                         tiles skip their wave loop in-kernel, so
+    #                         progressive frame time scales with the
+    #                         UNCONVERGED tile count (beyond-reference)
+    adaptive_tau: float = 0.004  # convergence bar: max per-pixel DISPLAY-
+    #                              value stderr per tile (display =
+    #                              lum^(1/2.2); 0.004 ~ one 8-bit level)
+    adaptive_min: int = 8  # launches before a tile may converge (variance
+    #                        estimates below ~8 samples are too noisy)
     sync_every: int = 8  # fence the dispatch queue every N frames: each
     #                      fence costs a full host round trip (100-300 ms
     #                      over a tunneled link); 1 = fence every frame
@@ -66,6 +75,9 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--rr-start", dest="rr_start", type=int, default=d.rr_start)
     parser.add_argument("--aperture", type=float, default=d.aperture)
     parser.add_argument("--focus-dist", dest="focus_dist", type=float, default=d.focus_dist)
+    parser.add_argument("--adaptive", action="store_true", default=d.adaptive)
+    parser.add_argument("--adaptive-tau", dest="adaptive_tau", type=float, default=d.adaptive_tau)
+    parser.add_argument("--adaptive-min", dest="adaptive_min", type=int, default=d.adaptive_min)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
     parser.add_argument("--progressive-spp", dest="progressive_spp", type=int, default=d.progressive_spp)
     parser.add_argument("--sync-every", dest="sync_every", type=int, default=d.sync_every)

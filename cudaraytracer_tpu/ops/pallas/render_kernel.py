@@ -857,6 +857,7 @@ def _render_kernel(
     key_ref,  # SMEM f32[NSC] scratch: per-super front-to-back sort keys
     ord_ref,  # SMEM i32[NSC] scratch: supercluster visit order
     *,
+    mask_ref=None,  # SMEM i32[NT] (adaptive only): 1 = render tile, 0 = skip
     tile_h: int,
     tile_w: int,
     width: int,
@@ -962,6 +963,16 @@ def _render_kernel(
     done0 = jnp.where(
         (xs < jnp.float32(width)) & (ys < jnp.float32(height)), 0.0, spp_f
     )
+    if mask_ref is not None:
+        # adaptive tile skip: a converged tile (mask 0) marks every lane
+        # done, so the bounce loop's vector condition is false at it=0 —
+        # the whole wave loop is skipped and the tile writes its init
+        # zeros (radiance 0, rays 0).  Cost for skipped tiles ~= raygen-
+        # free zero stores; throughput scales with the ACTIVE tile count.
+        # (done_f lands at spp for skipped lanes; adaptive callers mask
+        # the counts plane by tile activity, pallas_render_sample below.)
+        actf = mask_ref[pid].astype(jnp.float32)  # 1.0 render / 0.0 skip
+        done0 = done0 + (1.0 - actf) * spp_f
 
     # payload rows in P (the winner's barycentrics ride the SEARCH carry
     # in vattr scenes — hierarchical_search carry_uv — not the payload)
@@ -1558,6 +1569,16 @@ def _render_kernel(
 
 
 # ----------------------------------------------------------------- wrapper
+def tile_activity_plane(tile_mask, grid, tile_h: int, tile_w: int):
+    """Broadcast a per-tile activity mask i32[gi*gj] to a per-pixel
+    f32[gi*tile_h, gj*tile_w] plane (1.0 on active tiles).  XLA-side helper
+    for adaptive-sampling callers; tile (i, j) covers pixel rows
+    [i*tile_h, (i+1)*tile_h) and cols [j*tile_w, (j+1)*tile_w), matching
+    the kernel's pid = i * num_programs(1) + j layout."""
+    m2 = tile_mask.reshape(grid).astype(jnp.float32)
+    return jnp.repeat(jnp.repeat(m2, tile_h, axis=0), tile_w, axis=1)
+
+
 def pallas_render_sample(
     s_tab: jnp.ndarray,  # f32[16, NP]
     p_tab: jnp.ndarray,  # f32[P_ROWS(_UV), NP]
@@ -1590,6 +1611,7 @@ def pallas_render_sample(
     octant_split: bool = False,
     has_tris: bool = False,
     has_vattrs: bool = False,
+    tile_mask: jnp.ndarray | None = None,  # i32[n_tiles]: adaptive sampling
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -1629,6 +1651,16 @@ def pallas_render_sample(
     identical kernel they always did.  ``y0``/``band_h`` render a horizontal band of the full
     image (multi-chip row sharding); ``stream`` is an extra seed component
     for band/sample streams (hash-mixed, collision-free).
+
+    ``tile_mask`` (optional i32[n_tiles], ADAPTIVE SAMPLING): per-tile
+    activity flags, row-major over the (band_h/tile_h, pad_w/tile_w) grid.
+    A 0 tile skips its entire wave loop (zero radiance, zero rays, and —
+    in image mode — zero counts); per-tile PRNG seeding is mask-independent,
+    so active tiles render BIT-IDENTICALLY to an unmasked launch with the
+    same (seed, stream).  This is the mechanism behind adaptive sampling:
+    converged tiles cost ~nothing, so progressive frame time scales with
+    the unconverged tile count (beyond-reference; the CUDA reference
+    re-renders every pixel every frame, Kernel.cu:130-148).
     """
     if band_h is None:
         band_h = -(-height // tile_h) * tile_h
@@ -1652,14 +1684,31 @@ def pallas_render_sample(
         jnp.asarray(stream, jnp.int32),
         jnp.asarray(spp, jnp.int32),
     ])
-    kern = functools.partial(
-        _render_kernel,
+    statics = dict(
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs,
     )
+    if tile_mask is not None:
+        # adaptive sampling: a per-tile activity mask rides in SMEM; the
+        # kernel reads ONE scalar (mask_ref[pid]) and skips the whole wave
+        # loop for converged tiles (see _render_kernel).  The mask is a
+        # device-resident jit argument — it never crosses the host link.
+        assert tile_mask.shape == (grid[0] * grid[1],), (
+            tile_mask.shape, grid)
+
+        def kern(cnt, cam, s, p, c, sc, mask, out, cnt_out, key, ordr):
+            _render_kernel(cnt, cam, s, p, c, sc, out, cnt_out, key, ordr,
+                           mask_ref=mask, **statics)
+
+        extra_in = (tile_mask.astype(jnp.int32),)
+        extra_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    else:
+        kern = functools.partial(_render_kernel, **statics)
+        extra_in = ()
+        extra_spec = []
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -1672,7 +1721,7 @@ def pallas_render_sample(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + extra_spec,
         out_specs=(
             pl.BlockSpec(
                 (nchan, tile_h, tile_w), lambda i, j: (0, i, j),
@@ -1692,7 +1741,7 @@ def pallas_render_sample(
             pltpu.SMEM((supers.shape[1],), jnp.int32),
         ],
         interpret=interpret,
-    )(cnt, cam_vec, s_tab, p_tab, clusters, supers)
+    )(cnt, cam_vec, s_tab, p_tab, clusters, supers, *extra_in)
     if has_images:
         # XLA epilogue: apply the deferred texels (nearest-neighbor lookup
         # of Texture.cuh:83-105, matching ops/textures.py).  Two records
@@ -1721,6 +1770,11 @@ def pallas_render_sample(
         rad = pre + tex1 * post + tex2 * jnp.where(chain, tex1, 1.0) * postq
         img = jnp.transpose(rad, (1, 2, 0))
         counts = out[0][16]
+        if tile_mask is not None:
+            # skipped tiles run a zero-iteration loop whose done_f lands at
+            # spp; their true completed-sample count is 0
+            counts = counts * tile_activity_plane(
+                tile_mask, grid, tile_h, tile_w)
         if with_stats:
             ret = (img, counts, jnp.sum(out[1][0::8, 0::128]))
             if with_cull_stats:

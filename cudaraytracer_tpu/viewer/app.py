@@ -214,7 +214,8 @@ class RenderLayer(Layer):
         # image-texture scenes track per-pixel sample counts (lanes park
         # once both deferral records are consumed, so counts per launch
         # vary; display divides sum/count — see pallas_render_sample)
-        if self._pallas is not None and self._pallas.has_images:
+        if self._pallas is not None and (self._pallas.has_images
+                                         or self._pallas.adaptive):
             # cache the zeroed counts plane (immutable, safe to reuse): a
             # camera-version bump resets every frame while flying, and a
             # fresh jnp.zeros per reset is an eager device dispatch — one
@@ -228,6 +229,8 @@ class RenderLayer(Layer):
             self._counts = self._zero_counts
         else:
             self._counts = None
+        if self._pallas is not None and self._pallas.adaptive:
+            self._pallas.reset_adaptive()
 
     def resize(self, width: int, height: int):
         """Viewport resize: rebuild the renderer at the new shape (the
@@ -479,7 +482,8 @@ def _tpu_interpret_mode_active() -> bool:
 @functools.lru_cache(maxsize=16)
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
-                 interpret_ctx, has_tris=False, has_vattrs=False):
+                 interpret_ctx, has_tris=False, has_vattrs=False,
+                 adaptive=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -496,8 +500,88 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
     """
     del interpret_ctx  # cache-key component only
     import jax
+    import jax.numpy as jnp
 
-    from ..ops.pallas.render_kernel import pallas_render_sample
+    from ..ops.pallas.render_kernel import (pallas_render_sample,
+                                            tile_activity_plane)
+
+    if adaptive:
+        # adaptive-sampling step: the per-tile activity mask rides into the
+        # kernel (converged tiles skip their wave loop), and the launch's
+        # per-pixel mean luminance feeds an online variance estimate.  Per
+        # tile, once >= nmin launches landed and the max per-pixel relative
+        # stderr of the launch-mean stream drops below tau, the tile's mask
+        # bit clears — frame time then scales with UNCONVERGED tiles only.
+        # Display correctness: accum/caccum is a sum/count ratio over a
+        # per-tile stopping time adapted to the launch stream, consistent
+        # by Wald's identity (the same argument as image-mode lane parking).
+        # Everything stays on device: mask/stats are jit arguments and
+        # results; no per-frame host transfer is added.
+        gi, gj = hpad // tile_h, wpad // tile_w
+
+        @jax.jit
+        def _step_adaptive(S, P, C, SC, n_super, cam_vec, seed, depth, spp,
+                           accum, caccum, s1, s2, nlaunch, mask, tau, nmin,
+                           *atl):
+            out = pallas_render_sample(
+                S, P, C, SC, n_super, cam_vec, seed, depth,
+                width=width, height=height,
+                pad_w=wpad, band_h=hpad,
+                camera_model=camera_model,
+                tile_h=tile_h, tile_w=tile_w, has_rects=has_rects,
+                spp=spp, rr_start=rr_start,
+                atlas=atl[0] if has_images else None,
+                tex_hw=atl[1] if has_images else None,
+                cluster=cluster, super_=super_, has_tris=has_tris,
+                has_vattrs=has_vattrs, tile_mask=mask,
+            )
+            act = tile_activity_plane(
+                mask, (gi, gj), tile_h, tile_w)[:height, :width]
+            if has_images:
+                rad, counts = out
+                rad = rad[:height, :width]
+                counts = counts[:height, :width]
+            else:
+                rad = out[:height, :width]
+                counts = act * spp.astype(jnp.float32)
+            accum = accum + rad
+            caccum = caccum + counts
+            # online stats over the per-LAUNCH pixel means (iid across
+            # launches — each launch draws a fresh seed), frozen once the
+            # tile's mask bit clears
+            m = rad / jnp.maximum(counts, 1.0)[..., None]
+            lum = (m[..., 0] * 0.2126 + m[..., 1] * 0.7152
+                   + m[..., 2] * 0.0722)
+            s1 = s1 + lum * act
+            s2 = s2 + lum * lum * act
+            nlaunch = nlaunch + mask.astype(jnp.float32)
+            n_pix = tile_activity_plane(
+                nlaunch, (gi, gj), tile_h, tile_w)[:height, :width]
+            n_safe = jnp.maximum(n_pix, 1.0)
+            mean = s1 / n_safe
+            var = jnp.maximum(s2 / n_safe - mean * mean, 0.0)
+            var = var * (n_safe / jnp.maximum(n_pix - 1.0, 1.0))
+            # DISPLAY-SPACE convergence: map the luminance stderr through
+            # the gamma curve's slope (display = lum^(1/2.2), so d display/
+            # d lum = lum^(1/2.2-1)/2.2) and converge when the DISPLAY-value
+            # stderr drops below tau (default 0.004 ~ one 8-bit level).
+            # A dark pixel is judged by its visible error, not by a
+            # relative bar its tiny mean can never clear; a bright sky
+            # pixel converges as soon as its absolute noise is sub-level.
+            # (Measured on v5e: a plain relative-stderr bar never converged
+            # ANY tile of a horizon-band frame — RR fireflies keep dark
+            # geometry pixels at rel ~0.5 for hundreds of launches.)
+            gain = (1.0 / 2.2) * jnp.maximum(mean, 2e-3) ** (1.0 / 2.2 - 1.0)
+            rel = jnp.sqrt(var / n_safe) * gain
+            relp = jnp.zeros((hpad, wpad), jnp.float32)
+            relp = relp.at[:height, :width].set(rel)  # pads stay 0
+            tile_rel = relp.reshape(gi, tile_h, gj, tile_w).max(
+                axis=(1, 3)).reshape(-1)
+            conv = (nlaunch >= nmin) & (tile_rel < tau)
+            mask = jnp.where(conv, 0, mask)
+            return accum, caccum, s1, s2, nlaunch, mask
+
+        return _step_adaptive
 
     @jax.jit
     def _step(S, P, C, SC, n_super, cam_vec, seed, depth, spp,
@@ -577,13 +661,48 @@ class _PallasPipeline:
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
+        self.adaptive = bool(getattr(cfg, "adaptive", False))
+        self._grid = (self._hpad // tile_h, self._wpad // tile_w)
         # cached jitted step: rebuilds with the same static config reuse
         # the exact same callable (no re-trace per scene edit)
         self._step = _pallas_step(
             cfg.width, cfg.height, self._wpad, self._hpad,
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
-            _tpu_interpret_mode_active(), has_tris, t.vattrs)
+            _tpu_interpret_mode_active(), has_tris, t.vattrs,
+            self.adaptive)
+        if self.adaptive:
+            self._zero_stats = None  # cached zeroed stat planes (immutable)
+            self.reset_adaptive()
+
+    def reset_adaptive(self):
+        """Restart the convergence statistics and re-activate every tile.
+        The zeroed planes are cached and reused: a camera-version bump
+        resets every frame while flying, and fresh jnp.zeros per reset
+        would cost eager device dispatches over a tunneled link."""
+        import jax.numpy as jnp
+
+        if self._zero_stats is None:
+            h, w = self._cfg.height, self._cfg.width
+            nt = self._grid[0] * self._grid[1]
+            self._zero_stats = (
+                jnp.zeros((h, w), jnp.float32),
+                jnp.zeros((h, w), jnp.float32),
+                jnp.zeros((nt,), jnp.float32),
+                jnp.ones((nt,), jnp.int32),
+            )
+        self._s1, self._s2, self._nlaunch, self._mask = self._zero_stats
+
+    def active_fraction(self) -> float:
+        """Fraction of tiles still rendering (adaptive mode); 1.0 otherwise.
+        Fetches one small device array — call at metrics-poll rate, not
+        per frame."""
+        if not self.adaptive:
+            return 1.0
+        import numpy as _np
+
+        m = _np.asarray(self._mask)
+        return float(m.mean()) if m.size else 1.0
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
                    caccum, spp: int = 1):
@@ -602,6 +721,19 @@ class _PallasPipeline:
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
         import numpy as _np
 
+        if self.adaptive:
+            # caccum is a real plane for EVERY adaptive scene (counts vary
+            # per tile once tiles start converging); the mask/stat planes
+            # live on device across frames as jit arguments and results
+            (accum, caccum, self._s1, self._s2, self._nlaunch,
+             self._mask) = self._step(
+                *self._tabs, _np.int32(self._n_super), cam_vec,
+                seed, max_depth, spp, accum, caccum,
+                self._s1, self._s2, self._nlaunch, self._mask,
+                _np.float32(getattr(self._cfg, "adaptive_tau", 0.02)),
+                _np.float32(getattr(self._cfg, "adaptive_min", 8)),
+                *self._atlas)
+            return accum, caccum
         return self._step(*self._tabs, _np.int32(self._n_super), cam_vec,
                           seed, max_depth, spp, accum, caccum, *self._atlas)
 

@@ -64,6 +64,10 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
   <button onclick="setOpt()">apply</button>
   <button onclick="post('/options',{pause:true})">pause/resume</button>
  </div>
+ <div><label title="converged tiles skip their wave loop; frame time scales with unconverged tiles">
+  <input id=adp type=checkbox onchange="post('/options',{adaptive:this.checked})"> adaptive sampling</label>
+  <span id=adpf style="color:#7aa2f7"></span>
+ </div>
  <div>lens <input id=apert type=number min=0 step=0.02 title="aperture (defocus blur; look_at scenes)">
   focus <input id=fdist type=number min=0.1 step=0.5 title="focus distance">
   <button onclick="post('/options',{aperture:+document.getElementById('apert').value,focus_dist:+document.getElementById('fdist').value})">set</button>
@@ -190,6 +194,8 @@ async function state(){try{const r=await fetch('/state?filter='+encodeURICompone
  if(document.activeElement.id!=='spp')document.getElementById('spp').value=s.options.spp;
  if(document.activeElement.id!=='apert')document.getElementById('apert').value=s.options.aperture;
  if(document.activeElement.id!=='fdist')document.getElementById('fdist').value=s.options.focus_dist;
+ if(document.activeElement.id!=='adp')document.getElementById('adp').checked=!!s.options.adaptive;
+ document.getElementById('adpf').textContent=s.options.adaptive&&s.options.active_tiles!=null?s.options.active_tiles+'% tiles active':'';
  for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
   ['cyaw',s.camera.yaw],['cpitch',s.camera.pitch],['cfov',s.camera.fov]])
   if(document.activeElement.id!==el)document.getElementById(el).value=v;
@@ -311,6 +317,13 @@ class ViewerServer:
                 "scenes": list(_SCENE_REGISTRY),
                 "aperture": round(float(rl.cfg.aperture), 4),
                 "focus_dist": round(float(rl.cfg.focus_dist), 4),
+                "adaptive": bool(getattr(rl.cfg, "adaptive", False)),
+                # one small device fetch per state poll, only in adaptive
+                # mode (the mask lives on device; see active_fraction)
+                "active_tiles": (
+                    round(rl._pallas.active_fraction() * 100.0, 1)
+                    if rl._pallas is not None and rl._pallas.adaptive
+                    else None),
             },
         }
 
@@ -465,6 +478,20 @@ class ViewerServer:
         if "spp" in data:
             rl.cfg.spp = max(1, int(data["spp"]))
             rl.reset_accumulation()
+        if "adaptive" in data:
+            want = bool(data["adaptive"])
+            if want != bool(getattr(rl.cfg, "adaptive", False)):
+                rl.cfg.adaptive = want
+                if "adaptive_tau" in data:
+                    tau = float(data["adaptive_tau"])
+                    if math.isfinite(tau) and tau > 0:
+                        rl.cfg.adaptive_tau = tau
+                # adaptive is a STATIC of the jitted step: force a pipeline
+                # rebuild through the scene-resync path (same lever as
+                # scene load); accumulation restarts with it
+                rl._scene_version = -1
+                rtlog.rt_info("Adaptive sampling %s",
+                              "enabled" if want else "disabled")
         if "aperture" in data or "focus_dist" in data:
             # thin-lens defocus blur (look_at camera; RTOW 12.2 semantics).
             # aperture/focus ride the per-frame camera vector — a traced
