@@ -31,9 +31,10 @@ def cmd_render(cfg, args):
     t0 = time.perf_counter()
     if cfg.adaptive and cfg.progressive and rl._pallas is not None:
         # adaptive offline render: progressive frames until every tile
-        # converges (max per-pixel rel stderr < adaptive_tau) or the frame
-        # budget runs out.  The activity check costs one small device
-        # fetch, so poll it per CHUNK of frames, not per frame.
+        # converges (>= adaptive_q of its pixels below the adaptive_tau
+        # display-stderr bar) or the frame budget runs out.  The activity
+        # check costs one small device fetch, so poll it per CHUNK of
+        # frames, not per frame.
         done = 0
         frac = 1.0
         while done < args.frames:

@@ -41,11 +41,20 @@ class RenderConfig:
     #                         tiles skip their wave loop in-kernel, so
     #                         progressive frame time scales with the
     #                         UNCONVERGED tile count (beyond-reference)
-    adaptive_tau: float = 0.004  # convergence bar: max per-pixel DISPLAY-
-    #                              value stderr per tile (display =
-    #                              lum^(1/2.2); 0.004 ~ one 8-bit level)
+    adaptive_tau: float = 0.016  # convergence bar: per-pixel DISPLAY-value
+    #                              stderr (display = lum^(1/2.2); 1 8-bit
+    #                              level ~ 0.004); a tile converges when
+    #                              >= adaptive_q of its pixels clear it.
+    #                              Default measured on v5e rtow_final:
+    #                              0.016/0.95 converges sky tiles ~5x
+    #                              earlier than horizon tiles (per-pixel
+    #                              stderr has MC heavy tails — see the
+    #                              fraction-bar note in viewer/app.py)
     adaptive_min: int = 8  # launches before a tile may converge (variance
     #                        estimates below ~8 samples are too noisy)
+    adaptive_q: float = 0.95  # fraction of a tile's pixels that must be
+    #                           below tau to converge it (MC heavy tails:
+    #                           a per-tile max never clears any sane bar)
     sync_every: int = 8  # fence the dispatch queue every N frames: each
     #                      fence costs a full host round trip (100-300 ms
     #                      over a tunneled link); 1 = fence every frame
@@ -78,6 +87,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--adaptive", action="store_true", default=d.adaptive)
     parser.add_argument("--adaptive-tau", dest="adaptive_tau", type=float, default=d.adaptive_tau)
     parser.add_argument("--adaptive-min", dest="adaptive_min", type=int, default=d.adaptive_min)
+    parser.add_argument("--adaptive-q", dest="adaptive_q", type=float, default=d.adaptive_q)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
     parser.add_argument("--progressive-spp", dest="progressive_spp", type=int, default=d.progressive_spp)
     parser.add_argument("--sync-every", dest="sync_every", type=int, default=d.sync_every)

@@ -509,9 +509,9 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
         # adaptive-sampling step: the per-tile activity mask rides into the
         # kernel (converged tiles skip their wave loop), and the launch's
         # per-pixel mean luminance feeds an online variance estimate.  Per
-        # tile, once >= nmin launches landed and the max per-pixel relative
-        # stderr of the launch-mean stream drops below tau, the tile's mask
-        # bit clears — frame time then scales with UNCONVERGED tiles only.
+        # tile, once >= nmin launches landed and >= q of its pixels have
+        # display-space stderr below tau, the tile's mask bit clears —
+        # frame time then scales with UNCONVERGED tiles only.
         # Display correctness: accum/caccum is a sum/count ratio over a
         # per-tile stopping time adapted to the launch stream, consistent
         # by Wald's identity (the same argument as image-mode lane parking).
@@ -522,7 +522,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
         @jax.jit
         def _step_adaptive(S, P, C, SC, n_super, cam_vec, seed, depth, spp,
                            accum, caccum, s1, s2, nlaunch, mask, tau, nmin,
-                           *atl):
+                           q, *atl):
             out = pallas_render_sample(
                 S, P, C, SC, n_super, cam_vec, seed, depth,
                 width=width, height=height,
@@ -563,8 +563,8 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             var = var * (n_safe / jnp.maximum(n_pix - 1.0, 1.0))
             # DISPLAY-SPACE convergence: map the luminance stderr through
             # the gamma curve's slope (display = lum^(1/2.2), so d display/
-            # d lum = lum^(1/2.2-1)/2.2) and converge when the DISPLAY-value
-            # stderr drops below tau (default 0.004 ~ one 8-bit level).
+            # d lum = lum^(1/2.2-1)/2.2) and compare the DISPLAY-value
+            # stderr against tau (one 8-bit level ~ 0.004).
             # A dark pixel is judged by its visible error, not by a
             # relative bar its tiny mean can never clear; a bright sky
             # pixel converges as soon as its absolute noise is sub-level.
@@ -575,9 +575,22 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             rel = jnp.sqrt(var / n_safe) * gain
             relp = jnp.zeros((hpad, wpad), jnp.float32)
             relp = relp.at[:height, :width].set(rel)  # pads stay 0
-            tile_rel = relp.reshape(gi, tile_h, gj, tile_w).max(
+            # FRACTION-BASED tile bar: a tile converges when >= q of its
+            # pixels are below tau (q rides in as a traced scalar).  A
+            # per-tile MAX is useless in practice — measured on v5e, every
+            # 16x256 band of an RTOW frame contains a few MC-heavy-tail
+            # pixels (sphere edges, RR fireflies) whose stderr decays only
+            # as 1/sqrt(n), so the max was near-UNIFORM across tiles
+            # (0.051-0.066 at n=30) and no tile ever converged at any sane
+            # tau.  A handful of outlier pixels can't hold a tile hostage
+            # under the fraction bar, while genuinely noisy regions (many
+            # pixels above tau) keep accumulating.  Padding rows/cols have
+            # rel == 0 (below any tau > 0), a deliberate don't-care: they
+            # are never displayed.
+            below = (relp < tau).astype(jnp.float32)
+            tile_frac = below.reshape(gi, tile_h, gj, tile_w).mean(
                 axis=(1, 3)).reshape(-1)
-            conv = (nlaunch >= nmin) & (tile_rel < tau)
+            conv = (nlaunch >= nmin) & (tile_frac >= q)
             mask = jnp.where(conv, 0, mask)
             return accum, caccum, s1, s2, nlaunch, mask
 
@@ -732,6 +745,7 @@ class _PallasPipeline:
                 self._s1, self._s2, self._nlaunch, self._mask,
                 _np.float32(getattr(self._cfg, "adaptive_tau", 0.02)),
                 _np.float32(getattr(self._cfg, "adaptive_min", 8)),
+                _np.float32(getattr(self._cfg, "adaptive_q", 0.95)),
                 *self._atlas)
             return accum, caccum
         return self._step(*self._tabs, _np.int32(self._n_super), cam_vec,
