@@ -60,6 +60,11 @@ class RenderConfig:
     #                      over a tunneled link); 1 = fence every frame
     fence_timeout: float = 120.0  # seconds before a hung device sync
     #                               pauses the app (lost-completion guard)
+    compile_grace: float = 420.0  # fence timeout for the FIRST sync behind
+    #                               a freshly-traced executable: XLA/Mosaic
+    #                               compiles take 1-2 min over a tunneled
+    #                               link and must not be misdiagnosed as a
+    #                               lost completion (viewer/app.py fence)
     debug_nans: bool = False  # TPU analog of the reference Debug build -g -G
 
 

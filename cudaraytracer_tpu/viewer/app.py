@@ -107,6 +107,12 @@ class RenderLayer(Layer):
         self._counts = None  # per-pixel sample counts (image-texture scenes)
         self._pallas = None  # lazily-built pallas pipeline
         self._wavefront = None  # lazily-built sorted-wavefront renderer
+        # the FIRST fence after a (re)build can legitimately include a
+        # 1-2 min XLA/Mosaic compile over the tunneled link; grant it
+        # cfg.compile_grace instead of cfg.fence_timeout so a cold start
+        # is not misdiagnosed as a lost completion (observed at 720p:
+        # first adaptive fence timed out at 120 s and paused the app)
+        self._fence_graced = False
 
     def _pose_fly_at(self, cam0):
         """Point the fly camera at a registered CameraParams pose."""
@@ -180,7 +186,14 @@ class RenderLayer(Layer):
                 self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "pallas":
                 try:
+                    # a _pallas_step cache miss here means the pipeline just
+                    # created a FRESH jitted step (new shape/flag combo) —
+                    # the next fence will sit behind its compile, so grant
+                    # it compile_grace instead of fence_timeout
+                    miss0 = _pallas_step.cache_info().misses
                     self._pallas = _PallasPipeline(self.scene, self.cfg)
+                    if _pallas_step.cache_info().misses != miss0:
+                        self._fence_graced = False
                 except Exception as e:
                     # non-TPU backend or kernel failure: fall back to the
                     # fully-featured XLA BVH path rather than dying
@@ -248,6 +261,8 @@ class RenderLayer(Layer):
             width, height, camera_model=self.cfg.camera_model,
             t_min=self.cfg.t_min, block=self.cfg.block,
         )
+        # a new shape always means a new executable on every accel path
+        self._fence_graced = False
         if self._pallas is not None:
             self._pallas = _PallasPipeline(self.scene, self.cfg)
         if self._wavefront is not None:
@@ -258,6 +273,17 @@ class RenderLayer(Layer):
                 camera_model=self.cfg.camera_model, t_min=self.cfg.t_min,
             )
         self.reset_accumulation()
+
+    def _fence_deadline(self) -> float:
+        """Timeout for the next device fence.  The first fence behind a
+        freshly-traced executable waits through the XLA/Mosaic compile
+        (1-2 min over a tunneled link — observed: a 720p adaptive cold
+        start blew the 120 s fence and falsely paused the app); only
+        steady-state fences enforce the tight lost-completion timeout."""
+        tmo = float(getattr(self.cfg, "fence_timeout", 120.0))
+        if not self._fence_graced:
+            tmo = max(tmo, float(getattr(self.cfg, "compile_grace", 420.0)))
+        return tmo
 
     # -------------------------------------------------------- frame
     def on_update(self):
@@ -347,15 +373,17 @@ class RenderLayer(Layer):
                     err.append(e)  # the main thread (failure watchdog)
                     rtlog.rt_error("Device fence error: %s", e)
 
+            tmo = self._fence_deadline()
             fence = threading.Thread(target=_fence, daemon=True)
             fence.start()
-            fence.join(timeout=float(getattr(self.cfg, "fence_timeout", 120.0)))
+            fence.join(timeout=tmo)
             if fence.is_alive():
                 rtlog.rt_error(
                     "Device sync timed out after %.0fs (lost completion?) "
-                    "— pausing; press P/unpause to retry",
-                    float(getattr(self.cfg, "fence_timeout", 120.0)))
+                    "— pausing; press P/unpause to retry", tmo)
                 self.app.paused = True
+            else:
+                self._fence_graced = True
             if err:
                 # re-raise so Application.run's 3-strikes watchdog sees it
                 raise err.pop(0)
@@ -405,7 +433,10 @@ class RenderLayer(Layer):
         if self.cfg.accel == "bvh":
             self._bvh = build_bvh(self.scene)
         if self.cfg.accel == "pallas":
+            miss0 = _pallas_step.cache_info().misses
             self._pallas = _PallasPipeline(self.scene, self.cfg)
+            if _pallas_step.cache_info().misses != miss0:
+                self._fence_graced = False  # fresh step: compile ahead
         if self.cfg.accel == "wavefront" and self._wavefront is not None:
             self._wavefront.update_scene(self.scene)
         import jax.numpy as jnp

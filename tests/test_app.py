@@ -263,6 +263,34 @@ def test_late_fence_error_surfaces_next_frame():
     app.close()
 
 
+def test_fence_compile_grace_lifecycle():
+    """The FIRST fence behind a freshly-traced executable must wait
+    compile_grace (XLA/Mosaic compiles take 1-2 min over a tunneled link);
+    once a fence succeeds, steady-state fences enforce the tight
+    fence_timeout; a resize (new shapes = new executable) re-arms the
+    grace."""
+    cfg = small_cfg(sync_every=1, fence_timeout=7.0, compile_grace=300.0)
+    app = Application(cfg)
+    rl = app.setup_default_layers()
+    # fresh layer: no fence has succeeded yet -> grace applies
+    assert not rl._fence_graced
+    assert rl._fence_deadline() == 300.0
+    app.run(max_frames=1)  # sync_every=1: frame 0 fences (CPU: instant)
+    assert rl._fence_graced
+    assert rl._fence_deadline() == 7.0
+    # new shape = new executable on every accel path -> grace re-arms
+    rl.resize(rl.cfg.width, rl.cfg.height + 16)
+    assert not rl._fence_graced
+    assert rl._fence_deadline() == 300.0
+    app.run(max_frames=1)
+    assert rl._fence_graced and rl._fence_deadline() == 7.0
+    # grace never LOWERS the bar: a generous fence_timeout wins the max
+    rl._fence_graced = False
+    rl.cfg.fence_timeout = 900.0
+    assert rl._fence_deadline() == 900.0
+    app.close()
+
+
 def test_profiler_trace_hooks(tmp_path):
     app = Application(small_cfg())
     rl = app.setup_default_layers()
