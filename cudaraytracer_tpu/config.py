@@ -55,6 +55,12 @@ class RenderConfig:
     adaptive_q: float = 0.95  # fraction of a tile's pixels that must be
     #                           below tau to converge it (MC heavy tails:
     #                           a per-tile max never clears any sane bar)
+    denoise: bool = False  # display-time SVGF-lite denoiser (a-trous
+    #                         wavelet with G-buffer edge-stopping,
+    #                         ops/denoise.py) — beyond-reference; applied
+    #                         at DISPLAY/export time only, never touches
+    #                         the accumulator
+    denoise_iters: int = 4  # a-trous iterations (filter radius 2^i px)
     sync_every: int = 8  # fence the dispatch queue every N frames: each
     #                      fence costs a full host round trip (100-300 ms
     #                      over a tunneled link); 1 = fence every frame
@@ -93,6 +99,8 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--adaptive-tau", dest="adaptive_tau", type=float, default=d.adaptive_tau)
     parser.add_argument("--adaptive-min", dest="adaptive_min", type=int, default=d.adaptive_min)
     parser.add_argument("--adaptive-q", dest="adaptive_q", type=float, default=d.adaptive_q)
+    parser.add_argument("--denoise", action="store_true", default=d.denoise)
+    parser.add_argument("--denoise-iters", dest="denoise_iters", type=int, default=d.denoise_iters)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
     parser.add_argument("--progressive-spp", dest="progressive_spp", type=int, default=d.progressive_spp)
     parser.add_argument("--sync-every", dest="sync_every", type=int, default=d.sync_every)

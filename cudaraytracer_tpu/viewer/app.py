@@ -458,6 +458,40 @@ class RenderLayer(Layer):
                       path, self._spp_done)
 
     # -------------------------------------------------------- output
+    def _gbuffer(self):
+        """First-hit feature buffers for the display-time denoiser, cached
+        per (scene, camera) version — they are deterministic functions of
+        those alone, so flying recomputes once per camera bump and
+        accumulation frames pay nothing (ops/gbuffer.py)."""
+        key = (self._scene_version, self._cam_version,
+               self.cfg.width, self.cfg.height, self.cfg.camera_model)
+        if getattr(self, "_gb_key", None) != key:
+            from ..ops.gbuffer import gbuffer_step
+
+            cam = self.fly.params(aperture=self.cfg.aperture,
+                                  focus_dist=self.cfg.focus_dist)
+            self._gb = gbuffer_step(
+                self.cfg.width, self.cfg.height, self.cfg.camera_model,
+                t_min=self.cfg.t_min, block=self.cfg.block,
+            )(self._sd, cam)
+            self._gb_key = key
+        return self._gb
+
+    def _denoised_mean(self):
+        """Denoised mean LINEAR radiance f32[H,W,3] (device array,
+        render-oriented).  Display-time only: the accumulator is never
+        touched, so toggling the denoiser is instant and lossless."""
+        from ..ops.denoise import denoise_step
+
+        gb = self._gbuffer()
+        var = (self._pallas.variance_plane()
+               if self._pallas is not None and self._pallas.adaptive
+               else None)
+        mean = self._accum / self._display_divisor()
+        step = denoise_step(self.cfg.height, self.cfg.width,
+                            int(getattr(self.cfg, "denoise_iters", 4)))
+        return step(mean, gb.normal, gb.albedo, gb.depth, var)
+
     def framebuffer_rgba8(self, scale: int = 1) -> np.ndarray:
         """uint8[H/scale,W/scale,4], display-oriented (row 0 = top).
 
@@ -466,6 +500,12 @@ class RenderLayer(Layer):
         reference's uv blit (CudaLayer.cpp:402); look_at renders row 0 =
         top already.  ``scale`` downsamples ON DEVICE before the host
         transfer — remote/tunneled links pay scale^2 less bandwidth."""
+        if getattr(self.cfg, "denoise", False):
+            disp = tonemap(self._denoised_mean(), 1)
+            if scale > 1:
+                disp = disp[:: int(scale), :: int(scale)]
+            img = np.asarray(to_rgba8(disp))
+            return img[::-1] if self.cfg.camera_model == "two_plane" else img
         acc = self._accum
         div = self._display_divisor()
         if scale > 1:
@@ -476,14 +516,21 @@ class RenderLayer(Layer):
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
     def display_float(self) -> np.ndarray:
-        img = np.asarray(tonemap(self._accum, self._display_divisor()))
+        if getattr(self.cfg, "denoise", False):
+            img = np.asarray(tonemap(self._denoised_mean(), 1))
+        else:
+            img = np.asarray(tonemap(self._accum, self._display_divisor()))
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
     def radiance_mean(self) -> np.ndarray:
         """Mean LINEAR radiance f32[H,W,3], display-oriented — the HDR
-        output (no gamma, no clamp; the reference can't export at all)."""
-        img = np.asarray(self._accum / self._display_divisor(),
-                         dtype=np.float32)
+        output (no gamma, no clamp; the reference can't export at all).
+        With cfg.denoise the export is the denoised linear radiance."""
+        if getattr(self.cfg, "denoise", False):
+            img = np.asarray(self._denoised_mean(), dtype=np.float32)
+        else:
+            img = np.asarray(self._accum / self._display_divisor(),
+                             dtype=np.float32)
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
     def _display_divisor(self):
@@ -660,6 +707,29 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
     return _step
 
 
+@functools.lru_cache(maxsize=16)
+def _variance_step(height, width, grid, tile_h, tile_w):
+    """Jitted (s1, s2, nlaunch) -> stderr^2[H,W] of the display estimate.
+    The launch means are iid across launches, so the displayed average of
+    n launches has variance var_launch / n (Bessel-corrected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas.render_kernel import tile_activity_plane
+
+    @jax.jit
+    def _run(s1, s2, nlaunch):
+        n_pix = tile_activity_plane(
+            nlaunch, grid, tile_h, tile_w)[:height, :width]
+        n = jnp.maximum(n_pix, 1.0)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        var = var * (n / jnp.maximum(n_pix - 1.0, 1.0))
+        return var / n
+
+    return _run
+
+
 class _PallasPipeline:
     """Megakernel dispatch path (accel='pallas')."""
 
@@ -702,6 +772,7 @@ class _PallasPipeline:
             background_end=_np.asarray(scene.background_end, _np.float32),
         )
         tile_h, tile_w = 16, 256  # measured optimum on v5e (render_kernel.py)
+        self._tile = (tile_h, tile_w)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
@@ -747,6 +818,17 @@ class _PallasPipeline:
 
         m = _np.asarray(self._mask)
         return float(m.mean()) if m.size else 1.0
+
+    def variance_plane(self):
+        """Per-pixel luminance VARIANCE OF THE DISPLAYED ESTIMATE
+        (stderr^2 over the accumulated launch means) — the SVGF variance
+        input for the display-time denoiser (ops/denoise.py).  None unless
+        adaptive stats exist (non-adaptive runs keep no online moments)."""
+        if not self.adaptive:
+            return None
+        return _variance_step(
+            self._cfg.height, self._cfg.width, self._grid, *self._tile
+        )(self._s1, self._s2, self._nlaunch)
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
                    caccum, spp: int = 1):

@@ -68,6 +68,9 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
   <input id=adp type=checkbox onchange="post('/options',{adaptive:this.checked})"> adaptive sampling</label>
   <span id=adpf style="color:#7aa2f7"></span>
  </div>
+ <div><label title="display-time SVGF-lite denoiser (a-trous wavelet, G-buffer edge stopping); never touches the accumulator">
+  <input id=dns type=checkbox onchange="post('/options',{denoise:this.checked})"> denoise</label>
+ </div>
  <div>lens <input id=apert type=number min=0 step=0.02 title="aperture (defocus blur; look_at scenes)">
   focus <input id=fdist type=number min=0.1 step=0.5 title="focus distance">
   <button onclick="post('/options',{aperture:+document.getElementById('apert').value,focus_dist:+document.getElementById('fdist').value})">set</button>
@@ -195,6 +198,7 @@ async function state(){try{const r=await fetch('/state?filter='+encodeURICompone
  if(document.activeElement.id!=='apert')document.getElementById('apert').value=s.options.aperture;
  if(document.activeElement.id!=='fdist')document.getElementById('fdist').value=s.options.focus_dist;
  if(document.activeElement.id!=='adp')document.getElementById('adp').checked=!!s.options.adaptive;
+ if(document.activeElement.id!=='dns')document.getElementById('dns').checked=!!s.options.denoise;
  document.getElementById('adpf').textContent=s.options.adaptive&&s.options.active_tiles!=null?s.options.active_tiles+'% tiles active':'';
  for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
   ['cyaw',s.camera.yaw],['cpitch',s.camera.pitch],['cfov',s.camera.fov]])
@@ -318,6 +322,7 @@ class ViewerServer:
                 "aperture": round(float(rl.cfg.aperture), 4),
                 "focus_dist": round(float(rl.cfg.focus_dist), 4),
                 "adaptive": bool(getattr(rl.cfg, "adaptive", False)),
+                "denoise": bool(getattr(rl.cfg, "denoise", False)),
                 # one small device fetch per state poll, only in adaptive
                 # mode (the mask lives on device; see active_fraction)
                 "active_tiles": (
@@ -492,6 +497,13 @@ class ViewerServer:
                 rl._scene_version = -1
                 rtlog.rt_info("Adaptive sampling %s",
                               "enabled" if want else "disabled")
+        if "denoise" in data:
+            # DISPLAY-time toggle: the accumulator is untouched, so no
+            # accumulation restart and no pipeline rebuild — the next
+            # frame fetch simply routes through ops/denoise.py
+            rl.cfg.denoise = bool(data["denoise"])
+            rtlog.rt_info("Denoiser %s",
+                          "enabled" if rl.cfg.denoise else "disabled")
         if "aperture" in data or "focus_dist" in data:
             # thin-lens defocus blur (look_at camera; RTOW 12.2 semantics).
             # aperture/focus ride the per-frame camera vector — a traced
