@@ -69,7 +69,42 @@ def cmd_render(cfg, args):
     else:
         save_png(args.output, rl.framebuffer_rgba8(), flip_vertical=False)
     rtlog.rt_info("Wrote %s", args.output)
+    if getattr(args, "aov", None):
+        _write_aov(rl, args.aov)
     app.close()
+
+
+def _write_aov(rl, path: str):
+    """Export the G-buffer AOVs: .npz = raw f32 arrays; any other path is
+    a prefix for three PNG visualizations (normal mapped 0.5n+0.5, albedo
+    gamma-2 like the display, depth normalized to its max)."""
+    import numpy as np
+
+    aov = rl.aov()
+    if path.lower().endswith(".npz"):
+        np.savez(path, **aov)
+        rtlog.rt_info("Wrote %s (normal/albedo/depth f32 arrays)", path)
+        return
+    from .utils.image import save_png as _save
+
+    def u8(x):
+        return (np.clip(x, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+    vis = {
+        "normal": u8(aov["normal"] * 0.5 + 0.5),
+        "albedo": u8(np.sqrt(np.clip(aov["albedo"], 0.0, 1.0))),
+        # robust scale: a ground plane's horizon t is enormous and a max
+        # normalization would crush everything else to black
+        "depth": u8(aov["depth"] / max(
+            float(np.percentile(aov["depth"][aov["depth"] > 0], 95.0))
+            if (aov["depth"] > 0).any() else 1.0, 1e-6)),
+    }
+    for name, img in vis.items():
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        out = f"{path}_{name}.png"
+        _save(out, img, flip_vertical=False)
+        rtlog.rt_info("Wrote %s", out)
 
 
 def cmd_serve(cfg, args):
@@ -123,6 +158,13 @@ def main(argv=None):
     config_mod.add_arguments(p_render)
     add_obj_args(p_render)
     p_render.add_argument("-o", "--output", default="render.png")
+    p_render.add_argument("--aov", default=None, metavar="PATH",
+                          help="also export the first-hit feature buffers "
+                               "(G-buffer AOVs: normal/albedo/depth). A "
+                               ".npz path writes the raw f32 arrays; any "
+                               "other path is a prefix for three PNG "
+                               "visualizations (<p>_normal/_albedo/"
+                               "_depth.png)")
     p_render.add_argument("--frames", type=int, default=None,
                           help="progressive frames (default: spp)")
     p_render.add_argument("--cpu", action="store_true")

@@ -533,6 +533,17 @@ class RenderLayer(Layer):
                              dtype=np.float32)
         return img[::-1] if self.cfg.camera_model == "two_plane" else img
 
+    def aov(self) -> dict:
+        """G-buffer AOVs as display-oriented numpy arrays: ``normal``
+        f32[H,W,3] (unit, zeros on miss), ``albedo`` f32[H,W,3] (first-hit
+        texture color, sky on miss), ``depth`` f32[H,W] (hit t, 0 on
+        miss).  Beyond-reference: the CUDA kernel writes only the beauty
+        image (Kernel.cu:102-158)."""
+        gb = self._gbuffer()
+        flip = self.cfg.camera_model == "two_plane"
+        return {k: (np.asarray(v)[::-1] if flip else np.asarray(v))
+                for k, v in gb._asdict().items()}
+
     def _display_divisor(self):
         """Per-pixel sample counts for image-texture scenes (sum/count is
         the Wald-consistent estimator), scalar accumulated spp otherwise."""

@@ -181,6 +181,36 @@ def test_render_layer_denoised_display():
     app.close()
 
 
+def test_render_layer_aov_export(tmp_path):
+    from cudaraytracer_tpu.__main__ import _write_aov
+    from cudaraytracer_tpu.config import RenderConfig
+    from cudaraytracer_tpu.viewer.app import Application
+
+    cfg = RenderConfig(width=40, height=30, max_depth=3, scene="default",
+                       accel="bvh")
+    app = Application(cfg)
+    rl = app.setup_default_layers()
+    app.run(max_frames=1)
+    aov = rl.aov()
+    assert set(aov) == {"normal", "albedo", "depth"}
+    assert aov["normal"].shape == (30, 40, 3)
+    assert aov["depth"].shape == (30, 40)
+    # display orientation: the default scene's ground occupies the image
+    # BOTTOM, so hits concentrate in the lower half after the flip
+    hit = aov["depth"] > 0
+    assert hit[15:].mean() > hit[:15].mean()
+    # .npz round trip
+    p = tmp_path / "aov.npz"
+    _write_aov(rl, str(p))
+    z = np.load(p)
+    np.testing.assert_array_equal(z["depth"], aov["depth"])
+    # PNG visualization prefix form
+    _write_aov(rl, str(tmp_path / "vis"))
+    for name in ("normal", "albedo", "depth"):
+        assert (tmp_path / f"vis_{name}.png").exists()
+    app.close()
+
+
 def test_viewer_denoise_toggle_e2e():
     from cudaraytracer_tpu.config import RenderConfig
     from cudaraytracer_tpu.viewer.app import Application
