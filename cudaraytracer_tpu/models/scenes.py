@@ -377,6 +377,16 @@ def terrain_scene(capacity: int = 1024, n: int = 23) -> Scene:
     return scene
 
 
+def terrain_big_scene(capacity: int = 32768, n: int = 101) -> Scene:
+    """Large-scene workload: the terrain heightfield at 20,000 textured
+    smooth-shaded triangles — 3.3x past the megakernel's measured vattr
+    SMEM ceiling (BASELINE.md "SMEM primitive ceiling"), so accel='auto'
+    routes it to the XLA skip-link BVH path (log-depth traversal, the
+    reference's scaling mechanism, Hittable.cuh:387-439).  Exercises the
+    framework's beyond-SMEM scene-size story end to end."""
+    return terrain_scene(capacity=capacity, n=n)
+
+
 def terrain_camera(**kw):
     return make_camera_params(
         origin=(0.0, 2.4, 5.2), forward=(0.0, -0.42, -1.0), fov_deg=55.0,
@@ -461,6 +471,7 @@ SCENES = {
     "mesh_demo": (mesh_demo_scene, mesh_demo_camera),
     "mesh_smooth": (mesh_smooth_scene, mesh_demo_camera),
     "terrain": (terrain_scene, terrain_camera),
+    "terrain_big": (terrain_big_scene, terrain_camera),
 }
 
 # Each registered camera was authored for one projection model; rendering
@@ -478,6 +489,7 @@ CAMERA_MODELS = {
     "mesh_demo": "look_at",
     "mesh_smooth": "look_at",
     "terrain": "look_at",
+    "terrain_big": "look_at",
 }
 
 

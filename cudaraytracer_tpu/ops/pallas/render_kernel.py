@@ -92,6 +92,23 @@ P_CX, P_CY, P_CZ, P_MPARAM, P_PACKA, P_PACKB, P_PACKC, \
     P_HA, P_HB = range(9)
 P_ROWS = 7
 P_ROWS_UV = 9
+
+# Measured SMEM primitive ceilings on v5e (tools/smem_probe.py bisection;
+# BASELINE.md "SMEM primitive ceiling"): the S/P/cluster/super tables are
+# SMEM-resident (dynamic per-prim scalar loads), so megakernel capacity is
+# scalar-memory-bound, not HBM-bound.  Scenes beyond the ceiling render on
+# the XLA skip-link BVH path (log-depth traversal, arbitrary prim count).
+SMEM_PRIM_CEILING = {"plain": 10144, "vattr": 6064}
+
+
+def fits_megakernel(n_active: int, has_vattrs: bool) -> bool:
+    """Conservative pre-check (96% of the bisected ceiling) that a scene's
+    packed tables fit the megakernel's SMEM.  Used by accel='auto'/'pallas'
+    routing so an oversized scene goes straight to the BVH path instead of
+    paying a failed (minutes-long, over a tunneled link) Mosaic compile;
+    the reactive try/except fallback in viewer/app.py stays as backstop."""
+    ceiling = SMEM_PRIM_CEILING["vattr" if has_vattrs else "plain"]
+    return n_active <= int(ceiling * 0.96)
 # Per-vertex mesh attributes (BEYOND-REFERENCE, scene.has_vertex_attrs)
 # append rows AFTER the base layout (base = P_ROWS_UV if with_uv else
 # P_ROWS):

@@ -185,6 +185,23 @@ class RenderLayer(Layer):
             if self.cfg.accel == "bvh":
                 self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "pallas":
+                from ..ops.pallas.render_kernel import fits_megakernel
+
+                if not fits_megakernel(self.scene.num_active,
+                                       self.scene.has_vertex_attrs):
+                    # beyond the measured SMEM table ceiling: route to the
+                    # XLA skip-link BVH (log-depth, arbitrary prim count)
+                    # instead of paying a doomed Mosaic compile
+                    rtlog.rt_warn(
+                        "Scene (%d prims%s) exceeds the megakernel SMEM "
+                        "ceiling; using the XLA BVH path",
+                        self.scene.num_active,
+                        ", vattr" if self.scene.has_vertex_attrs else "")
+                    self.cfg.accel = "bvh"
+                    self.metrics.accel = "bvh"
+                    self._pallas = None
+                    self._bvh = build_bvh(self.scene)
+            if self.cfg.accel == "pallas":
                 try:
                     # a _pallas_step cache miss here means the pipeline just
                     # created a FRESH jitted step (new shape/flag combo) —

@@ -493,3 +493,87 @@ def test_pallas_triangles_match_xla():
     xb = xla.reshape(4, 8, 12, 8, 3).mean((1, 3))
     assert np.abs(pb - xb).max() < 0.3
     assert abs(pal.mean() - xla.mean()) < 0.02
+
+
+def test_bulk_add_mesh_matches_per_face_add_triangle():
+    """add_mesh's vectorized bulk insert must be bit-identical to F
+    sequential add_triangle calls (same slot order, same defaults, same
+    validation) — table packing and save/load depend on it."""
+    from cudaraytracer_tpu.models.scene import METAL, Scene
+
+    v, f = mesh.icosphere(1)
+    rng = np.random.RandomState(0)
+    uv = rng.rand(len(v), 2).astype(np.float32)
+    nrm = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+    s_bulk = Scene(capacity=128)
+    s_bulk.add_mesh(v, f, uvs=uv, normals=nrm, mat_type=METAL,
+                    albedo=(0.8, 0.7, 0.6), fuzz=0.1)
+    s_loop = Scene(capacity=128)
+    ids = []
+    for (a, b, c) in f:
+        ids.append(s_loop.add_triangle(
+            v[a], v[b], v[c], uv=uv[[a, b, c]], normals=nrm[[a, b, c]],
+            mat_type=METAL, albedo=(0.8, 0.7, 0.6), fuzz=0.1))
+    s_loop.mesh_id[ids] = 0
+
+    for name in ("prim_type", "active", "center", "size", "mat_type",
+                 "fuzz", "ior", "light", "tex_type", "albedo", "albedo2",
+                 "tex_id", "edge1", "edge2", "uv0", "uv1", "uv2",
+                 "vnorm0", "vnorm1", "vnorm2", "mesh_id"):
+        assert np.array_equal(getattr(s_bulk, name),
+                              getattr(s_loop, name)), name
+
+
+def test_bulk_add_mesh_grows_and_validates():
+    from cudaraytracer_tpu.models.scene import Scene
+
+    v, f = mesh.icosphere(1)  # 80 faces
+    sc = Scene(capacity=16)
+    sc.add_mesh(v, f)  # forces capacity growth mid-insert
+    assert sc.num_active == len(f)
+    assert sc.capacity >= len(f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sc.add_mesh(v, f, normals=np.zeros_like(v))  # zero-length normals
+    bad_uv = np.zeros((len(v), 3), np.float32)  # wrong trailing dim
+    with _pytest.raises((ValueError, IndexError)):
+        sc.add_mesh(v, f, uvs=bad_uv)
+
+
+def test_oversized_scene_routes_to_bvh():
+    """A scene past the megakernel's measured SMEM ceiling must route to
+    the XLA BVH path proactively (no doomed Mosaic compile attempt)."""
+    from cudaraytracer_tpu.config import RenderConfig
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        SMEM_PRIM_CEILING, fits_megakernel)
+    from cudaraytracer_tpu.viewer.app import Application
+
+    assert fits_megakernel(1000, False) and fits_megakernel(1000, True)
+    assert not fits_megakernel(SMEM_PRIM_CEILING["plain"] + 1, False)
+    assert not fits_megakernel(SMEM_PRIM_CEILING["vattr"] + 1, True)
+    # 3.3x past the vattr ceiling: terrain_big (20k textured triangles)
+    from cudaraytracer_tpu.models import scenes as scn
+
+    sc = scn.terrain_big_scene(capacity=32768, n=51)  # 5k tris > 6064*0.96? no
+    # n=51 -> 5000 tris (fits); bump with standalone spheres to cross
+    need = int(SMEM_PRIM_CEILING["vattr"] * 0.96) + 10 - sc.num_active
+    for i in range(max(need, 0)):
+        sc.add_sphere((i * 0.1, -50.0, 0.0), 0.01)
+    assert not fits_megakernel(sc.num_active, sc.has_vertex_attrs)
+
+    cfg = RenderConfig(width=32, height=16, max_depth=2,
+                       scene="terrain_big", accel="pallas",
+                       camera_model="look_at")
+    app = Application(cfg)
+    from cudaraytracer_tpu.viewer.app import RenderLayer
+
+    rl = RenderLayer(cfg, scene=sc)
+    app.push_layer(rl)
+    assert rl.cfg.accel == "bvh"  # proactively rerouted
+    assert rl._pallas is None and rl._bvh is not None
+    app.run(max_frames=1)
+    img = rl.framebuffer_rgba8()
+    assert img.shape == (16, 32, 4)
+    app.close()
