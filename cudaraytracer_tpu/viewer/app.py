@@ -194,7 +194,10 @@ class RenderLayer(Layer):
                     # instead of paying a doomed Mosaic compile
                     rtlog.rt_warn(
                         "Scene (%d prims%s) exceeds the megakernel SMEM "
-                        "ceiling; using the XLA BVH path",
+                        "ceiling; using the XLA BVH path (production-grade "
+                        "on CPU; on TPU correctness-class — reduce the "
+                        "resolution, see BASELINE.md 'XLA skip-link BVH "
+                        "path measured ON TPU')",
                         self.scene.num_active,
                         ", vattr" if self.scene.has_vertex_attrs else "")
                     self.cfg.accel = "bvh"
