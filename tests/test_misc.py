@@ -268,3 +268,23 @@ def test_pfm_roundtrip_and_cli_hdr(tmp_path):
     # same frames (same seed): png == gamma-2(clamped hdr) within quantization
     want = np.sqrt(np.clip(hdr, 0.0, 1.0))
     assert np.abs(want - png).max() < 1.5 / 255.0 + 1e-4
+
+
+def test_stream_probe_interpret_smoke():
+    """tools/stream_probe.py (the round-4 table-streaming feasibility
+    harness) must keep running: interpret mode validates the in-kernel
+    HBM->SMEM copy semantics (checksummed reads through the SMEM scratch)
+    on CPU.  The 512 B/copy Mosaic ceiling itself is hardware-only
+    (BASELINE.md "Table-streaming feasibility")."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "tools/stream_probe.py", "--interpret",
+         "--tile-len", "64", "--lo", "4", "--hi", "16"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "interpret"
+    for variant in ("resident", "stream"):
+        assert "us_per_tile" in out[variant], out  # no error key: sums OK
