@@ -43,14 +43,28 @@ def main():
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
+    from cudaraytracer_tpu.ops.pallas.render_kernel import fits_megakernel
+
     for name in scenes.SCENES:
         cam_model = scenes.camera_model_for(name)
         make_scene, make_cam = scenes.SCENES[name]
         scene = make_scene()
         cam = make_cam()
         sd = scene.device()
+        # beyond the megakernel SMEM ceiling (terrain_big, 20k tris): the
+        # BVH path renders it on either backend, but it is gather-bound
+        # on TPU and O(minutes) on CPU at gallery spp — 1 spp only
+        oversized = not fits_megakernel(scene.num_active,
+                                        scene.has_vertex_attrs)
+        if oversized and not on_tpu:
+            # O(tens of minutes) on the CPU wavefront at 20k tris — the
+            # checked-in terrain_big.png is the TPU BVH-path render
+            print(f"{name}: skipped on cpu (beyond-SMEM scene; "
+                  f"render with --tpu)")
+            continue
+        spp = 1 if oversized else args.spp
         t0 = time.perf_counter()
-        if on_tpu:
+        if on_tpu and not oversized:
             # the fast path: Pallas megakernel, all spp in one launch
             from cudaraytracer_tpu.ops.pallas.render_kernel import (
                 pack_camera, pack_scene_tables, pallas_render_sample)
@@ -108,9 +122,9 @@ def main():
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)
             bvh = build_bvh(scene)
-            rad = r.render(sd, cam, rngu.base_key(), spp=args.spp,
+            rad = r.render(sd, cam, rngu.base_key(), spp=spp,
                            max_depth=args.depth, bvh=bvh)
-        img = np.asarray(pack_rgba8(rad, args.spp))
+        img = np.asarray(pack_rgba8(rad, spp))
         dt = time.perf_counter() - t0
         path = os.path.join(outdir, f"{name}.png")
         # two_plane framebuffers are bottom-up; look_at is top-down
