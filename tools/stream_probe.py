@@ -33,6 +33,15 @@ feasibility"): HBM->SMEM copies lower and run, but only at tile_len
 <= 128 int32 (512 B, one 128-lane row) per copy; 192+ crashes the
 Mosaic compile helper while the resident control compiles at every
 size.  Per-copy overhead is under tunnel noise (~0.05-0.35 us).
+
+``--rows R`` (R > 1) asks the follow-up question that decides the
+streamed-megakernel design: a supercluster's table tile is 2-D
+(f32[rows=16..34, cols<=112]), so is ONE 2-D copy legal (destination
+rows*cols words > the 1-D 128-word cap but each row under it), or must
+the kernel chain R per-row copies?  Adds variants:
+  stream2d   — one make_async_copy of the whole [R, tile_len] tile
+  streamrows — R per-row copies, all started back-to-back, then waited
+               (the chained form the kernel would use if 2d fails)
 """
 
 from __future__ import annotations
@@ -45,13 +54,17 @@ import time
 import numpy as np
 
 
-def _build(variant: str, n_tiles: int, tile_len: int, interpret: bool):
+def _build(variant: str, n_tiles: int, tile_len: int, interpret: bool,
+           rows: int = 1):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     reads = 32  # dynamic scalar reads per tile (megakernel: ~rows/prim)
+
+    if rows > 1:
+        return _build_2d(variant, n_tiles, tile_len, rows, reads, interpret)
 
     def kernel_stream(tab_ref, out_ref, smem, sem):
         def tile_body(i, acc):
@@ -103,12 +116,89 @@ def _build(variant: str, n_tiles: int, tile_len: int, interpret: bool):
     return functools.partial(jax.jit(fn), tab)
 
 
-def _expected(n_tiles: int, tile_len: int) -> int:
+def _build_2d(variant: str, n_tiles: int, tile_len: int, rows: int,
+              reads: int, interpret: bool):
+    """rows>1 variants: the table is f32-sized int32[n_tiles, rows,
+    tile_len] — one supercluster-tile per leading index, exactly the
+    streamed megakernel's layout."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def reads_body(i, acc, at):
+        def rd(j, a):
+            return a + at((i * 3 + j * 5) % rows,
+                          (i * 7 + j * 13) % tile_len)
+
+        return jax.lax.fori_loop(0, reads, rd, acc)
+
+    def kernel_stream2d(tab_ref, out_ref, smem, sem):
+        def tile_body(i, acc):
+            cp = pltpu.make_async_copy(tab_ref.at[i], smem, sem)
+            cp.start()
+            cp.wait()
+            return reads_body(i, acc, lambda r, c: smem[r, c])
+
+        out_ref[0, 0] = jax.lax.fori_loop(0, n_tiles, tile_body,
+                                          jnp.int32(0))
+
+    def kernel_streamrows(tab_ref, out_ref, smem, sem):
+        def tile_body(i, acc):
+            # chained form: start every row copy back-to-back (the DMA
+            # engine overlaps them), then wait them all — the issue cost
+            # of this loop is the quantity the streamed kernel design
+            # needs (rows starts per supercluster visit)
+            cps = [pltpu.make_async_copy(tab_ref.at[i, r], smem.at[r], sem)
+                   for r in range(rows)]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            return reads_body(i, acc, lambda r, c: smem[r, c])
+
+        out_ref[0, 0] = jax.lax.fori_loop(0, n_tiles, tile_body,
+                                          jnp.int32(0))
+
+    def kernel_resident(tab_ref, out_ref):
+        def tile_body(i, acc):
+            return reads_body(i, acc, lambda r, c: tab_ref[i, r, c])
+
+        out_ref[0, 0] = jax.lax.fori_loop(0, n_tiles, tile_body,
+                                          jnp.int32(0))
+
+    tab = jnp.arange(n_tiles * rows * tile_len, dtype=jnp.int32).reshape(
+        n_tiles, rows, tile_len)
+    out_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    common = dict(out_shape=out_shape,
+                  out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                  interpret=bool(interpret))
+    if variant == "resident":
+        fn = pl.pallas_call(
+            kernel_resident,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            **common,
+        )
+    else:
+        fn = pl.pallas_call(
+            kernel_stream2d if variant == "stream2d" else kernel_streamrows,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            scratch_shapes=[
+                pltpu.SMEM((rows, tile_len), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            **common,
+        )
+    return functools.partial(jax.jit(fn), tab)
+
+
+def _expected(n_tiles: int, tile_len: int, rows: int = 1) -> int:
     reads = 32
     i = np.arange(n_tiles)[:, None]
     j = np.arange(reads)[None, :]
-    idx = (i * 7 + j * 13) % tile_len
-    vals = (i * tile_len + idx).astype(np.int64)
+    c = (i * 7 + j * 13) % tile_len
+    r = (i * 3 + j * 5) % rows if rows > 1 else 0
+    vals = ((i * rows + r) * tile_len + c).astype(np.int64)
     return int(np.int32(vals.sum() & 0xFFFFFFFF))  # int32 wraparound
 
 
@@ -134,6 +224,10 @@ def main():
                     help="tile counts for the slope (resident variant "
                          "holds hi*tile_len*4 B in SMEM — keep under "
                          "the ~1 MB ceiling)")
+    ap.add_argument("--rows", type=int, default=1,
+                    help=">1: 2-D supercluster-tile variants (stream2d = "
+                         "one [rows, tile_len] copy; streamrows = rows "
+                         "chained per-row copies)")
     args = ap.parse_args()
 
     if args.interpret:
@@ -141,29 +235,34 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    out: dict = {"tile_len": args.tile_len,
+    out: dict = {"tile_len": args.tile_len, "rows": args.rows,
                  "mode": "interpret" if args.interpret else "compiled"}
     n_lo, n_hi = args.lo, args.hi
-    for variant in ("resident", "stream"):
+    variants = (("resident", "stream") if args.rows == 1
+                else ("resident", "stream2d", "streamrows"))
+    for variant in variants:
         try:
-            f_lo = _build(variant, n_lo, args.tile_len, args.interpret)
-            f_hi = _build(variant, n_hi, args.tile_len, args.interpret)
+            f_lo = _build(variant, n_lo, args.tile_len, args.interpret,
+                          rows=args.rows)
+            f_hi = _build(variant, n_hi, args.tile_len, args.interpret,
+                          rows=args.rows)
             got = int(np.asarray(f_lo())[0, 0])
-            want = _expected(n_lo, args.tile_len)
+            want = _expected(n_lo, args.tile_len, rows=args.rows)
             if got != want:
                 raise AssertionError(f"wrong sum: {got} != {want}")
             ms_lo, ms_hi = _time(f_lo), _time(f_hi)
             per_tile_us = (ms_hi - ms_lo) / (n_hi - n_lo) * 1e3
-            out[variant] = {"ms_64": round(ms_lo, 4),
-                            "ms_512": round(ms_hi, 4),
+            out[variant] = {"ms_lo": round(ms_lo, 4),
+                            "ms_hi": round(ms_hi, 4),
                             "us_per_tile": round(per_tile_us, 3)}
         except Exception as e:  # noqa: BLE001 — the error IS the result
             out[variant] = {"error": f"{type(e).__name__}: {e}"[:300]}
-    if ("us_per_tile" in out.get("stream", {})
-            and "us_per_tile" in out.get("resident", {})):
-        out["dma_overhead_us_per_tile"] = round(
-            out["stream"]["us_per_tile"] - out["resident"]["us_per_tile"],
-            3)
+    for variant in variants[1:]:
+        if ("us_per_tile" in out.get(variant, {})
+                and "us_per_tile" in out.get("resident", {})):
+            out[f"dma_overhead_us_per_tile_{variant}"] = round(
+                out[variant]["us_per_tile"]
+                - out["resident"]["us_per_tile"], 3)
     print(json.dumps(out))
 
 
