@@ -595,6 +595,182 @@ def pack_camera_np(cam, background_start, background_end,
 
 # ----------------------------------------------------------------- kernel
 
+def _make_search_parts(
+    sread, ox, oy, oz, dx, dy, dz,
+    t_min, has_tris: bool, carry_uv: bool, cluster: int,
+    with_rec: bool = False,
+):
+    """Build the per-primitive test closures shared by the resident and the
+    streamed search.  ``sread(row, j)`` abstracts the S-table access: the
+    resident search reads the global SMEM table, the streamed search reads
+    the current block's SMEM scratch at block-local columns.  ``with_rec``
+    threads a scalar record-offset through the prim-loop carry so the
+    streamed search can record GLOBAL primitive ids while reading LOCAL
+    columns (resident callers trace exactly the historical code).
+
+    Returns (box_any, run_sphere, run_rect, run_dual, run_tri) where
+    box_any(ref, ci, best_t) gates on resident AABB tables and the run_*
+    prim loops consume the search carry (see _prim_loop below).
+    """
+    inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+    def _box_any(ref, ci, best_t):
+        """Does ANY lane hit box `ci` of `ref` closer than its best_t?"""
+        cx0, cy0, cz0 = ref[0, ci], ref[1, ci], ref[2, ci]
+        cx1, cy1, cz1 = ref[3, ci], ref[4, ci], ref[5, ci]
+        tx0 = (cx0 - ox) * inv_dx
+        tx1 = (cx1 - ox) * inv_dx
+        ty0 = (cy0 - oy) * inv_dy
+        ty1 = (cy1 - oy) * inv_dy
+        tz0 = (cz0 - oz) * inv_dz
+        tz1 = (cz1 - oz) * inv_dz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+        )
+        return jnp.any(tfar > tnear)
+
+    def _sphere_test(j, best_t):
+        # sphere quadratic (Hittable.cuh:80-110) with a == 1; the direct
+        # o-c form is f32-stable at any distance from the world origin
+        # (the expanded o.o - 2 c.o + |c|^2 form cancels catastrophically
+        # for far-away geometry, and measured no faster)
+        cxj, cyj, czj = sread(S_CX, j), sread(S_CY, j), sread(S_CZ, j)
+        ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - sread(S_R2, j)
+        disc = bq * bq - cq
+        # x*rsqrt(x) measured ~3% faster than sqrt(x) on v5e (same math
+        # to 1 ulp; hardware rsqrt outpaces hardware sqrt)
+        dpos = jnp.maximum(disc, 1e-30)
+        sq = dpos * lax.rsqrt(dpos)
+        nb = -bq
+        t0 = nb - sq
+        # root selection, exact reference semantics in fewer ops:
+        # t1 >= t0 always, so "t0 if t0 in window else t1" reduces to
+        # "t0 if t0 > t_min else t1" with a single window test after
+        t_s = jnp.where(t0 > t_min, t0, nb + sq)
+        hit_s = (disc > 0.0) & (t_s > t_min) & (t_s < best_t)
+        return hit_s, t_s
+
+    def _rect_test(j, best_t):
+        # rect (Hittable.cuh:128-294) with precomputed plane consts
+        kax = sread(S_KAX, j)
+        o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
+        d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
+        t_r = (sread(S_CK, j) - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
+        aax = sread(S_AAX, j)
+        bax = sread(S_BAX, j)
+        o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
+        d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
+        o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
+        d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
+        p_a = o_a + t_r * d_a
+        p_b = o_b + t_r * d_b
+        hit_r = (
+            (t_r > t_min) & (t_r < best_t)
+            & (jnp.abs(p_a - sread(S_CA, j)) <= sread(S_HA, j))
+            & (jnp.abs(p_b - sread(S_CB, j)) <= sread(S_HB, j))
+        )
+        return hit_r, t_r
+
+    def _tri_test(j, best_t):
+        # Havel-Herout precomputed-plane test (module tables comment):
+        #   t = (d_n - N.o)/(N.d);  p = o + t d;  u = p.n1 + d1;
+        #   v = p.m2 + d2 — no cross product, one inv-multiply.
+        nx, ny, nz = sread(S_NX, j), sread(S_NY, j), sread(S_NZ, j)
+        denom = dx * nx + dy * ny + dz * nz
+        ok = jnp.abs(denom) > 1e-9
+        inv = 1.0 / jnp.where(ok, denom, 1.0)
+        t_t = (sread(S_DN, j) - (ox * nx + oy * ny + oz * nz)) * inv
+        px = ox + t_t * dx
+        py = oy + t_t * dy
+        pz = oz + t_t * dz
+        u = (px * sread(S_N1X, j) + py * sread(S_N1Y, j)
+             + pz * sread(S_N1Z, j) + sread(S_D1, j))
+        v = (px * sread(S_M2X, j) + py * sread(S_M2Y, j)
+             + pz * sread(S_M2Z, j) + sread(S_D2, j))
+        hit_t = (
+            ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_t > t_min) & (t_t < best_t)
+        )
+        return hit_t, t_t, u, v
+
+    def _dual_test(j, best_t):
+        ptype = sread(S_PTYPE, j)
+        is_sphere = ptype < 0.5
+        hit_s, t_s = _sphere_test(j, best_t)
+        hit_r, t_r = _rect_test(j, best_t)
+        t_j = jnp.where(is_sphere, t_s, t_r)
+        # boolean select via logic ops (Mosaic can't select i1 vectors)
+        hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
+        if has_tris:
+            is_tri = ptype > 3.5
+            hit_t, t_t, u_t, v_t = _tri_test(j, best_t)
+            t_j = jnp.where(is_tri, t_t, t_j)
+            hit_j = (is_tri & hit_t) | (~is_tri & hit_j)
+            if carry_uv:
+                return hit_j, t_j, u_t, v_t  # non-tri winners: uv is junk,
+                # exactly like the plane-reconstruction path (masked by
+                # is_tri_p at use)
+        return hit_j, t_j
+
+    def _prim_loop(test, test_uv: bool = False):
+        """``test_uv``: the test emits candidate (u, v) and the loop
+        carries the winner's pair (only meaningful when carry_uv)."""
+        def prim_quad(i, carry):
+            """Four primitives per step: all tested against the SAME stale
+            best_t (independent -> instruction-level parallelism, breaking
+            the serial best_t dependency chain), then applied in order with
+            an exact (t < running best) re-check — the stale window is a
+            superset, so the winner is exact."""
+            if with_rec:
+                rec = carry[-1]
+                carry = carry[:-1]
+            if carry_uv:
+                best_t, best_j, best_u, best_v, base = carry
+            else:
+                best_t, best_j, base = carry
+            j0 = base + 4 * i
+            res = [test(j0 + k, best_t) for k in range(4)]
+            for k, r in enumerate(res):
+                hitk, tk = r[0], r[1]
+                if k:
+                    hitk = hitk & (tk < best_t)
+                best_t = jnp.where(hitk, tk, best_t)
+                rec_jk = (jnp.float32(j0 + k) + rec if with_rec
+                          else jnp.float32(j0 + k))
+                best_j = jnp.where(hitk, rec_jk, best_j)
+                if carry_uv and test_uv:
+                    best_u = jnp.where(hitk, r[2], best_u)
+                    best_v = jnp.where(hitk, r[3], best_v)
+            if carry_uv:
+                out = (best_t, best_j, best_u, best_v, base)
+            else:
+                out = (best_t, best_j, base)
+            if with_rec:
+                out = out + (rec,)
+            return out
+
+        def run(carry):
+            out = lax.fori_loop(0, cluster // 4, prim_quad, carry)
+            return out[:-1] + (carry[-1],)
+
+        return run
+
+    run_sphere = _prim_loop(_sphere_test)
+    run_rect = _prim_loop(_rect_test)
+    run_dual = _prim_loop(_dual_test, test_uv=True)
+    run_tri = _prim_loop(_tri_test, test_uv=True)
+    return _box_any, run_sphere, run_rect, run_dual, run_tri
+
+
 def hierarchical_search(
     s_ref, clus_ref, super_ref, n_super,
     ox, oy, oz, dx, dy, dz,
@@ -633,153 +809,10 @@ def hierarchical_search(
     clusters within supers too was measured SLOWER: the per-super sort
     costs more scalar work than 4-element segments can prune.)
     """
-    inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-    inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-    inv_dz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-
-    def _box_any(ref, ci, best_t):
-        """Does ANY lane hit box `ci` of `ref` closer than its best_t?"""
-        cx0, cy0, cz0 = ref[0, ci], ref[1, ci], ref[2, ci]
-        cx1, cy1, cz1 = ref[3, ci], ref[4, ci], ref[5, ci]
-        tx0 = (cx0 - ox) * inv_dx
-        tx1 = (cx1 - ox) * inv_dx
-        ty0 = (cy0 - oy) * inv_dy
-        ty1 = (cy1 - oy) * inv_dy
-        tz0 = (cz0 - oz) * inv_dz
-        tz1 = (cz1 - oz) * inv_dz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), t_min),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-        )
-        return jnp.any(tfar > tnear)
-
-    def _sphere_test(j, best_t):
-        # sphere quadratic (Hittable.cuh:80-110) with a == 1; the direct
-        # o-c form is f32-stable at any distance from the world origin
-        # (the expanded o.o - 2 c.o + |c|^2 form cancels catastrophically
-        # for far-away geometry, and measured no faster)
-        cxj, cyj, czj = s_ref[S_CX, j], s_ref[S_CY, j], s_ref[S_CZ, j]
-        ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
-        bq = ocx * dx + ocy * dy + ocz * dz
-        cq = ocx * ocx + ocy * ocy + ocz * ocz - s_ref[S_R2, j]
-        disc = bq * bq - cq
-        # x*rsqrt(x) measured ~3% faster than sqrt(x) on v5e (same math
-        # to 1 ulp; hardware rsqrt outpaces hardware sqrt)
-        dpos = jnp.maximum(disc, 1e-30)
-        sq = dpos * lax.rsqrt(dpos)
-        nb = -bq
-        t0 = nb - sq
-        # root selection, exact reference semantics in fewer ops:
-        # t1 >= t0 always, so "t0 if t0 in window else t1" reduces to
-        # "t0 if t0 > t_min else t1" with a single window test after
-        t_s = jnp.where(t0 > t_min, t0, nb + sq)
-        hit_s = (disc > 0.0) & (t_s > t_min) & (t_s < best_t)
-        return hit_s, t_s
-
-    def _rect_test(j, best_t):
-        # rect (Hittable.cuh:128-294) with precomputed plane consts
-        kax = s_ref[S_KAX, j]
-        o_k = jnp.where(kax < 0.5, ox, jnp.where(kax < 1.5, oy, oz))
-        d_k = jnp.where(kax < 0.5, dx, jnp.where(kax < 1.5, dy, dz))
-        t_r = (s_ref[S_CK, j] - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
-        aax = s_ref[S_AAX, j]
-        bax = s_ref[S_BAX, j]
-        o_a = jnp.where(aax < 0.5, ox, jnp.where(aax < 1.5, oy, oz))
-        d_a = jnp.where(aax < 0.5, dx, jnp.where(aax < 1.5, dy, dz))
-        o_b = jnp.where(bax < 0.5, ox, jnp.where(bax < 1.5, oy, oz))
-        d_b = jnp.where(bax < 0.5, dx, jnp.where(bax < 1.5, dy, dz))
-        p_a = o_a + t_r * d_a
-        p_b = o_b + t_r * d_b
-        hit_r = (
-            (t_r > t_min) & (t_r < best_t)
-            & (jnp.abs(p_a - s_ref[S_CA, j]) <= s_ref[S_HA, j])
-            & (jnp.abs(p_b - s_ref[S_CB, j]) <= s_ref[S_HB, j])
-        )
-        return hit_r, t_r
-
-    def _tri_test(j, best_t):
-        # Havel-Herout precomputed-plane test (module tables comment):
-        #   t = (d_n - N.o)/(N.d);  p = o + t d;  u = p.n1 + d1;
-        #   v = p.m2 + d2 — no cross product, one inv-multiply.
-        nx, ny, nz = s_ref[S_NX, j], s_ref[S_NY, j], s_ref[S_NZ, j]
-        denom = dx * nx + dy * ny + dz * nz
-        ok = jnp.abs(denom) > 1e-9
-        inv = 1.0 / jnp.where(ok, denom, 1.0)
-        t_t = (s_ref[S_DN, j] - (ox * nx + oy * ny + oz * nz)) * inv
-        px = ox + t_t * dx
-        py = oy + t_t * dy
-        pz = oz + t_t * dz
-        u = (px * s_ref[S_N1X, j] + py * s_ref[S_N1Y, j]
-             + pz * s_ref[S_N1Z, j] + s_ref[S_D1, j])
-        v = (px * s_ref[S_M2X, j] + py * s_ref[S_M2Y, j]
-             + pz * s_ref[S_M2Z, j] + s_ref[S_D2, j])
-        hit_t = (
-            ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t_t > t_min) & (t_t < best_t)
-        )
-        return hit_t, t_t, u, v
-
-    def _dual_test(j, best_t):
-        ptype = s_ref[S_PTYPE, j]
-        is_sphere = ptype < 0.5
-        hit_s, t_s = _sphere_test(j, best_t)
-        hit_r, t_r = _rect_test(j, best_t)
-        t_j = jnp.where(is_sphere, t_s, t_r)
-        # boolean select via logic ops (Mosaic can't select i1 vectors)
-        hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
-        if has_tris:
-            is_tri = ptype > 3.5
-            hit_t, t_t, u_t, v_t = _tri_test(j, best_t)
-            t_j = jnp.where(is_tri, t_t, t_j)
-            hit_j = (is_tri & hit_t) | (~is_tri & hit_j)
-            if carry_uv:
-                return hit_j, t_j, u_t, v_t  # non-tri winners: uv is junk,
-                # exactly like the plane-reconstruction path (masked by
-                # is_tri_p at use)
-        return hit_j, t_j
-
-    def _prim_loop(test, test_uv: bool = False):
-        """``test_uv``: the test emits candidate (u, v) and the loop
-        carries the winner's pair (only meaningful when carry_uv)."""
-        def prim_quad(i, carry):
-            """Four primitives per step: all tested against the SAME stale
-            best_t (independent -> instruction-level parallelism, breaking
-            the serial best_t dependency chain), then applied in order with
-            an exact (t < running best) re-check — the stale window is a
-            superset, so the winner is exact."""
-            if carry_uv:
-                best_t, best_j, best_u, best_v, base = carry
-            else:
-                best_t, best_j, base = carry
-            j0 = base + 4 * i
-            res = [test(j0 + k, best_t) for k in range(4)]
-            for k, r in enumerate(res):
-                hitk, tk = r[0], r[1]
-                if k:
-                    hitk = hitk & (tk < best_t)
-                best_t = jnp.where(hitk, tk, best_t)
-                best_j = jnp.where(hitk, jnp.float32(j0 + k), best_j)
-                if carry_uv and test_uv:
-                    best_u = jnp.where(hitk, r[2], best_u)
-                    best_v = jnp.where(hitk, r[3], best_v)
-            if carry_uv:
-                return best_t, best_j, best_u, best_v, base
-            return best_t, best_j, base
-
-        def run(carry):
-            out = lax.fori_loop(0, cluster // 4, prim_quad, carry)
-            return out[:-1] + (carry[-1],)
-
-        return run
-
-    run_sphere = _prim_loop(_sphere_test)
-    run_rect = _prim_loop(_rect_test)
-    run_dual = _prim_loop(_dual_test, test_uv=True)
-    run_tri = _prim_loop(_tri_test, test_uv=True)
+    _box_any, run_sphere, run_rect, run_dual, run_tri = _make_search_parts(
+        lambda r, j: s_ref[r, j], ox, oy, oz, dx, dy, dz,
+        t_min, has_tris, carry_uv, cluster,
+    )
 
     def cluster_scan(ci, carry):
         best_t, nclus = carry[0], carry[-1]
