@@ -304,6 +304,81 @@ def pack_scene_tables(scene, with_uv: bool = False,
                                     with_vattrs)
 
 
+class StreamTables(_t.NamedTuple):
+    """Block-tiled tables for the HBM-streamed megakernel (beyond-SMEM
+    scenes).  Built from SceneTables by pack_stream_tiles; shapes are
+    keyed on capacity (the no-recompile invariant holds: edits rebuild
+    values, never shapes)."""
+
+    tiles: "np.ndarray"  # f32[n_blocks_cap, R8, block_b*128] (HBM-streamed)
+    block_boxes: "np.ndarray"  # f32[6, n_blocks_cap] block AABBs (resident)
+    clusters: "np.ndarray"  # f32[7, >=n_blocks_cap*block_b*super_] resident
+    supers: "np.ndarray"  # f32[6, >=n_blocks_cap*block_b] resident
+    n_blocks: int  # USED blocks this packing (even, >= 2; traced arg)
+    prim_map: "np.ndarray"  # i32[NP] packed column -> scene slot (-1 pad)
+    cluster: int
+    super_: int
+    block_b: int  # superclusters per streamed block
+    vattrs: bool
+
+
+STREAM_BLOCK_B = 4  # superclusters per streamed block (512 f32 columns)
+
+
+def pack_stream_tiles(t: SceneTables, block_b: int = STREAM_BLOCK_B
+                      ) -> StreamTables:
+    """Re-tile packed SceneTables for the streamed megakernel.
+
+    Layout (measured Mosaic DMA alignment, tools/stream_probe.py: copied
+    blocks need rows % 8 == 0 and columns % 128 == 0 — the round-3 "512 B
+    ceiling" was this alignment rule in disguise): block bi holds supers
+    bi*block_b + s, one per 128-column page; rows 0-15 are the S table,
+    rows 16..16+p_rows the P table, padded up to a multiple of 8.  Pad
+    pages/columns are zero (never read: prim loops scan only
+    cluster*super_ <= 128 columns per page, and pad supers' point-at-+BIG
+    AABBs fail every gate).  The resident cluster/super tables are padded
+    to cover every probed index; block AABBs union only USED member
+    supers.
+    """
+    span = t.cluster * t.super_
+    assert span <= 128, (t.cluster, t.super_)
+    p_rows = t.P.shape[0]
+    rows = 16 + p_rows
+    r8 = -(-rows // 8) * 8
+    npd = t.S.shape[1]
+    nsc_cap = npd // span
+    n_blocks_cap = max(2, -(-nsc_cap // block_b))
+    n_blocks_cap += n_blocks_cap % 2
+    tiles = np.zeros((n_blocks_cap, r8, block_b * 128), np.float32)
+    for k in range(nsc_cap):
+        bi, s = divmod(k, block_b)
+        tiles[bi, 0:16, s * 128:s * 128 + span] = t.S[:, k * span:(k + 1) * span]
+        tiles[bi, 16:rows, s * 128:s * 128 + span] = (
+            t.P[:, k * span:(k + 1) * span])
+    # resident gate tables must cover every probed super/cluster index
+    need_sc = n_blocks_cap * block_b
+    supers = np.full((6, need_sc), BIG, np.float32)
+    supers[:, :t.supers.shape[1]] = t.supers
+    need_cl = need_sc * t.super_
+    clusters = np.zeros((7, need_cl), np.float32)
+    clusters[0:6, :] = BIG  # degenerate point box: _box_any rejects
+    clusters[:, :t.clusters.shape[1]] = t.clusters
+    # block AABB = union of USED member supers (pads would poison the max)
+    block_boxes = np.full((6, n_blocks_cap), BIG, np.float32)
+    n_used = int(t.n_super)
+    for bi in range(n_blocks_cap):
+        lo, hi = bi * block_b, min((bi + 1) * block_b, n_used)
+        if lo < hi:
+            block_boxes[0:3, bi] = t.supers[0:3, lo:hi].min(axis=1)
+            block_boxes[3:6, bi] = t.supers[3:6, lo:hi].max(axis=1)
+    n_blocks = min(n_blocks_cap, max(2, -(-n_used // block_b)))
+    n_blocks += n_blocks % 2
+    n_blocks = min(n_blocks, n_blocks_cap)
+    return StreamTables(tiles, block_boxes, clusters, supers, n_blocks,
+                        t.prim_map, t.cluster, t.super_, block_b,
+                        t.vattrs)
+
+
 def _pack_scene_tables_numpy(scene, with_uv: bool = False,
                              cluster: int = CLUSTER,
                              super_: int = SUPER,
@@ -863,6 +938,175 @@ def hierarchical_search(
     return lax.fori_loop(0, n_super, super_scan, init + (jnp.float32(0.0),))
 
 
+def _streamed_search_payload(
+    tiles_ref, buf0, buf1, sem0, sem1,
+    clus_ref, super_ref, n_blocks,
+    ox, oy, oz, dx, dy, dz,
+    t_min, best_t0, has_rects: bool,
+    order_ref,
+    cluster: int,
+    super_: int,
+    block_b: int,
+    p_rows: int,
+    has_tris: bool = False,
+    carry_uv: bool = False,
+):
+    """Closest-hit search + FUSED payload over HBM-streamed block tiles.
+
+    The beyond-SMEM capacity path (BASELINE.md "Table-streaming
+    feasibility"): S+P tables live in HBM as per-block tiles
+    f32[n_blocks, R8, block_b*128] (one supercluster per 128-column page,
+    rows 0-15 = S, 16.. = P; R8/columns padded to the measured Mosaic DMA
+    alignment — 8 sublanes x 128 lanes).  Each wave double-buffers whole
+    blocks through two SMEM scratch tiles: visit block ord[k] from slot
+    k%2 while slot (k+1)%2 receives block ord[k+1].  Copies are
+    UNCONDITIONAL (semaphore bookkeeping stays statically balanced — every
+    start is waited exactly once, including two wrap-around prefetches
+    drained after the loop); compute still culls via the resident
+    super/cluster AABB gates, so skipped boxes cost a copy but no vector
+    work.
+
+    Payload reconstruction is fused into the visit: right after a
+    cluster's prim loop, if any lane's RUNNING best lies in that cluster,
+    its payload rows are masked-selected from the resident tile — later
+    winners simply overwrite, so the final registers hold the true
+    winner's payload without re-fetching any tile (the resident kernel's
+    separate payload pass would re-DMA).  Requires n_blocks EVEN and >= 2
+    (pack_stream_tiles pads with inert blocks whose point-at-+BIG boxes
+    never pass a gate).
+
+    Returns (best_t, best_j, [best_u, best_v,] *pay[p_rows], n_entered)
+    with best_j the GLOBAL packed primitive column as f32 (-1 = miss) —
+    identical semantics to hierarchical_search + the payload stage.
+    """
+    span = cluster * super_
+    zeros = jnp.zeros_like(best_t0)
+
+    def make_visitor(buf):
+        parts = _make_search_parts(
+            lambda r, j: buf[r, j], ox, oy, oz, dx, dy, dz,
+            t_min, has_tris, carry_uv, cluster, with_rec=True,
+        )
+        box_any, run_sphere, run_rect, run_dual, run_tri = parts
+
+        def kind_run(ci, carry3):
+            if not (has_rects or has_tris):
+                return run_sphere(carry3)
+            kind = clus_ref[6, ci]
+            if has_tris:
+                return lax.cond(
+                    kind < 0.5, run_sphere,
+                    lambda c: lax.cond(
+                        kind < 1.5, run_rect,
+                        lambda c2: lax.cond(kind < 2.5, run_dual, run_tri,
+                                            c2),
+                        c),
+                    carry3,
+                )
+            return lax.cond(
+                kind < 0.5, run_sphere,
+                lambda c: lax.cond(kind < 1.5, run_rect, run_dual, c),
+                carry3,
+            )
+
+        def visit_super(si, s, carry):
+            """One supercluster resident at page ``s`` of the tile."""
+            best_t = carry[0]
+            any_hit = box_any(super_ref, si, best_t)
+            # record offset: global prim id = local column + rec
+            rec = (si * span - s * 128).astype(jnp.float32)
+
+            def run(carry):
+                def cluster_scan(c, carry):
+                    best_t, nclus = carry[0], carry[-1]
+                    ci = si * super_ + c  # global (resident clus_ref)
+                    any_c = box_any(clus_ref, ci, best_t)
+                    base_l = s * 128 + c * cluster  # block-local column
+
+                    def run_c(carry):
+                        nhit = carry[-1]
+                        pay = carry[-1 - p_rows:-1]
+                        head = carry[:-1 - p_rows]
+                        sc = head + (base_l, rec)
+                        out = kind_run(ci, sc)
+                        best_t2, best_j2 = out[0], out[1]
+                        head2 = out[:-2]
+                        # ---- fused payload: the cluster's prims are
+                        # resident NOW; select rows for lanes whose
+                        # RUNNING winner lies in this cluster (later
+                        # clusters overwrite their own winners)
+                        jg0 = jnp.float32(si * span + c * cluster)
+                        in_cl = jnp.any(
+                            (best_j2 >= jg0) & (best_j2 < jg0 + cluster)
+                        )
+
+                        def pay_run(pay):
+                            def prim_pay(m, pay):
+                                # m is the block-local column; global
+                                # prim id = m + rec (same mapping the
+                                # prim loop records)
+                                mask = best_j2 == (jnp.float32(m) + rec)
+                                return tuple(
+                                    jnp.where(mask, buf[16 + k, m], pay[k])
+                                    for k in range(p_rows)
+                                )
+
+                            return lax.fori_loop(
+                                base_l, base_l + cluster, prim_pay, pay)
+
+                        pay = lax.cond(in_cl, pay_run, lambda p: p, pay)
+                        return head2 + pay + (nhit,)
+
+                    out = lax.cond(any_c, run_c, lambda cr: cr, carry[:-1]
+                                   + (nclus + jnp.where(any_c, 1.0, 0.0),))
+                    return out
+
+                return lax.fori_loop(0, super_, cluster_scan, carry)
+
+            return lax.cond(any_hit, run, lambda c: c, carry)
+
+        def visit_block(bi, carry):
+            for s in range(block_b):  # static unroll: pages of the tile
+                carry = visit_super(bi * block_b + s, s, carry)
+            return carry
+
+        return visit_block
+
+    visit0 = make_visitor(buf0)
+    visit1 = make_visitor(buf1)
+
+    def start(bi, buf, sem):
+        pltpu.make_async_copy(tiles_ref.at[bi], buf, sem).start()
+
+    def wait(buf, sem):
+        pltpu.make_async_copy(tiles_ref.at[0], buf, sem).wait()
+
+    # prologue: both slots in flight (n_blocks >= 2 guaranteed)
+    start(order_ref[0], buf0, sem0)
+    start(order_ref[1], buf1, sem1)
+
+    def pair_body(m, carry):
+        k0 = 2 * m
+        wait(buf0, sem0)
+        carry = visit0(order_ref[k0], carry)
+        # wrap-around prefetch keeps every start unconditionally waited;
+        # the final pair's wrapped copies are drained after the loop
+        start(order_ref[lax.rem(k0 + 2, n_blocks)], buf0, sem0)
+        wait(buf1, sem1)
+        carry = visit1(order_ref[k0 + 1], carry)
+        start(order_ref[lax.rem(k0 + 3, n_blocks)], buf1, sem1)
+        return carry
+
+    init = (best_t0, jnp.full_like(best_t0, -1.0))
+    if carry_uv:
+        init = init + (zeros, zeros)
+    init = init + (zeros,) * p_rows + (jnp.float32(0.0),)
+    out = lax.fori_loop(0, n_blocks // 2, pair_body, init)
+    wait(buf0, sem0)
+    wait(buf1, sem1)
+    return out
+
+
 def _u01(shape):
     """Uniform [0,1) floats from the hardware PRNG (mantissa trick)."""
     bits = pltpu.prng_random_bits(shape)
@@ -908,6 +1152,16 @@ def _render_kernel(
     ord_ref,  # SMEM i32[NSC] scratch: supercluster visit order
     *,
     mask_ref=None,  # SMEM i32[NT] (adaptive only): 1 = render tile, 0 = skip
+    # ---- streamed mode (stream_b > 0): beyond-SMEM scene tables.
+    # s_ref is then the HBM tiles ref f32[n_blocks_cap, R8, stream_b*128]
+    # (pl.ANY), p_ref the resident block-AABB table f32[6, n_blocks_cap],
+    # cnt_ref[0] the USED block count, and key/ord scratch are block-
+    # indexed; buf0/buf1/sem0/sem1 are the double-buffer scratch.
+    stream_b: int = 0,
+    buf0=None,
+    buf1=None,
+    sem0=None,
+    sem1=None,
     tile_h: int,
     tile_w: int,
     width: int,
@@ -1091,22 +1345,24 @@ def _render_kernel(
         # Pure perf: closest-hit is visit-order independent.  All scalar
         # SMEM work: ~n_super^2 ops per wave, negligible vs the prim loops.
         def front_to_back_order(sel_f):
-            """Fill ord_ref with superclusters sorted by clamped squared
-            distance from the mean origin of the ``sel_f``-selected lanes
-            (0 inside the box).  A direction-aware key (mean-ray slab entry
-            t) was measured SLOWER: more scalar work, no extra pruning."""
+            """Fill ord_ref with superclusters (streamed mode: BLOCKS)
+            sorted by clamped squared distance from the mean origin of the
+            ``sel_f``-selected lanes (0 inside the box).  A direction-aware
+            key (mean-ray slab entry t) was measured SLOWER: more scalar
+            work, no extra pruning."""
+            box_ref = p_ref if stream_b else super_ref
             na = 1.0 / jnp.maximum(jnp.sum(sel_f), 1.0)
             mox = jnp.sum(ox * sel_f) * na
             moy = jnp.sum(oy * sel_f) * na
             moz = jnp.sum(oz * sel_f) * na
 
             def fill_key(si, carry):
-                ax = jnp.maximum(jnp.maximum(super_ref[0, si] - mox,
-                                             mox - super_ref[3, si]), 0.0)
-                ay = jnp.maximum(jnp.maximum(super_ref[1, si] - moy,
-                                             moy - super_ref[4, si]), 0.0)
-                az = jnp.maximum(jnp.maximum(super_ref[2, si] - moz,
-                                             moz - super_ref[5, si]), 0.0)
+                ax = jnp.maximum(jnp.maximum(box_ref[0, si] - mox,
+                                             mox - box_ref[3, si]), 0.0)
+                ay = jnp.maximum(jnp.maximum(box_ref[1, si] - moy,
+                                             moy - box_ref[4, si]), 0.0)
+                az = jnp.maximum(jnp.maximum(box_ref[2, si] - moz,
+                                             moz - box_ref[5, si]), 0.0)
                 key_ref[si] = ax * ax + ay * ay + az * az
                 ord_ref[si] = si
                 return carry
@@ -1132,7 +1388,26 @@ def _render_kernel(
 
         # -------- closest hit (shared hierarchical search) --------
         ub = vb = None  # winner barycentrics (vattr scenes, carried)
-        if not octant_split:
+        pay = None  # streamed mode: payload is fused into the search
+        if stream_b:
+            # beyond-SMEM scenes: search + payload over HBM block tiles
+            # (double-buffered DMA; n_super here is the USED block count)
+            front_to_back_order(alive_f)
+            found = _streamed_search_payload(
+                s_ref, buf0, buf1, sem0, sem1, clus_ref, super_ref,
+                n_super, ox, oy, oz, dx, dy, dz,
+                t_min, jnp.where(alive, BIG, t_min), has_rects,
+                order_ref=ord_ref, cluster=cluster, super_=super_,
+                block_b=stream_b, p_rows=p_rows,
+                has_tris=has_tris, carry_uv=has_vattrs,
+            )
+            best_t, best_j, nc_wave = found[0], found[1], found[-1]
+            k0 = 2
+            if has_vattrs:
+                ub, vb = found[2], found[3]
+                k0 = 4
+            pay = found[k0:k0 + p_rows]
+        elif not octant_split:
             front_to_back_order(alive_f)
             found = hierarchical_search(
                 s_ref, clus_ref, super_ref, n_super,
@@ -1181,6 +1456,8 @@ def _render_kernel(
         nclus = nclus + nc_wave
 
         # -------- payload reconstruction (winner attributes) --------
+        # (streamed mode arrives here with `pay` already fused into the
+        # search — the tiles are no longer resident to re-scan)
         def payload_cluster(ci, pay):
             in_cluster = jnp.any(
                 hit & (best_j >= ci * cluster) & (best_j < (ci + 1) * cluster)
@@ -1206,7 +1483,8 @@ def _render_kernel(
 
             return lax.cond(in_super, run, lambda p: p, pay)
 
-        pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * p_rows)
+        if pay is None:
+            pay = lax.fori_loop(0, n_super, payload_super, (zeros,) * p_rows)
 
         # -------- unpack the packed payload rows (once per wave) --------
         packc = pay[P_PACKC]
@@ -1662,6 +1940,7 @@ def pallas_render_sample(
     has_tris: bool = False,
     has_vattrs: bool = False,
     tile_mask: jnp.ndarray | None = None,  # i32[n_tiles]: adaptive sampling
+    stream_b: int = 0,  # >0: HBM-streamed tables (see docstring)
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -1711,6 +1990,15 @@ def pallas_render_sample(
     converged tiles cost ~nothing, so progressive frame time scales with
     the unconverged tile count (beyond-reference; the CUDA reference
     re-renders every pixel every frame, Kernel.cu:130-148).
+
+    ``stream_b > 0`` selects the HBM-STREAMED table layout for beyond-SMEM
+    scenes (pack_stream_tiles): ``s_tab`` is then the block-tile array
+    f32[n_blocks_cap, R8, stream_b*128] (kept in HBM, double-buffer-DMA'd
+    per supercluster block), ``p_tab`` the resident block-AABB table
+    f32[6, n_blocks_cap], ``clusters``/``supers`` the padded resident gate
+    tables, and ``n_super`` the USED block count (StreamTables.n_blocks).
+    Same radiance semantics as the resident layout; capacity is bounded by
+    HBM instead of scalar memory.
     """
     if band_h is None:
         band_h = -(-height // tile_h) * tile_h
@@ -1722,8 +2010,15 @@ def pallas_render_sample(
     has_images = atlas is not None
     assert not has_vattrs or has_tris, "has_vattrs requires has_tris"
     expect_rows = p_rows_for(has_images, has_vattrs)
-    assert p_tab.shape[0] == expect_rows, (
-        p_tab.shape, has_images, has_vattrs)
+    if stream_b:
+        assert not octant_split, "octant_split is resident-only"
+        r8 = -(-(16 + expect_rows) // 8) * 8
+        assert s_tab.ndim == 3 and s_tab.shape[1] == r8 \
+            and s_tab.shape[2] == stream_b * 128, (s_tab.shape, r8, stream_b)
+        assert p_tab.shape[0] == 6, p_tab.shape
+    else:
+        assert p_tab.shape[0] == expect_rows, (
+            p_tab.shape, has_images, has_vattrs)
     nchan = 17 if has_images else 3
     grid = (band_h // tile_h, pad_w // tile_w)
     cnt = jnp.stack([
@@ -1739,7 +2034,7 @@ def pallas_render_sample(
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
-        has_tris=has_tris, has_vattrs=has_vattrs,
+        has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the
@@ -1749,16 +2044,34 @@ def pallas_render_sample(
         assert tile_mask.shape == (grid[0] * grid[1],), (
             tile_mask.shape, grid)
 
-        def kern(cnt, cam, s, p, c, sc, mask, out, cnt_out, key, ordr):
-            _render_kernel(cnt, cam, s, p, c, sc, out, cnt_out, key, ordr,
-                           mask_ref=mask, **statics)
+        if stream_b:
+            def kern(cnt, cam, s, p, c, sc, mask, out, cnt_out, key, ordr,
+                     b0, b1, q0, q1):
+                _render_kernel(cnt, cam, s, p, c, sc, out, cnt_out, key,
+                               ordr, mask_ref=mask, buf0=b0, buf1=b1,
+                               sem0=q0, sem1=q1, **statics)
+        else:
+            def kern(cnt, cam, s, p, c, sc, mask, out, cnt_out, key, ordr):
+                _render_kernel(cnt, cam, s, p, c, sc, out, cnt_out, key,
+                               ordr, mask_ref=mask, **statics)
 
         extra_in = (tile_mask.astype(jnp.int32),)
         extra_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     else:
-        kern = functools.partial(_render_kernel, **statics)
+        if stream_b:
+            def kern(cnt, cam, s, p, c, sc, out, cnt_out, key, ordr,
+                     b0, b1, q0, q1):
+                _render_kernel(cnt, cam, s, p, c, sc, out, cnt_out, key,
+                               ordr, buf0=b0, buf1=b1, sem0=q0, sem1=q1,
+                               **statics)
+        else:
+            kern = functools.partial(_render_kernel, **statics)
         extra_in = ()
         extra_spec = []
+    # streamed mode: the tile table stays in HBM (pl.ANY) and the kernel
+    # DMAs blocks through the double-buffer scratch; p_tab is then the
+    # small resident block-AABB table
+    s_space = pl.ANY if stream_b else pltpu.SMEM
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -1767,7 +2080,7 @@ def pallas_render_sample(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             # scene tables live in SMEM: the per-primitive loop reads them
             # as dynamically-indexed scalars, which VMEM cannot serve
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=s_space),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1787,9 +2100,16 @@ def pallas_render_sample(
             ),
         ),
         scratch_shapes=[
-            pltpu.SMEM((supers.shape[1],), jnp.float32),
-            pltpu.SMEM((supers.shape[1],), jnp.int32),
-        ],
+            pltpu.SMEM((s_tab.shape[0] if stream_b else supers.shape[1],),
+                       jnp.float32),
+            pltpu.SMEM((s_tab.shape[0] if stream_b else supers.shape[1],),
+                       jnp.int32),
+        ] + ([
+            pltpu.SMEM(s_tab.shape[1:], jnp.float32),
+            pltpu.SMEM(s_tab.shape[1:], jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ] if stream_b else []),
         interpret=interpret,
     )(cnt, cam_vec, s_tab, p_tab, clusters, supers, *extra_in)
     if has_images:
