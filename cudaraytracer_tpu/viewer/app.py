@@ -189,21 +189,17 @@ class RenderLayer(Layer):
 
                 if not fits_megakernel(self.scene.num_active,
                                        self.scene.has_vertex_attrs):
-                    # beyond the measured SMEM table ceiling: route to the
-                    # XLA skip-link BVH (log-depth, arbitrary prim count)
-                    # instead of paying a doomed Mosaic compile
-                    rtlog.rt_warn(
-                        "Scene (%d prims%s) exceeds the megakernel SMEM "
-                        "ceiling; using the XLA BVH path (production-grade "
-                        "on CPU; on TPU correctness-class — reduce the "
-                        "resolution, see BASELINE.md 'XLA skip-link BVH "
-                        "path measured ON TPU')",
+                    # beyond the measured SMEM table ceiling: the pipeline
+                    # switches to the HBM-STREAMED table layout (block
+                    # tiles DMA'd through double-buffered SMEM scratch,
+                    # measured bit-identical at ~1.2x the resident cost on
+                    # fits-SMEM scenes; BASELINE.md "Streamed megakernel")
+                    rtlog.rt_info(
+                        "Scene (%d prims%s) exceeds the resident SMEM "
+                        "ceiling; megakernel will stream block tiles "
+                        "from HBM",
                         self.scene.num_active,
                         ", vattr" if self.scene.has_vertex_attrs else "")
-                    self.cfg.accel = "bvh"
-                    self.metrics.accel = "bvh"
-                    self._pallas = None
-                    self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "pallas":
                 try:
                     # a _pallas_step cache miss here means the pipeline just
@@ -592,7 +588,7 @@ def _tpu_interpret_mode_active() -> bool:
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
                  interpret_ctx, has_tris=False, has_vattrs=False,
-                 adaptive=False):
+                 adaptive=False, stream_b=0):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -642,7 +638,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 atlas=atl[0] if has_images else None,
                 tex_hw=atl[1] if has_images else None,
                 cluster=cluster, super_=super_, has_tris=has_tris,
-                has_vattrs=has_vattrs, tile_mask=mask,
+                has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -727,7 +723,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
-            has_vattrs=has_vattrs,
+            has_vattrs=has_vattrs, stream_b=stream_b,
         )
         if has_images:
             rad, counts = out
@@ -777,8 +773,22 @@ class _PallasPipeline:
         t = pack_scene_tables(scene, with_uv=self.has_images)
         n_super = t.n_super
         cluster, super_ = t.cluster, t.super_
-        self._tabs = (jnp.asarray(t.S), jnp.asarray(t.P),
-                      jnp.asarray(t.clusters), jnp.asarray(t.supers))
+        # beyond-SMEM scenes stream block tiles from HBM (bit-identical
+        # radiance, ~1.2x resident cost on fits-SMEM scenes; capacity
+        # becomes HBM-bound — BASELINE.md "Streamed megakernel")
+        from ..ops.pallas.render_kernel import (fits_megakernel,
+                                                pack_stream_tiles)
+
+        self.stream_b = 0
+        if not fits_megakernel(scene.num_active, t.vattrs):
+            st = pack_stream_tiles(t)
+            self.stream_b = st.block_b
+            n_super = st.n_blocks  # the traced count is BLOCKS here
+            self._tabs = (jnp.asarray(st.tiles), jnp.asarray(st.block_boxes),
+                          jnp.asarray(st.clusters), jnp.asarray(st.supers))
+        else:
+            self._tabs = (jnp.asarray(t.S), jnp.asarray(t.P),
+                          jnp.asarray(t.clusters), jnp.asarray(t.supers))
         # IMPORTANT: device arrays must be jit ARGUMENTS, never closure
         # captures — a captured device array becomes an MLIR constant and
         # lowering fetches its VALUE device->host (array.py _value), which
@@ -803,6 +813,10 @@ class _PallasPipeline:
             background_end=_np.asarray(scene.background_end, _np.float32),
         )
         tile_h, tile_w = 16, 256  # measured optimum on v5e (render_kernel.py)
+        if self.stream_b:
+            # big-scene optimum: finer tiles cull better once the scene
+            # dwarfs any tile's frustum (terrain_big sweep, BASELINE.md)
+            tile_h, tile_w = 16, 128
         self._tile = (tile_h, tile_w)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
@@ -816,7 +830,7 @@ class _PallasPipeline:
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
-            self.adaptive)
+            self.adaptive, self.stream_b)
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()

@@ -1,0 +1,138 @@
+"""Streamed (beyond-SMEM) megakernel tests.
+
+The HBM-streamed table layout (render_kernel.pack_stream_tiles +
+pallas_render_sample(stream_b=)) must produce BIT-IDENTICAL radiance to
+the resident layout: the search visits blocks instead of superclusters,
+but closest-hit is visit-order independent and the PRNG draw sequence is
+search-independent, so every lane computes the same path.  Measured
+compiled on v5e: maxdiff 0.0 on terrain (vattr + image deferral) and
+default/rtow_final/cornell; terrain_big (20k tris, 3x the vattr SMEM
+ceiling) renders 720p depth12 at ~400 ms/frame where the XLA BVH path
+crashes outright (BASELINE.md "Streamed megakernel").
+"""
+
+import numpy as np
+import pytest
+
+from cudaraytracer_tpu.models import scenes
+
+
+def _render_both(scene, cam_obj, camera_model, with_uv=False, depth=3,
+                 spp=1, W=128, H=16):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera_np, pack_scene_tables, pack_stream_tiles,
+        pallas_render_sample)
+
+    has_vattrs = bool(getattr(scene, "has_vertex_attrs", False))
+    t = pack_scene_tables(scene, with_uv=with_uv)
+    st = pack_stream_tiles(t)
+    cam = pack_camera_np(cam_obj, scene.background_start,
+                         scene.background_end, W, H, 1e-3)
+    has_tris = bool((np.asarray(scene.prim_type) == 4).any())
+    kw = dict(width=W, height=H, camera_model=camera_model, tile_h=16,
+              tile_w=128, has_rects=True, cluster=t.cluster,
+              super_=t.super_, interpret=True, spp=spp,
+              has_tris=has_tris, has_vattrs=has_vattrs and t.vattrs)
+    if with_uv:
+        kw.update(atlas=jnp.asarray(scene.atlas),
+                  tex_hw=jnp.asarray(scene.tex_hw))
+    with pltpu.force_tpu_interpret_mode():
+        a = pallas_render_sample(
+            jnp.asarray(t.S), jnp.asarray(t.P), jnp.asarray(t.clusters),
+            jnp.asarray(t.supers), t.n_super, jnp.asarray(cam), 7, depth,
+            **kw)
+        b = pallas_render_sample(
+            jnp.asarray(st.tiles), jnp.asarray(st.block_boxes),
+            jnp.asarray(st.clusters), jnp.asarray(st.supers), st.n_blocks,
+            jnp.asarray(cam), 7, depth, stream_b=st.block_b, **kw)
+    if with_uv:
+        a, b = a[0], b[0]
+    return np.asarray(a), np.asarray(b), st
+
+
+def test_stream_tiles_layout():
+    """pack_stream_tiles: alignment invariants and exact S/P relocation."""
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_scene_tables, pack_stream_tiles)
+
+    scene = scenes.rtow_final_scene()
+    t = pack_scene_tables(scene)
+    st = pack_stream_tiles(t)
+    n_blocks_cap, r8, cols = st.tiles.shape
+    assert r8 % 8 == 0 and cols % 128 == 0  # measured Mosaic DMA rule
+    assert st.n_blocks % 2 == 0 and st.n_blocks >= 2
+    span = t.cluster * t.super_
+    # spot-check a mid-table supercluster's S rows relocated verbatim
+    k = min(2, t.n_super - 1)
+    bi, s = divmod(k, st.block_b)
+    np.testing.assert_array_equal(
+        st.tiles[bi, 0:16, s * 128:s * 128 + span],
+        t.S[:, k * span:(k + 1) * span])
+    np.testing.assert_array_equal(
+        st.tiles[bi, 16:16 + t.P.shape[0], s * 128:s * 128 + span],
+        t.P[:, k * span:(k + 1) * span])
+    # block AABBs contain their member supers' boxes (used prefix only)
+    for b in range(min(2, st.n_blocks)):
+        lo, hi = b * st.block_b, min((b + 1) * st.block_b, t.n_super)
+        if lo < hi:
+            assert (st.block_boxes[0:3, b]
+                    <= t.supers[0:3, lo:hi].min(axis=1) + 1e-6).all()
+            assert (st.block_boxes[3:6, b]
+                    >= t.supers[3:6, lo:hi].max(axis=1) - 1e-6).all()
+
+
+def test_stream_bit_identical_spheres():
+    """Multi-material sphere scene: streamed == resident bit-for-bit."""
+    a, b, st = _render_both(scenes.default_scene(),
+                            scenes.default_scene_camera(), "two_plane")
+    assert a.mean() > 0.01
+    assert np.abs(a - b).max() == 0.0
+
+
+def test_stream_bit_identical_multiblock():
+    """rtow_final (~500 prims, several superclusters over 2+ blocks)
+    exercises the block pipeline's wrap-around prefetch and the fused
+    payload across block boundaries."""
+    a, b, st = _render_both(scenes.rtow_final_scene(),
+                            scenes.rtow_final_camera(), "look_at")
+    assert st.n_blocks >= 2
+    assert a.mean() > 0.01
+    assert np.abs(a - b).max() == 0.0
+
+
+def test_stream_bit_identical_vattr_images():
+    """terrain: triangles + per-vertex attrs + image-texture deferral —
+    the feature-maximal payload (40-row tiles) through the streamed
+    search's fused payload."""
+    scene, cam = scenes.terrain_scene(), scenes.terrain_camera()
+    a, b, st = _render_both(scene, cam, "look_at", with_uv=True, depth=2,
+                            W=64, H=16)
+    assert a.mean() > 0.01
+    assert np.abs(a - b).max() == 0.0
+
+
+def test_renderlayer_streams_beyond_ceiling(monkeypatch, tmp_path):
+    """A RenderLayer whose scene exceeds the SMEM ceiling must stay on the
+    megakernel via the streamed layout (round-2 routed such scenes to the
+    BVH path, which on TPU is correctness-class only)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.ops.pallas import render_kernel as rk
+    from cudaraytracer_tpu.viewer.app import Application
+    from tests.test_app import small_cfg
+
+    monkeypatch.setattr(rk, "fits_megakernel", lambda n, v: False)
+    app = Application(small_cfg(accel="pallas", width=128, height=16))
+    with pltpu.force_tpu_interpret_mode():
+        rl = app.setup_default_layers()
+        app.run(max_frames=2)
+    assert rl._pallas is not None
+    assert rl._pallas.stream_b > 0  # streamed layout engaged
+    assert rl.cfg.accel == "pallas"  # did NOT fall back to bvh
+    img = rl.framebuffer_rgba8()
+    assert img.shape == (16, 128, 4)
+    assert img[..., :3].sum() > 0
+    app.close()
