@@ -380,7 +380,23 @@ def main():
         t = pack_scene_tables(scene, with_uv=has_images,
                               cluster=args.cluster, super_=args.super_)
         n_super = t.n_super
-        S, P, C, SC = map(jnp.asarray, (t.S, t.P, t.clusters, t.supers))
+        # beyond-SMEM scenes bench the HBM-streamed layout, exactly like
+        # the product pipeline (viewer/app.py; BASELINE.md "Streamed
+        # megakernel"); streamed tile default is the measured 16x128
+        from cudaraytracer_tpu.ops.pallas.render_kernel import (
+            fits_megakernel, pack_stream_tiles)
+
+        stream_b = 0
+        if not fits_megakernel(scene.num_active, t.vattrs):
+            st = pack_stream_tiles(t)
+            stream_b = st.block_b
+            n_super = st.n_blocks
+            if args.tile_w == 256 and args.tile_h == 16:
+                args.tile_w = 128
+            S, P, C, SC = map(jnp.asarray, (st.tiles, st.block_boxes,
+                                            st.clusters, st.supers))
+        else:
+            S, P, C, SC = map(jnp.asarray, (t.S, t.P, t.clusters, t.supers))
         atlas = jnp.asarray(scene.atlas) if has_images else None
         tex_hw = jnp.asarray(scene.tex_hw) if has_images else None
         tile_h, tile_w = args.tile_h, args.tile_w
@@ -408,7 +424,7 @@ def main():
                 spp=spp, rr_start=args.rr_start, with_cull_stats=True,
                 cluster=t.cluster, super_=t.super_,
                 octant_split=args.octant_split, has_tris=has_tris,
-                has_vattrs=t.vattrs,
+                has_vattrs=t.vattrs, stream_b=stream_b,
             )[-1]
 
         @jax.jit
@@ -427,7 +443,7 @@ def main():
                 tex_hw=atl[1] if has_images else None,
                 cluster=t.cluster, super_=t.super_,
                 octant_split=args.octant_split, has_tris=has_tris,
-                has_vattrs=t.vattrs,
+                has_vattrs=t.vattrs, stream_b=stream_b,
             )
             if has_images:
                 img, _counts, nrays = out
