@@ -141,12 +141,17 @@ def render_sharded_pallas(
     super_: int | None = None,
     has_tris: bool = False,
     has_vattrs: bool = False,
+    stream_b: int = 0,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
     streams psum over ICI.  Same mesh/communication layout as the XLA path.
 
-    ``tables`` is (S, P, clusters, supers) as device arrays; returns the
+    ``tables`` is (S, P, clusters, supers) as device arrays (with
+    ``stream_b`` > 0: the HBM-streamed layout (tiles, block_boxes,
+    clusters, supers) from pack_stream_tiles, and ``n_super`` is the used
+    BLOCK count — beyond-SMEM scenes shard over chips exactly like
+    resident ones, the block DMA being chip-local); returns the
     SUM over the samples axis of spp-per-chip radiance, f32[H,W,3] sharded
     by rows.  With ``atlas``/``tex_hw`` (image-texture scenes) returns
     (radiance_sum, counts_sum): per-pixel completed-sample counts, summed
@@ -194,7 +199,7 @@ def render_sharded_pallas(
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
-            has_vattrs=has_vattrs,
+            has_vattrs=has_vattrs, stream_b=stream_b,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

@@ -136,3 +136,38 @@ def test_renderlayer_streams_beyond_ceiling(monkeypatch, tmp_path):
     assert img.shape == (16, 128, 4)
     assert img[..., :3].sum() > 0
     app.close()
+
+
+def test_stream_sharded_mesh():
+    """Streamed tables through the multi-chip sharded megakernel: an
+    8-device rows x samples mesh on the CPU backend (interpret-mode
+    kernels), beyond-SMEM layout — the big-scene multi-chip story."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera_np, pack_scene_tables, pack_stream_tiles)
+    from cudaraytracer_tpu.parallel import make_mesh, render_sharded_pallas
+
+    scene = scenes.rtow_final_scene()
+    cam = scenes.rtow_final_camera()
+    t = pack_scene_tables(scene)
+    st = pack_stream_tiles(t)
+    mesh = make_mesh(n_rows=4, n_samples=2)
+    W, H = 128, 64
+    cam_vec = jnp.asarray(pack_camera_np(
+        cam, scene.background_start, scene.background_end, W, H, 1e-3))
+    tables = tuple(map(jnp.asarray,
+                       (st.tiles, st.block_boxes, st.clusters, st.supers)))
+    with pltpu.force_tpu_interpret_mode():
+        out = render_sharded_pallas(
+            tables, st.n_blocks, cam_vec, 7, 3,
+            width=W, height=H, mesh=mesh, camera_model="look_at",
+            tile_h=16, tile_w=128, cluster=st.cluster, super_=st.super_,
+            stream_b=st.block_b)
+        out.block_until_ready()
+    out = np.asarray(out)
+    assert out.shape == (H, W, 3)
+    assert np.isfinite(out).all() and out.mean() > 0.01
