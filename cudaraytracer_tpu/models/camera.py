@@ -110,7 +110,11 @@ def generate_rays_two_plane(
         tile_h = height
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
     y = (jnp.arange(tile_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
-    xi = jax.random.uniform(key, (2, tile_h, width))
+    # key=None: deterministic pixel-CENTER rays (0.5 offsets) — the
+    # G-buffer/feature passes use this so features are a pure function of
+    # (scene, camera) with no pseudo-jitter at silhouettes
+    xi = (jnp.full((2, tile_h, width), 0.5, jnp.float32) if key is None
+          else jax.random.uniform(key, (2, tile_h, width)))
     # u,v both divided by WIDTH, v measured downward from the image center
     # (Kernel.cu:139-140).
     u = ((x - width / 2.0) + xi[0]) / width  # [H,W]
@@ -163,17 +167,22 @@ def generate_rays_look_at(
     """
     if tile_h is None:
         tile_h = height
-    kj, ka = jax.random.split(key)
     u_axis, v_axis, lower_left, horizontal, vertical = look_at_frame(
         cam, width / height)
 
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
     y = (jnp.arange(tile_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
-    xi = jax.random.uniform(kj, (2, tile_h, width))
+    if key is None:
+        # deterministic pixel-center PINHOLE rays (see two_plane note)
+        xi = jnp.full((2, tile_h, width), 0.5, jnp.float32)
+        lens = jnp.zeros((tile_h, width, 3), jnp.float32)
+    else:
+        kj, ka = jax.random.split(key)
+        xi = jax.random.uniform(kj, (2, tile_h, width))
+        lens = (cam.aperture / 2.0) * rngu.in_unit_disk(ka, (tile_h, width))
     s = (x + xi[0]) / width  # [H,W] in [0,1)
     t = (height - 1.0 - y + xi[1]) / height  # image row 0 = top of screen
 
-    lens = (cam.aperture / 2.0) * rngu.in_unit_disk(ka, (tile_h, width))  # [H,W,3]
     offset = lens[..., 0:1] * u_axis + lens[..., 1:2] * v_axis
 
     org = cam.origin + offset

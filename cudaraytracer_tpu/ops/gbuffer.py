@@ -52,14 +52,14 @@ def primary_features(
 ) -> GBuffer:
     """One deterministic primary-visibility pass -> GBuffer.
 
-    Rays use a FIXED jitter key (key 0): the sub-pixel offset is the same
-    for every call, so the buffers are bitwise-stable across frames and
-    the per-camera-version cache in the viewer stays valid.  Pinhole rays
-    (no lens offset) would need a raygen variant; the < 1 px jitter and
-    the aperture offset are irrelevant at feature scale.
+    Rays are pixel-CENTER pinhole rays (raygen key=None): the buffers are
+    a pure function of (scene, camera) — bitwise-stable across frames, so
+    the per-camera-version cache in the viewer stays valid — and they
+    match the megakernel G-buffer pass (ops/pallas/gbuffer_kernel.py)
+    ray-for-ray, which is what makes the two paths comparable.
     """
     raygen = RAY_GENERATORS[camera_model]
-    org, dirn = raygen(cam, width, height, jax.random.PRNGKey(0))
+    org, dirn = raygen(cam, width, height, None)
 
     tri_kw = (
         dict(edge1=scene.edge1, edge2=scene.edge2)
@@ -97,7 +97,11 @@ def primary_features(
     n = rec.normal
     n = jnp.where(jnp.sum(n * dirn, axis=-1, keepdims=True) > 0.0, -n, n)
     normal = jnp.where(hit[:, None], n, 0.0)
-    depth = jnp.where(hit, t, 0.0)
+    # depth = WORLD-SPACE distance to the first hit (look_at raygen dirs
+    # are unnormalized, so raw t is in |dir| units; the megakernel
+    # G-buffer traces unit dirs — world distance makes the paths agree)
+    dist = t * jnp.sqrt(jnp.sum(dirn * dirn, axis=-1))
+    depth = jnp.where(hit, dist, 0.0)
 
     return GBuffer(
         normal=normal.reshape(height, width, 3),
