@@ -45,10 +45,12 @@ DIFFUSE_LIGHT = materials.DIFFUSE_LIGHT
 CONSTANT = textures.CONSTANT
 CHECKER = textures.CHECKER
 IMAGE = textures.IMAGE
+NOISE = textures.NOISE
 
 PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect", TRIANGLE: "triangle"}
 MAT_NAMES = {LAMBERTIAN: "lambertian", METAL: "metal", DIELECTRIC: "dielectric", DIFFUSE_LIGHT: "diffuse_light"}
-TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image"}
+TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image",
+             NOISE: "noise"}
 
 
 @jax.tree_util.register_dataclass

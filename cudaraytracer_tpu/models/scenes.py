@@ -26,6 +26,7 @@ from .scene import (
     IMAGE,
     LAMBERTIAN,
     METAL,
+    NOISE,
     Scene,
 )
 
@@ -461,6 +462,32 @@ def register_obj_scene(path, name: str | None = None, *,
     return name
 
 
+
+def marble_scene(capacity: int = 16) -> Scene:
+    """RTOW "The Next Week" two-perlin-spheres analog (BEYOND-REFERENCE —
+    the CUDA reference's texture set stops at image, Texture.cuh:7-109):
+    a marble ground sphere and a marble hero sphere (scale 4, the book's
+    default) plus a glass and a metal sphere so the marble factor is seen
+    direct, refracted, and reflected.  tex_id is REPURPOSED as the integer
+    marble scale (ops/textures.py)."""
+    scene = Scene(capacity=capacity)
+    scene.add_sphere((0.0, -1000.0, 0.0), 1000.0, mat_type=LAMBERTIAN,
+                     albedo=(0.95, 0.95, 0.92), albedo2=(0.25, 0.2, 0.18),
+                     tex_type=NOISE, tex_id=2)
+    scene.add_sphere((0.0, 2.0, 0.0), 2.0, mat_type=LAMBERTIAN,
+                     albedo=(0.92, 0.9, 0.88), albedo2=(0.1, 0.1, 0.14),
+                     tex_type=NOISE, tex_id=4)
+    scene.add_sphere((-3.4, 1.0, 2.0), 1.0, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((3.4, 1.0, 2.0), 1.0, mat_type=METAL,
+                     albedo=(0.85, 0.85, 0.9), fuzz=0.02)
+    return scene
+
+
+def marble_camera(**kw):
+    return make_camera_params(origin=(0.0, 2.2, 11.0),
+                              forward=(0.0, -0.05, -1.0), fov_deg=40.0, **kw)
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
@@ -472,6 +499,7 @@ SCENES = {
     "mesh_smooth": (mesh_smooth_scene, mesh_demo_camera),
     "terrain": (terrain_scene, terrain_camera),
     "terrain_big": (terrain_big_scene, terrain_camera),
+    "marble": (marble_scene, marble_camera),
 }
 
 # Each registered camera was authored for one projection model; rendering
@@ -487,6 +515,7 @@ CAMERA_MODELS = {
     "cornell": "two_plane",
     "mirror_room": "two_plane",
     "mesh_demo": "look_at",
+    "marble": "look_at",
     "mesh_smooth": "look_at",
     "terrain": "look_at",
     "terrain_big": "look_at",

@@ -21,9 +21,22 @@ f32 tiles), and the NumPy test oracle.  Inputs are component arrays
 Numerical note: the hash AMPLIFIES ulp differences (the 43758.5453 factor
 multiplies the sin backend's rounding error before fract), so outputs agree
 across backends only to ~5e-3, not bit-exactly — cross-backend tests
-compare statistically (tests/test_textures.py).  Within one backend the
+compare with that tolerance (tests/test_noise.py).  Within one backend the
 noise is deterministic and C0-continuous in p (corner hash discontinuities
-are zero-weighted by the smoothstep fade).
+are zero-weighted by the smoothstep fade).  The agreement is STATISTICAL,
+not a sup bound: fract is discontinuous, so when sin*43758 lands within
+~4e-3 of an integer a 1-ulp sin difference flips that corner's hash by ~1
+(~0.4% of corner draws) — isolated cells differ outright, the quantiles
+hold (tests/test_noise.py).
+
+Range note (ADVICE r3): lattice coords are WRAPPED mod 61 before hashing,
+bounding |sin argument| < ~3.2e4 at ANY scene coordinate and octave count —
+without the wrap, f32 ulp error times the 43758 amplification exceeds 1
+once ~516*||p||*2^octave grows past ~1e7, and the ~5e-3 cross-backend
+agreement (and TPU sin's usable range) would only hold near the origin.
+The noise therefore tiles with period 61 lattice cells per axis (61^3
+distinct cells) — invisible at texture scales, and the wrap is exact in
+f32 (lattice coords are integers far below 2^24).
 """
 
 from __future__ import annotations
@@ -33,14 +46,31 @@ import numpy as np
 # Lattice hash constants (shader-land convention).
 _KX, _KY, _KZ = 127.1, 311.7, 74.7
 _AMP = 43758.5453
+_PERIOD = 61.0  # lattice wrap period (module docstring "Range note")
 
 #: Octaves in the turbulence sum (RTOW "The Next Week" default depth 7).
 TURB_OCTAVES = 7
 
 
+def _wrap(x, xp):
+    """x mod 61, exact in f32 for integer lattice coords (|x| < 2^24).
+
+    TRUE division, not multiply-by-reciprocal: x * (1/61.) rounds just
+    below k at multiples of 61 (61 * fl(1/61) = 0.99999994), making
+    wrap(61) = 61 != wrap(0) and breaking the tiling; x / 61 is correctly
+    rounded, and for integer x = 61k + m the quotient k + m/61 is always
+    > ulp away from an integer, so floor is exact."""
+    return x - xp.floor(x / _PERIOD) * _PERIOD
+
+
 def lattice_hash(ix, iy, iz, xp=np):
-    """Pseudo-random value in [0, 1) per integer lattice cell (float coords)."""
-    s = xp.sin(ix * _KX + iy * _KY + iz * _KZ) * _AMP
+    """Pseudo-random value in [0, 1) per integer lattice cell (float coords).
+
+    Coords wrap mod 61 first so the sin argument stays small at any scene
+    coordinate (docstring "Range note"); cells sharing a corner see the
+    same wrapped value, so continuity across cell faces is preserved."""
+    s = xp.sin(_wrap(ix, xp) * _KX + _wrap(iy, xp) * _KY
+               + _wrap(iz, xp) * _KZ) * _AMP
     return s - xp.floor(s)
 
 

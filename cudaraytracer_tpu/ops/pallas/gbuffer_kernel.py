@@ -17,8 +17,8 @@ offset), so the buffers are a pure function of (scene, camera):
     Texture.cuh:32-109 semantics); sky gradient on miss.  Image textures
     defer ONE (u, v, slot) record per lane — at depth 1 a lane has at most
     one hit, so the XLA texel epilogue makes image albedo EXACT (including
-    raw-barycentric uvs on attr-less triangles, which the radiance kernel
-    approximates with the atlas mean).
+    raw-barycentric uvs on attr-less triangles, exactly like the radiance
+    kernel's deferral).
   * depth  f32[H,W]  — WORLD distance to the first hit (the kernel traces
     unit directions); 0 on miss.
 
@@ -86,6 +86,7 @@ def _gbuffer_kernel(
     super_: int = SUPER,
     has_tris: bool = False,
     has_vattrs: bool = False,
+    has_noise: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -331,11 +332,21 @@ def _gbuffer_kernel(
     texg = jnp.where(is_checker & ~odd, a2g, alg)
     texb = jnp.where(is_checker & ~odd, a2b, alb)
 
+    if has_noise:
+        # noise/marble albedo (tex 3): same branch as the radiance kernel
+        from ..noise import marble_factor
+        is_noise = tex > 2.5
+        nscale = jnp.maximum(tidp1 - 1.0, 1.0)
+        fac = marble_factor(px, py, pz, nscale, xp=jnp)
+        texr = jnp.where(is_noise, a2r + fac * (alr - a2r), texr)
+        texg = jnp.where(is_noise, a2g + fac * (alg - a2g), texg)
+        texb = jnp.where(is_noise, a2b + fac * (alb - a2b), texb)
+
     iu = iv = None
     iid = jnp.full(shape, -1.0)
     if has_images:
         has_data = tidp1 > 0.5
-        is_img = (tex > 1.5) & hit & inb
+        is_img = (tex > 1.5) & (tex < 2.5) & hit & inb
         deferred = is_img & has_data
         phi = _atan2(-snz, snx) + math.pi
         sph_u = phi * (1.0 / (2.0 * math.pi))
@@ -420,6 +431,7 @@ def pallas_gbuffer(
     has_tris: bool = False,
     has_vattrs: bool = False,
     stream_b: int = 0,
+    has_noise: bool = False,
 ):
     """One megakernel primary-visibility pass -> (normal, albedo, depth).
 
@@ -450,6 +462,7 @@ def pallas_gbuffer(
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, cluster=cluster, super_=super_,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
+        has_noise=has_noise,
     )
     if stream_b:
         def kern(cnt, cam, s, p, c, sc, out, key, ordr, b0, b1, q0, q1):
@@ -515,7 +528,7 @@ def pallas_gbuffer(
 def pallas_gbuffer_step(width, height, camera_model, tile_h, tile_w,
                         has_rects, has_images, cluster, super_,
                         interpret_ctx, has_tris=False, has_vattrs=False,
-                        stream_b=0):
+                        stream_b=0, has_noise=False):
     """Jitted G-buffer step cached by STATIC config (same contract as
     viewer.app._pallas_step: tables/camera are runtime ARGUMENTS, so scene
     edits and camera motion never re-trace; ``interpret_ctx`` is key-only —
@@ -533,7 +546,7 @@ def pallas_gbuffer_step(width, height, camera_model, tile_h, tile_w,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
-            has_vattrs=has_vattrs, stream_b=stream_b,
+            has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
         )
         return GBuffer(normal=normal, albedo=albedo, depth=depth)
 

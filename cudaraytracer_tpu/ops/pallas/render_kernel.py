@@ -202,17 +202,23 @@ def _npad_for(scene, cluster: int = CLUSTER, super_: int = SUPER) -> int:
     return ((cap + span - 1) // span) * span
 
 
-def _valid_tex_ids(scene, tex_id):
+def _valid_tex_ids(scene, tex_id, tex_t=None):
     """Remap out-of-range or EMPTY atlas slots to -1 so the kernel's single
     has_data test covers them: the reference returns cyan for missing image
     data (Texture.cuh:88-89); without the remap an unloaded slot would
-    defer and then sample a zeroed atlas (black) in the epilogue."""
+    defer and then sample a zeroed atlas (black) in the epilogue.
+
+    Only IMAGE rows (tex_t == 2) are remapped: noise rows REPURPOSE tex_id
+    as the marble scale (ops/textures.py) and must pack through verbatim."""
     tid = np.array(tex_id, np.int64)
     slots = scene.atlas.shape[0]
     bad = (tid < 0) | (tid >= slots)
     safe = np.clip(tid, 0, slots - 1)
     empty = (scene.tex_hw[safe, 0] <= 0) | (scene.tex_hw[safe, 1] <= 0)
-    tid[bad | empty] = -1
+    mask = bad | empty
+    if tex_t is not None:
+        mask = mask & (np.asarray(tex_t) == 2)
+    tid[mask] = -1
     return tid
 
 
@@ -284,7 +290,7 @@ def pack_scene_tables(scene, with_uv: bool = False,
                   scene.light[idx]],
         )
         tex_t = scene.tex_type[idx].astype(np.int64)
-        tex_id = _valid_tex_ids(scene, scene.tex_id[idx])
+        tex_id = _valid_tex_ids(scene, scene.tex_id[idx], tex_t)
         albedo = scene.albedo[idx]
         if with_uv:
             albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
@@ -487,7 +493,7 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             return (q[:, 0] * 65536 + q[:, 1] * 256 + q[:, 2]).astype(np.float32)
 
         tex_t = scene.tex_type[sidx].astype(np.int64)
-        tex_id = _valid_tex_ids(scene, scene.tex_id[sidx])
+        tex_id = _valid_tex_ids(scene, scene.tex_id[sidx], tex_t)
         albedo = np.array(scene.albedo[sidx], np.float32)
         if with_uv:
             albedo = _image_mean_albedo(scene, tex_t, tex_id, albedo)
@@ -1181,6 +1187,7 @@ def _render_kernel(
     octant_split: bool = False,
     has_tris: bool = False,
     has_vattrs: bool = False,
+    has_noise: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -1285,8 +1292,13 @@ def _render_kernel(
         done0 = done0 + (1.0 - actf) * spp_f
 
     # payload rows in P (the winner's barycentrics ride the SEARCH carry
-    # in vattr scenes — hierarchical_search carry_uv — not the payload)
+    # in vattr scenes — hierarchical_search carry_uv — not the payload).
+    # Attr-less triangle scenes with image textures ALSO carry (u, v):
+    # the raw barycentrics are the uv map the XLA record samples with
+    # (ops/intersect.py), so image-textured plain meshes defer exactly
+    # instead of shading with the atlas mean (round-3 VERDICT Next #7).
     p_rows = p_rows_for(has_images, has_vattrs)
+    carry_uv = has_vattrs or (has_tris and has_images)
 
     def bounce_body(state):
         (it, nrays, ox, oy, oz, dx, dy, dz, tpx, tpy, tpz,
@@ -1405,11 +1417,11 @@ def _render_kernel(
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 block_b=stream_b, p_rows=p_rows,
-                has_tris=has_tris, carry_uv=has_vattrs,
+                has_tris=has_tris, carry_uv=carry_uv,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             k0 = 2
-            if has_vattrs:
+            if carry_uv:
                 ub, vb = found[2], found[3]
                 k0 = 4
             pay = found[k0:k0 + p_rows]
@@ -1420,10 +1432,10 @@ def _render_kernel(
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
-                has_tris=has_tris, carry_uv=has_vattrs,
+                has_tris=has_tris, carry_uv=carry_uv,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
-            if has_vattrs:
+            if carry_uv:
                 ub, vb = found[2], found[3]
         else:
             # MEASURED PROBE (round-3 verdict Next #8): partition live
@@ -1441,7 +1453,7 @@ def _render_kernel(
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
-                has_tris=has_tris, carry_uv=has_vattrs,
+                has_tris=has_tris, carry_uv=carry_uv,
             )
             front_to_back_order(bwd_f)
             found_b = hierarchical_search(
@@ -1449,12 +1461,12 @@ def _render_kernel(
                 ox, oy, oz, dx, dy, dz,
                 t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
-                has_tris=has_tris, carry_uv=has_vattrs,
+                has_tris=has_tris, carry_uv=carry_uv,
             )
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, found_a[0], found_b[0])
             best_j = jnp.where(is_fwd, found_a[1], found_b[1])
-            if has_vattrs:
+            if carry_uv:
                 ub = jnp.where(is_fwd, found_a[2], found_b[2])
                 vb = jnp.where(is_fwd, found_a[3], found_b[3])
             nc_wave = found_a[-1] + found_b[-1]
@@ -1623,6 +1635,20 @@ def _render_kernel(
         texg = jnp.where(is_checker & ~odd, a2g, alg)
         texb = jnp.where(is_checker & ~odd, a2b, alb)
 
+        if has_noise:
+            # -------- noise/marble (tex 3, BEYOND-REFERENCE) --------
+            # lerp(albedo2, albedo, marble_factor) with the packed tex_id
+            # row REPURPOSED as the integer scale (ops/textures.py).  Pure
+            # sin/floor/abs VPU math (ops/noise.py is xp-generic and
+            # Mosaic-lowerable); compiled in only when the scene uses it.
+            from ..noise import marble_factor
+            is_noise = tex > 2.5
+            nscale = jnp.maximum(tidp1 - 1.0, 1.0)
+            fac = marble_factor(px, py, pz, nscale, xp=jnp)
+            texr = jnp.where(is_noise, a2r + fac * (alr - a2r), texr)
+            texg = jnp.where(is_noise, a2g + fac * (alg - a2g), texg)
+            texb = jnp.where(is_noise, a2b + fac * (alb - a2b), texb)
+
         if has_images:
             # -------- image texture (Texture.cuh:70-109), deferred --------
             # The atlas cannot be gathered per-lane in-kernel; instead each
@@ -1635,15 +1661,8 @@ def _render_kernel(
             # PACKA (dielectrics ignore textures, Material.cuh:97-146).
             lit_i = alive & hit
             has_data = tidp1 > 0.5
-            is_img = (tex > 1.5) & lit_i
+            is_img = (tex > 1.5) & (tex < 2.5) & lit_i
             eligible = is_img & has_data & ~is_diel
-            if has_tris and not has_vattrs:
-                # image-textured TRIANGLES in attr-less scenes are not
-                # deferred: barycentric (u, v) is not a meaningful image
-                # map without per-vertex UVs, so they shade with the atlas
-                # mean color (PACKA) — documented in PARITY.md.  With
-                # vertex attrs they defer exactly (interpolated uv below).
-                eligible = eligible & (ptype16 < 3.5)
             first = eligible & ~(used1_f > 0.5)
             second = eligible & (used1_f > 0.5) & ~(used2_f > 0.5)
             # sphere UV (GetSphereUV, Hittable.cuh:119-125) from the
@@ -1683,6 +1702,15 @@ def _render_kernel(
                     is_tri_p,
                     pay[uvb + 1] + ub * pay[uvb + 3] + vb * pay[uvb + 5],
                     vv)
+            elif has_tris:
+                # ATTR-LESS triangles: the raw barycentrics carried
+                # through the search ARE the uv map the XLA record
+                # samples with (ops/intersect.py::make_hit_record), so
+                # image textures on plain meshes defer exactly too
+                # (previously the atlas-mean approximation; round-3
+                # VERDICT Next #7)
+                uu = jnp.where(is_tri_p, ub, uu)
+                vv = jnp.where(is_tri_p, vb, vv)
             iu = jnp.where(first, uu, iu)
             iv = jnp.where(first, vv, iv)
             iid = jnp.where(first, tidp1 - 1.0, iid)
@@ -1947,6 +1975,7 @@ def pallas_render_sample(
     has_vattrs: bool = False,
     tile_mask: jnp.ndarray | None = None,  # i32[n_tiles]: adaptive sampling
     stream_b: int = 0,  # >0: HBM-streamed tables (see docstring)
+    has_noise: bool = False,  # compile in the noise/marble texture branch
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -2041,6 +2070,7 @@ def pallas_render_sample(
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
+        has_noise=has_noise,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

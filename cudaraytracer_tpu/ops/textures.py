@@ -8,19 +8,27 @@ all three variants are evaluated branch-free with masked selects (they are
 each a handful of VPU ops); image lookups gather from a fixed-capacity
 uint8 texture atlas resident on device.
 
-Texture type encoding (TextureType enum order, Texture.cuh:7-12):
+Texture type encoding (TextureType enum order, Texture.cuh:7-12; type 3 is
+BEYOND-REFERENCE):
     0 = constant   (albedo)
     1 = checker    (albedo = odd color, albedo2 = even color)
     2 = image      (tex_id selects an atlas slot; albedo used as fallback)
+    3 = noise      (RTOW "The Next Week" marble, ops/noise.py:
+                    lerp(albedo2, albedo, marble_factor); tex_id is
+                    REPURPOSED as the integer marble scale, max(tex_id, 1) —
+                    noise needs no atlas slot, so the field is free)
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .noise import marble_factor
+
 CONSTANT = 0
 CHECKER = 1
 IMAGE = 2
+NOISE = 3
 
 # Reference returns cyan when an image texture has no data (Texture.cuh:88-89).
 _MISSING_IMAGE_COLOR = (0.0, 1.0, 1.0)
@@ -60,7 +68,13 @@ def sample_texture(
     valid = (tex_id >= 0) & (h > 0) & (w > 0)
     image = jnp.where(valid[:, None], texel, missing[None, :])
 
+    # --- noise/marble (BEYOND-REFERENCE, ops/noise.py): tex_id = scale
+    scale = jnp.maximum(tex_id, 1).astype(p.dtype)
+    fac = marble_factor(p[:, 0], p[:, 1], p[:, 2], scale, xp=jnp)
+    marble = albedo2 + fac[:, None] * (albedo - albedo2)
+
     out = albedo
     out = jnp.where((tex_type == CHECKER)[:, None], checker, out)
     out = jnp.where((tex_type == IMAGE)[:, None], image, out)
+    out = jnp.where((tex_type == NOISE)[:, None], marble, out)
     return out

@@ -635,7 +635,7 @@ def _tpu_interpret_mode_active() -> bool:
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
                  interpret_ctx, has_tris=False, has_vattrs=False,
-                 adaptive=False, stream_b=0):
+                 adaptive=False, stream_b=0, has_noise=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -686,6 +686,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 tex_hw=atl[1] if has_images else None,
                 cluster=cluster, super_=super_, has_tris=has_tris,
                 has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
+                has_noise=has_noise,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -770,7 +771,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             atlas=atl[0] if has_images else None,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
-            has_vattrs=has_vattrs, stream_b=stream_b,
+            has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
         )
         if has_images:
             rad, counts = out
@@ -849,6 +850,9 @@ class _PallasPipeline:
         prim_t = scene.prim_type[idx]
         has_tris = bool((prim_t == 4).any())
         has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
+        # noise/marble textures (tex_type 3) compile in the in-kernel
+        # marble branch (ops/noise.py math; scenes without it pay nothing)
+        self.has_noise = bool((scene.tex_type[idx] == 3).any())
         # only the sky colors are needed at frame time; HOST numpy so the
         # in-jit pack embeds them as cheap host-sourced constants
         import types
@@ -866,7 +870,8 @@ class _PallasPipeline:
             tile_h, tile_w = 16, 128
         self._tile = (tile_h, tile_w)
         # static kernel config the G-buffer pass shares (gbuffer() below)
-        self._kcfg = (cluster, super_, has_rects, has_tris, t.vattrs)
+        self._kcfg = (cluster, super_, has_rects, has_tris, t.vattrs,
+                      self.has_noise)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
@@ -879,7 +884,7 @@ class _PallasPipeline:
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
-            self.adaptive, self.stream_b)
+            self.adaptive, self.stream_b, self.has_noise)
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()
@@ -937,11 +942,12 @@ class _PallasPipeline:
         cam_vec = pack_camera_np(
             cam, self._sky.background_start, self._sky.background_end,
             self._cfg.width, self._cfg.height, self._cfg.t_min)
-        cluster, super_, has_rects, has_tris, vattrs = self._kcfg
+        cluster, super_, has_rects, has_tris, vattrs, has_noise = self._kcfg
         step = pallas_gbuffer_step(
             self._cfg.width, self._cfg.height, self._cfg.camera_model,
             *self._tile, has_rects, self.has_images, cluster, super_,
-            _tpu_interpret_mode_active(), has_tris, vattrs, self.stream_b)
+            _tpu_interpret_mode_active(), has_tris, vattrs, self.stream_b,
+            has_noise)
         import numpy as _np
 
         return step(*self._tabs, _np.int32(self._n_super), cam_vec,

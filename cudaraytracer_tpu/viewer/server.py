@@ -152,7 +152,7 @@ function updC(id,k,v){const p=S.scene.find(q=>String(q.id)===String(id));p.cente
 function num(id,k,v,step){return `<input type=number step=${step||0.1} value=${v} onchange="updC('${id}',${k},+this.value)">`}
 function primPanel(p){
  const mats=['lambertian','metal','dielectric','diffuse_light'];
- const texs=['constant','checker','image'];
+ const texs=['constant','checker','image','noise'];
  let rows=`<div class=row><span class=lbl>pos</span>${[0,1,2].map(k=>num(p.id,k,p.center[k])).join('')}</div>`;
  if(p.prim==='sphere')
   rows+=`<div class=row><span class=lbl>radius</span><input type=number step=0.05 value=${p.size[0]} onchange="upd('${p.id}','radius',+this.value)"></div>`;
@@ -163,8 +163,9 @@ function primPanel(p){
  rows+=`<div class=row><span class=lbl>mat</span><select onchange="upd('${p.id}','mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
   <select onchange="if(this.value==='image'){uploadTex('${p.id}')}else{upd('${p.id}','tex',this.value)}">${texs.map(t=>`<option ${t===p.tex?'selected':''}>${t}</option>`).join('')}</select></div>`;
  rows+=`<div class=row><span class=lbl>albedo</span><input type=color value=${rgb2hex(p.albedo)} onchange="upd('${p.id}','albedo',hex2rgb(this.value))">`;
- if(p.tex==='checker')rows+=`<input type=color value=${rgb2hex(p.albedo2)} onchange="upd('${p.id}','albedo2',hex2rgb(this.value))">`;
+ if(p.tex==='checker'||p.tex==='noise')rows+=`<input type=color value=${rgb2hex(p.albedo2)} onchange="upd('${p.id}','albedo2',hex2rgb(this.value))">`;
  rows+=`</div>`;
+ if(p.tex==='noise')rows+=`<div class=row><span class=lbl>scale</span><input type=number step=1 min=1 value=${Math.max(p.tex_id||1,1)} title="marble scale (tex_id reused)" onchange="upd('${p.id}','tex_id',Math.max(1,Math.round(+this.value)))"></div>`;
  if(p.mat==='metal')rows+=`<div class=row><span class=lbl>fuzz</span><input type=range min=0 max=1 step=0.01 value=${p.fuzz} onchange="upd('${p.id}','fuzz',+this.value)"><span>${p.fuzz.toFixed(2)}</span></div>`;
  if(p.mat==='dielectric')rows+=`<div class=row><span class=lbl>ior</span><input type=number step=0.05 value=${p.ior} onchange="upd('${p.id}','ior',+this.value)"></div>`;
  if(p.mat==='diffuse_light')rows+=`<div class=row><span class=lbl>light</span><input type=range min=0 max=10 step=1 value=${p.light} onchange="upd('${p.id}','light',+this.value)"><span>${p.light}</span></div>`;
@@ -277,6 +278,7 @@ class ViewerServer:
                 "size": [round(float(v), 4) for v in scene.size[i]],
                 "albedo": [round(float(v), 4) for v in scene.albedo[i]],
                 "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
+                "tex_id": int(scene.tex_id[i]),
                 "fuzz": round(float(scene.fuzz[i]), 4),
                 "ior": round(float(scene.ior[i]), 4),
                 "light": round(float(scene.light[i]), 4),
@@ -296,6 +298,7 @@ class ViewerServer:
                 "size": [0.0, 0.0],
                 "albedo": [round(float(v), 4) for v in scene.albedo[i]],
                 "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
+                "tex_id": int(scene.tex_id[i]),
                 "fuzz": round(float(scene.fuzz[i]), 4),
                 "ior": round(float(scene.ior[i]), 4),
                 "light": round(float(scene.light[i]), 4),

@@ -132,6 +132,19 @@ def _texture(scene, i, p, buv=(0.0, 0.0)):
     if tt == 1:
         sines = np.sin(10 * p[0]) * np.sin(10 * p[1]) * np.sin(10 * p[2])
         return (scene.albedo[i] if sines < 0 else scene.albedo2[i]).astype(np.float64)
+    if tt == 3:
+        # noise/marble (BEYOND-REFERENCE): lerp(albedo2, albedo, factor)
+        # with tex_id repurposed as the integer marble scale.  Uses the
+        # shared xp-generic math (ops/noise.py) with NumPy in f32 — the
+        # hash amplifies rounding, so the oracle must evaluate the same
+        # f32 op sequence the renderers do (noise.py "Numerical note").
+        from cudaraytracer_tpu.ops.noise import marble_factor
+        scale = np.float32(max(int(scene.tex_id[i]), 1))
+        fac = float(marble_factor(np.float32(p[0]), np.float32(p[1]),
+                                  np.float32(p[2]), scale, xp=np))
+        a = scene.albedo[i].astype(np.float64)
+        b = scene.albedo2[i].astype(np.float64)
+        return b + fac * (a - b)
     # image: clamp u, flip v, nearest texel (Texture.cuh:81-105 /
     # ops/textures.py) — missing/empty slots return the reference's cyan
     tid = int(scene.tex_id[i])

@@ -37,9 +37,11 @@ def _pallas_gb(scene, cam, model, W, H, streamed=False):
     t = pack_scene_tables(scene, with_uv=has_images)
     cam_vec = pack_camera_np(cam, scene.background_start,
                              scene.background_end, W, H, 1e-3)
+    has_noise = bool((np.asarray(scene.tex_type)[idx] == 3).any())
     kw = dict(width=W, height=H, camera_model=model, tile_h=16, tile_w=128,
               has_rects=has_rects, cluster=t.cluster, super_=t.super_,
-              has_tris=has_tris, has_vattrs=has_vattrs and t.vattrs)
+              has_tris=has_tris, has_vattrs=has_vattrs and t.vattrs,
+              has_noise=has_noise)
     if has_images:
         kw.update(atlas=jnp.asarray(scene.atlas),
                   tex_hw=jnp.asarray(scene.tex_hw))
@@ -111,9 +113,9 @@ def test_gbuffer_kernel_streamed_bit_identical(name):
 def test_gbuffer_attrless_tri_image_exact():
     """Image textures on ATTR-LESS triangles: the G-buffer albedo must be
     the exact texel at the raw barycentric uv — matching the XLA record's
-    rec.u/rec.v sampling (ops/intersect.py) — not the atlas mean color the
-    radiance kernel approximates with (PARITY.md known gap; the G-buffer
-    pass carries the winner's barycentrics so it can be exact)."""
+    rec.u/rec.v sampling (ops/intersect.py); the G-buffer pass carries the
+    winner's barycentrics so it is exact, like the radiance kernel's
+    deferral (round-4 closure of the PARITY mean-color gap)."""
     from cudaraytracer_tpu.models.scene import LAMBERTIAN, Scene
 
     sc = Scene(capacity=16)

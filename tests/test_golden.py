@@ -649,3 +649,79 @@ def test_octant_split_bit_identical():
                 octant_split=octant)
         outs.append(np.asarray(img))
     assert np.array_equal(outs[0], outs[1])
+
+
+def test_pallas_attrless_tri_image_exact():
+    """Image textures on ATTR-LESS triangles (no per-vertex uvs) sample at
+    the RAW barycentric uv in every render path — the uv map the XLA
+    record carries (ops/intersect.py) — not the atlas MEAN color the
+    round-3 kernel substituted (the last PARITY image gap; round-3 VERDICT
+    Next #7).  Adversarial form mirrors the two-image-hit test: an
+    emissive quadrant-textured triangle on black terminates every path at
+    its first hit, so radiance = intensity * texel(u, v) exactly and the
+    megakernel must match the XLA path to float tolerance away from
+    geometry/texel edges.  The old mean-color kernel rendered this
+    triangle one flat color."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import DIFFUSE_LIGHT, IMAGE, Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    tex = np.zeros((32, 32, 3), np.uint8)
+    tex[:16, :16] = (255, 40, 40)
+    tex[:16, 16:] = (40, 255, 40)
+    tex[16:, :16] = (40, 40, 255)
+    tex[16:, 16:] = (250, 250, 60)
+
+    sc = Scene(capacity=8, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    slot = sc.load_image_texture(tex)
+    v = np.array([(-3, -2, -3), (3, -2, -3), (-3, 4, -3)], np.float32)
+    f = np.array([(0, 1, 2)], np.int64)
+    sc.add_mesh(v, f, mat_type=DIFFUSE_LIGHT, light=2.0,
+                tex_type=IMAGE, tex_id=slot)
+    assert not sc.has_vertex_attrs  # the gap under test is the plain mesh
+    sd = sc.device()
+    cam = make_camera_params(origin=(-0.5, 0.0, 0.5), forward=(0, 0, -1),
+                             fov_deg=70.0)
+    W, H, D = 128, 32, 2
+    t = pack_scene_tables(sc, with_uv=True)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        img, counts = pallas_render_sample(
+            *tabs, t.n_super, cam_vec, 3, D,
+            width=W, height=H, camera_model="look_at",
+            tile_h=16, tile_w=128, atlas=sd.atlas, tex_hw=sd.tex_hw,
+            has_tris=True,
+        )
+    pal = np.asarray(img)[:H, :W] / np.maximum(
+        np.asarray(counts)[:H, :W], 1.0)[..., None]
+    xla = np.asarray(
+        render_radiance(sd, cam, rngu.base_key(), 1, D,
+                        width=W, height=H, camera_model="look_at"))
+    assert np.isfinite(pal).all()
+    # subpixel jitter differs between the RNGs: compare away from EITHER
+    # image's geometry/texel discontinuities (3x3 local spread < 1e-2;
+    # unlike the two-image-hit test this scene has a free triangle
+    # silhouette, where a pallas-jittered ray can hit while xla's whole
+    # 3x3 neighborhood misses — so both masks are needed)
+    from scipy.ndimage import maximum_filter, minimum_filter
+
+    def spread(a):
+        return (maximum_filter(a, size=(3, 3, 1))
+                - minimum_filter(a, size=(3, 3, 1))).max(-1)
+
+    smooth = (spread(xla) < 1e-2) & (spread(pal) < 1e-2)
+    assert smooth.mean() > 0.5
+    err = np.abs(pal - xla).max(-1)
+    assert err[smooth].max() < 1e-4, (
+        f"max interior err {err[smooth].max()} (mean-color leak?)")
+    # the three barycentric-reachable quadrant colors appear on the lit
+    # triangle (u + v <= 1 excludes the fourth): the mean-color kernel
+    # could only produce ONE flat color here
+    lit = pal[pal.max(-1) > 0.2]
+    assert len({tuple(np.round(c, 2)) for c in lit}) >= 3
