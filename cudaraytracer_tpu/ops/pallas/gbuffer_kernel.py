@@ -506,7 +506,13 @@ def pallas_gbuffer(
     depth = out[6]
     if has_images:
         # XLA texel epilogue: ONE record per lane — exact at depth 1
-        # (nearest-neighbor of Texture.cuh:83-105, like pallas_render_sample)
+        # (nearest-neighbor of Texture.cuh:83-105, like pallas_render_sample;
+        # same FLAT-1D packed-u32 gather — the naive 4D uint8 gather was
+        # measured 1.9x slower per launch at 720p, render_kernel.py)
+        ah, aw = atlas.shape[1], atlas.shape[2]
+        a32 = atlas.astype(jnp.uint32)
+        flat_atlas = ((a32[..., 0] << 16) | (a32[..., 1] << 8)
+                      | a32[..., 2]).reshape(-1)
         iid = out[9]
         slot = jnp.maximum(iid.astype(jnp.int32), 0)
         hw = tex_hw[slot]
@@ -518,7 +524,11 @@ def pallas_gbuffer(
                       0, jnp.maximum(tw - 1, 0))
         tj = jnp.clip((vv * th.astype(jnp.float32)).astype(jnp.int32),
                       0, jnp.maximum(th - 1, 0))
-        texel = atlas[slot, tj, ti].astype(jnp.float32) * (1.0 / 255.0)
+        v = flat_atlas[(slot * ah + tj) * aw + ti]
+        texel = jnp.stack([(v >> 16).astype(jnp.float32),
+                           ((v >> 8) & 0xFF).astype(jnp.float32),
+                           (v & 0xFF).astype(jnp.float32)],
+                          axis=-1) * (1.0 / 255.0)
         albedo = jnp.where((iid >= 0.0)[..., None], texel, albedo)
     return (normal[:height, :width], albedo[:height, :width],
             depth[:height, :width])

@@ -2153,6 +2153,20 @@ def pallas_render_sample(
         # of Texture.cuh:83-105, matching ops/textures.py).  Two records
         # per lane: radiance = pre + tex1*rp + tex2*(chain ? tex1 : 1)*rq
         # — exact for up to two image-texture factors per lane per launch.
+        #
+        # FLAT-1D PACKED GATHER (measured v5e, tools + BASELINE.md "image
+        # epilogue"): the naive atlas[slot, tj, ti] 4D uint8 gather costs
+        # 32 ms/launch at 720p — dominating the per-launch cost of image
+        # scenes on the interactive path (bench's N-frames-per-launch
+        # slope amortizes it, the viewer pays it every frame).  Packing
+        # RGB into one uint32 plane (in-jit, ~4 MB elementwise, ~0.1 ms)
+        # and gathering ONE u32 per record from a FLAT 1D table lowers to
+        # a 1.9x faster gather (16.9 ms) — bit-identical texels.
+        ah, aw = atlas.shape[1], atlas.shape[2]
+        a32 = atlas.astype(jnp.uint32)
+        flat_atlas = ((a32[..., 0] << 16) | (a32[..., 1] << 8)
+                      | a32[..., 2]).reshape(-1)
+
         def texel_at(iu, iv, iid):
             slot = jnp.maximum(iid.astype(jnp.int32), 0)
             hw = tex_hw[slot]  # [band_h, pad_w, 2]
@@ -2164,8 +2178,11 @@ def pallas_render_sample(
                           0, jnp.maximum(tw - 1, 0))
             tj = jnp.clip((vv * th.astype(jnp.float32)).astype(jnp.int32),
                           0, jnp.maximum(th - 1, 0))
-            texel = atlas[slot, tj, ti].astype(jnp.float32) * (1.0 / 255.0)
-            return jnp.transpose(texel, (2, 0, 1))  # [3, band_h, pad_w]
+            v = flat_atlas[(slot * ah + tj) * aw + ti]
+            r = (v >> 16).astype(jnp.float32)
+            g = ((v >> 8) & 0xFF).astype(jnp.float32)
+            b = (v & 0xFF).astype(jnp.float32)
+            return jnp.stack([r, g, b]) * (1.0 / 255.0)  # [3, bh, pw]
 
         pre = out[0][0:3]
         post = out[0][3:6]

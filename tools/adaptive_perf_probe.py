@@ -15,8 +15,12 @@ B) PRODUCT DECAY: a fresh app with default knobs (tau 0.016, q 0.95,
    ms/frame shows the frame time falling as tiles freeze.
 
 Run in a FRESH process with the TPU idle (never two TPU processes at
-once):  timeout 1200 python tools/adaptive_perf_probe.py
+once):  timeout 1200 python tools/adaptive_perf_probe.py [--scene NAME]
+[--decay-only] — e.g. --scene terrain_big measures the adaptive x
+streamed seam (round-3 VERDICT Next #2c: expect the 48 ms streamed frame
+to fall with the active-tile fraction as sky tiles converge).
 """
+import argparse
 import json
 import os
 import sys
@@ -31,13 +35,22 @@ def main():
     import jax.numpy as jnp
 
     from cudaraytracer_tpu.config import RenderConfig
+    from cudaraytracer_tpu.models import scenes as scene_lib
     from cudaraytracer_tpu.viewer.app import Application
 
-    out = {}
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="rtow_final")
+    ap.add_argument("--decay-only", action="store_true",
+                    help="skip the frozen-mask scaling section")
+    ap.add_argument("--bursts", type=int, default=16)
+    args = ap.parse_args()
+
+    out = {"scene": args.scene}
 
     def make_app(adaptive):
         cfg = RenderConfig(width=1280, height=720, max_depth=12,
-                           scene="rtow_final", camera_model="look_at",
+                           scene=args.scene,
+                           camera_model=scene_lib.camera_model_for(args.scene),
                            accel="pallas", progressive=True,
                            progressive_spp=1, adaptive=adaptive,
                            sync_every=100000)  # probe syncs by hand
@@ -56,35 +69,38 @@ def main():
         return (time.perf_counter() - t0) / k * 1000.0
 
     # ---------------- A) fixed-mask scaling + adaptive-stats overhead
-    print("== plain (non-adaptive) step, slope over 30 frames")
-    app, rl = make_app(adaptive=False)
-    burst(app, rl, 3)  # compile + warm
-    plain_ms = burst(app, rl, 30)
-    print(f"plain: {plain_ms:.2f} ms/frame")
-    out["plain_ms"] = round(plain_ms, 2)
-    app.close()
+    if not args.decay_only:
+        print("== plain (non-adaptive) step, slope over 30 frames")
+        app, rl = make_app(adaptive=False)
+        burst(app, rl, 3)  # compile + warm
+        plain_ms = burst(app, rl, 30)
+        print(f"plain: {plain_ms:.2f} ms/frame")
+        out["plain_ms"] = round(plain_ms, 2)
+        app.close()
 
-    print("== adaptive step, frozen masks (tau ~ 0: nothing converges)")
-    app, rl = make_app(adaptive=True)
-    rl.cfg.adaptive_tau = 1e-12  # no pixel clears the bar -> mask frozen
-    p = rl._pallas
-    burst(app, rl, 3)  # compile + warm
-    nt = int(np.asarray(p._mask).size)
-    rng = np.random.default_rng(0)
-    rows = []
-    for frac in (1.0, 0.5, 0.25, 0.1):
-        m = np.zeros(nt, np.int32)
-        k = max(1, int(round(frac * nt)))
-        m[rng.choice(nt, size=k, replace=False)] = 1
-        p._mask = jnp.asarray(m)
-        burst(app, rl, 2)  # settle the new mask
-        ms = burst(app, rl, 30)
-        rows.append({"active_frac": frac, "active_tiles": k,
-                     "ms_per_frame": round(ms, 2)})
-        print(f"active={frac:4.2f} ({k:3d}/{nt} tiles): {ms:.2f} ms/frame")
-    out["frozen_mask_rows"] = rows
-    out["adaptive_overhead_ms"] = round(rows[0]["ms_per_frame"] - plain_ms, 2)
-    app.close()
+    if not args.decay_only:
+        print("== adaptive step, frozen masks (tau ~ 0: nothing converges)")
+        app, rl = make_app(adaptive=True)
+        rl.cfg.adaptive_tau = 1e-12  # no pixel clears the bar -> mask frozen
+        p = rl._pallas
+        burst(app, rl, 3)  # compile + warm
+        nt = int(np.asarray(p._mask).size)
+        rng = np.random.default_rng(0)
+        rows = []
+        for frac in (1.0, 0.5, 0.25, 0.1):
+            m = np.zeros(nt, np.int32)
+            k = max(1, int(round(frac * nt)))
+            m[rng.choice(nt, size=k, replace=False)] = 1
+            p._mask = jnp.asarray(m)
+            burst(app, rl, 2)  # settle the new mask
+            ms = burst(app, rl, 30)
+            rows.append({"active_frac": frac, "active_tiles": k,
+                         "ms_per_frame": round(ms, 2)})
+            print(f"active={frac:4.2f} ({k:3d}/{nt} tiles): {ms:.2f} ms/frame")
+        out["frozen_mask_rows"] = rows
+        out["adaptive_overhead_ms"] = round(
+            rows[0]["ms_per_frame"] - plain_ms, 2)
+        app.close()
 
     # ---------------- B) product decay with default knobs
     print("== product decay (defaults: tau=0.016 q=0.95 min=8)")
@@ -92,7 +108,7 @@ def main():
     p = rl._pallas
     burst(app, rl, 3)  # compile + warm (counts toward the schedule)
     decay = []
-    for b in range(16):
+    for b in range(args.bursts):
         t0 = time.perf_counter()
         app.run(max_frames=25)
         frac = p.active_fraction()  # one small fetch = the burst's sync

@@ -13,8 +13,11 @@ difference — device execution is serial, so the slope is the per-call
 device cost.
 
 Run in a FRESH process with the TPU idle:
-  timeout 1200 python tools/denoise_probe.py
+  timeout 1200 python tools/denoise_probe.py [--scene NAME]
+(--scene terrain_big measures the round-4 megakernel G-buffer on the
+20k-tri streamed scene where the XLA brute pass was never safe to run.)
 """
+import argparse
 import json
 import os
 import sys
@@ -27,13 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     from cudaraytracer_tpu.config import RenderConfig
+    from cudaraytracer_tpu.models import scenes as scene_lib
     from cudaraytracer_tpu.ops.denoise import denoise_step
-    from cudaraytracer_tpu.ops.gbuffer import gbuffer_step
     from cudaraytracer_tpu.viewer.app import Application
 
-    out = {}
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="rtow_final")
+    args = ap.parse_args()
+
+    out = {"scene": args.scene}
     cfg = RenderConfig(width=1280, height=720, max_depth=12,
-                       scene="rtow_final", camera_model="look_at",
+                       scene=args.scene,
+                       camera_model=scene_lib.camera_model_for(args.scene),
                        accel="pallas", progressive=True, progressive_spp=4,
                        sync_every=100000)
     app = Application(cfg)
@@ -43,8 +51,6 @@ def main():
     np.asarray(rl._accum)  # sync
 
     cam = rl.fly.params(aperture=cfg.aperture, focus_dist=cfg.focus_dist)
-    gstep = gbuffer_step(cfg.width, cfg.height, cfg.camera_model,
-                         t_min=cfg.t_min, block=cfg.block)
 
     def slope(fn, sync, n_hi=32, n_lo=2):
         # warm/compile
@@ -59,14 +65,16 @@ def main():
             times[n] = time.perf_counter() - t0
         return (times[n_hi] - times[n_lo]) / (n_hi - n_lo) * 1000.0
 
-    # ---- G-buffer pass (497 active prims, brute primary visibility)
+    # ---- G-buffer pass: the PRODUCTION path (round 4: the megakernel
+    # pass over the pipeline's packed tables — resident or streamed;
+    # tools/gbuffer_probe.py has the per-scene table)
     gb_box = {}
 
     def g_run():
-        gb_box["gb"] = gstep(rl._sd, cam)
+        gb_box["gb"] = rl._pallas.gbuffer(cam)
 
     ms = slope(g_run, lambda: np.asarray(gb_box["gb"].depth))
-    print(f"gbuffer_step 720p rtow_final: {ms:.2f} ms")
+    print(f"pallas gbuffer 720p {args.scene}: {ms:.2f} ms")
     out["gbuffer_ms"] = round(ms, 2)
     gb = gb_box["gb"]
 
