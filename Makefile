@@ -1,10 +1,16 @@
 # Developer tooling (the analog of the reference's tasks.py invoke targets,
 # reference: tasks.py:5-93 config/build/run/clean).
 
-.PHONY: test native bench render serve clean
+.PHONY: test test-fast native bench render serve clean
 
 test:
 	python -m pytest tests/ -q
+
+# fast tier: everything not marked `slow` (interpret-mode pallas kernels
+# and heavy e2e runs) — oracle goldens, routing, scene CRUD, camera,
+# viewer endpoint basics.  ~4-5 min vs ~40 min for the full gate.
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 native:
 	python -m cudaraytracer_tpu.native.build

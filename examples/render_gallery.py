@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--height", type=int, default=180)
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--only", default=None,
+                    help="render just this registered scene")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +48,8 @@ def main():
     from cudaraytracer_tpu.ops.pallas.render_kernel import fits_megakernel
 
     for name in scenes.SCENES:
+        if args.only and name != args.only:
+            continue
         cam_model = scenes.camera_model_for(name)
         make_scene, make_cam = scenes.SCENES[name]
         scene = make_scene()
@@ -75,6 +79,8 @@ def main():
                 (scene.tex_type[scene.active_indices()] == 2).any())
             has_tris = bool(
                 (scene.prim_type[scene.active_indices()] == 4).any())
+            has_noise = bool(
+                (scene.tex_type[scene.active_indices()] == 3).any())
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -99,7 +105,7 @@ def main():
                         width=args.width, height=args.height,
                         camera_model=cam_model, spp=1, rr_start=2,
                         atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
-                        has_vattrs=t.vattrs,
+                        has_vattrs=t.vattrs, has_noise=has_noise,
                     )
 
                 acc = cnt = 0.0
@@ -118,6 +124,7 @@ def main():
                     width=args.width, height=args.height,
                     camera_model=cam_model, spp=args.spp, rr_start=2,
                     has_tris=has_tris, has_vattrs=t.vattrs,
+                    has_noise=has_noise,
                 )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)

@@ -19,3 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: the fast tier's cost is dominated by
+# recompiling the same small jits every run; a warm cache cuts repeat
+# `make test-fast` runs substantially.  Safe for correctness (keyed on
+# HLO); delete .pytest_jax_cache to force cold compiles.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", ".pytest_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:  # older jax: flag names differ — cache is best-effort
+    pass

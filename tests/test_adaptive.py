@@ -34,6 +34,7 @@ def small_cfg(**kw):
     return RenderConfig(**d)
 
 
+@pytest.mark.slow
 def test_tile_mask_skips_tiles_bit_identically():
     """A masked launch must render active tiles BIT-IDENTICALLY to the
     unmasked launch (per-tile seeding is mask-independent) and return
@@ -66,6 +67,7 @@ def test_tile_mask_skips_tiles_bit_identically():
     assert np.abs(full[16:]).max() > 0.0  # ... that would have rendered
 
 
+@pytest.mark.slow
 def test_tile_mask_zeroes_image_mode_counts():
     """In image-texture mode skipped tiles' done_f lands at spp; the
     wrapper must report their completed-sample counts as 0."""
@@ -96,6 +98,7 @@ def test_tile_mask_zeroes_image_mode_counts():
     assert np.abs(np.asarray(img)[:16]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_adaptive_app_converges_and_displays():
     """End-to-end: the adaptive viewer app freezes tiles after
     adaptive_min launches (interpret prng => zero variance), stops
@@ -260,6 +263,7 @@ def test_adaptive_checkpoint_roundtrip(tmp_path):
     app2.close()
 
 
+@pytest.mark.slow
 def test_adaptive_checkpoint_backcompat(tmp_path):
     """A checkpoint saved WITHOUT adaptive keys (pre-round-4 format, or a
     non-adaptive session) must load into an adaptive session with a clean

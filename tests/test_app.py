@@ -180,6 +180,7 @@ def test_console_receives_logs():
     app.close()
 
 
+@pytest.mark.slow
 def test_wavefront_accel_app():
     app = Application(small_cfg(accel="wavefront", width=48, height=32))
     rl = app.setup_default_layers()
@@ -263,6 +264,7 @@ def test_late_fence_error_surfaces_next_frame():
     app.close()
 
 
+@pytest.mark.slow
 def test_fence_compile_grace_lifecycle():
     """The FIRST fence behind a freshly-traced executable must wait
     compile_grace (XLA/Mosaic compiles take 1-2 min over a tunneled link);
@@ -291,6 +293,7 @@ def test_fence_compile_grace_lifecycle():
     app.close()
 
 
+@pytest.mark.slow
 def test_profiler_trace_hooks(tmp_path):
     app = Application(small_cfg())
     rl = app.setup_default_layers()
@@ -304,6 +307,7 @@ def test_profiler_trace_hooks(tmp_path):
     app.close()
 
 
+@pytest.mark.slow
 def test_pallas_accel_image_texture_no_demotion():
     """A scene with an IMAGE texture must stay on the pallas megakernel
     (first-hit deferral, render_kernel.py) instead of demoting the whole

@@ -106,6 +106,7 @@ def test_primitive_aabbs_sphere_and_rects():
     np.testing.assert_allclose(bmax[1], [2.0, -0.4999, 1.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_renderer_with_bvh_matches_brute_statistically():
     import jax
 

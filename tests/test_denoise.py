@@ -44,6 +44,7 @@ def test_gbuffer_semantics_default_scene():
     assert np.isfinite(a).all() and a.min() >= 0.0
 
 
+@pytest.mark.slow
 def test_gbuffer_jit_step_matches_eager():
     W, H = 24, 16
     scene = scenes.default_scene()
@@ -110,6 +111,7 @@ def test_denoise_reduces_noise_without_edge_bleed():
     assert abs(right_edge - 0.75) < 0.08
 
 
+@pytest.mark.slow
 def test_denoise_constant_image_is_fixed_point():
     h, w = 16, 32
     gb = _two_region_gbuffer(h, w)
@@ -118,6 +120,7 @@ def test_denoise_constant_image_is_fixed_point():
     np.testing.assert_allclose(out, const, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_denoise_jit_step_and_variance_path():
     h, w = 24, 32
     gb = _two_region_gbuffer(h, w)
@@ -147,6 +150,9 @@ def test_denoise_jit_step_and_variance_path():
 
 
 # ------------------------------------------------------------ integration
+
+
+@pytest.mark.slow
 def test_render_layer_denoised_display():
     from cudaraytracer_tpu.config import RenderConfig
     from cudaraytracer_tpu.viewer.app import Application
@@ -181,6 +187,7 @@ def test_render_layer_denoised_display():
     app.close()
 
 
+@pytest.mark.slow
 def test_render_layer_aov_export(tmp_path):
     from cudaraytracer_tpu.__main__ import _write_aov
     from cudaraytracer_tpu.config import RenderConfig
@@ -211,6 +218,7 @@ def test_render_layer_aov_export(tmp_path):
     app.close()
 
 
+@pytest.mark.slow
 def test_viewer_denoise_toggle_e2e():
     from cudaraytracer_tpu.config import RenderConfig
     from cudaraytracer_tpu.viewer.app import Application

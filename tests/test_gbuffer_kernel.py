@@ -85,6 +85,9 @@ def _assert_matches_xla(scene, cam, model, W=128, H=32, streamed=False,
 
 @pytest.mark.parametrize("name", ["default", "cornell", "rtow_image",
                                   "mesh_smooth", "terrain"])
+
+
+@pytest.mark.slow
 def test_gbuffer_kernel_matches_xla(name):
     """Resident-layout kernel == XLA primary_features across the scene
     families: spheres+checker (two_plane), all-rect light box, image
@@ -95,6 +98,7 @@ def test_gbuffer_kernel_matches_xla(name):
                         scenes.camera_model_for(name))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["rtow_final", "mesh_smooth"])
 def test_gbuffer_kernel_streamed_bit_identical(name):
     """The HBM-streamed layout must produce BIT-IDENTICAL feature buffers
@@ -110,6 +114,7 @@ def test_gbuffer_kernel_streamed_bit_identical(name):
         assert np.abs(r - s).max() == 0.0
 
 
+@pytest.mark.slow
 def test_gbuffer_attrless_tri_image_exact():
     """Image textures on ATTR-LESS triangles: the G-buffer albedo must be
     the exact texel at the raw barycentric uv — matching the XLA record's
@@ -139,6 +144,7 @@ def test_gbuffer_attrless_tri_image_exact():
                         min_cover=0.03)
 
 
+@pytest.mark.slow
 def test_viewer_gbuffer_routes_through_megakernel(monkeypatch):
     """RenderLayer._gbuffer must use the megakernel pass whenever the
     pallas pipeline exists (resident AND streamed routing), and the

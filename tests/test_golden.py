@@ -6,6 +6,7 @@ pixel-statistical-match requirement of BASELINE.json's north star).
 """
 
 import numpy as np
+import pytest
 
 from cudaraytracer_tpu.models import scenes
 from cudaraytracer_tpu.models.renderer import render_radiance
@@ -63,6 +64,7 @@ def test_emissive_scene_matches_oracle():
     np.testing.assert_allclose(ours.mean((0, 1)), gold.mean((0, 1)), atol=0.05)
 
 
+@pytest.mark.slow
 def test_mesh_scene_matches_oracle():
     """Triangle meshes against the scalar golden model: a smooth-shaded
     lambertian icosphere and a flat metal tetrahedron over the ground,
@@ -162,6 +164,7 @@ def test_image_texture_matches_oracle_exact_interior():
     assert len({tuple(np.round(c, 3)) for c in ours[interior]}) >= 4
 
 
+@pytest.mark.slow
 def test_pallas_framing_at_non_tile_multiple():
     """Regression: the megakernel's camera math must use the TRUE image
     dims, not the tile-padded ones — at 96x24 (pads to 256x32) the old code
@@ -204,6 +207,7 @@ def test_pallas_framing_at_non_tile_multiple():
     assert abs(pal.mean() - xla.mean()) < 0.02
 
 
+@pytest.mark.slow
 def test_pallas_image_texture_matches_xla():
     """In-kernel image textures via first-hit deferral (render_kernel.py):
     a two-band image-textured sphere must render like the XLA path
@@ -266,6 +270,7 @@ def test_pallas_image_texture_matches_xla():
     assert bot[..., 2].mean() > bot[..., 0].mean()
 
 
+@pytest.mark.slow
 def test_pallas_two_image_hits_one_path_exact():
     """ADVERSARIAL two-image-hit case (round-2 verdict Missing #2): an
     image-textured MIRROR (fuzz 0) reflecting onto an image-textured LIGHT
@@ -336,6 +341,7 @@ def test_pallas_two_image_hits_one_path_exact():
     assert (pal[:, :, 1] > 0.9).any()  # texA.g * 2 * texB.g == 1.004 region
 
 
+@pytest.mark.slow
 def test_pallas_two_samples_one_image_hit_each():
     """Cross-sample use of the second deferral record: with spp=2 batched
     in ONE launch, a lane whose first sample consumed record 1 must run its
@@ -419,6 +425,7 @@ def test_look_at_camera_geometry():
     assert abs(cy - exp_y) <= 2.0, (cy, exp_y)
 
 
+@pytest.mark.slow
 def test_pallas_negative_radius_hollow_glass():
     """Negative radii flip the normal inward ((p-c)/r with SIGNED r,
     Hittable.cuh:96) — the RTOW hollow-glass idiom.  The megakernel must
@@ -462,6 +469,7 @@ def test_pallas_negative_radius_hollow_glass():
     assert abs(pal.mean() - xla.mean()) < 0.03
 
 
+@pytest.mark.slow
 def test_pallas_rect_image_uv_matches_xla():
     """Rect image-texture UV (axis selection by prim type, Hittable.cuh:
     128-294) in the megakernel's deferred path must match the XLA sampler:
@@ -512,6 +520,7 @@ def test_pallas_rect_image_uv_matches_xla():
     assert rp[..., 0].mean() > rp[..., 1].mean()  # right: magenta dominant
 
 
+@pytest.mark.slow
 def test_cluster_super_parameterization_invariance():
     """Tables packed and rendered with any (cluster, super) geometry must
     produce bit-identical images (culling geometry never affects hit
@@ -545,6 +554,7 @@ def test_cluster_super_parameterization_invariance():
     assert np.array_equal(outs[0], outs[2])
 
 
+@pytest.mark.slow
 def test_random_feature_scenes_packing_invariance():
     """Fuzz: random scenes mixing EVERY feature class — spheres, rects,
     triangle meshes (flat / smooth / uv-mapped), all four materials —
@@ -623,6 +633,7 @@ def test_random_feature_scenes_packing_invariance():
         assert np.array_equal(outs[0], outs[2]), seed
 
 
+@pytest.mark.slow
 def test_octant_split_bit_identical():
     """The octant-split search probe (round-3 verdict Next #8) must be a
     pure perf knob: partitioning lanes by direction sign and searching per
@@ -651,6 +662,7 @@ def test_octant_split_bit_identical():
     assert np.array_equal(outs[0], outs[1])
 
 
+@pytest.mark.slow
 def test_pallas_attrless_tri_image_exact():
     """Image textures on ATTR-LESS triangles (no per-vertex uvs) sample at
     the RAW barycentric uv in every render path — the uv map the XLA

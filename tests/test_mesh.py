@@ -133,6 +133,7 @@ def test_bvh_matches_brute_on_triangles():
     )
 
 
+@pytest.mark.slow
 def test_triangle_hit_record_normal_and_barycentrics():
     sc = Scene(capacity=8)
     # right triangle in the z=1 plane: v0 origin, e1 = +x, e2 = +y
@@ -353,6 +354,7 @@ def test_mesh_grouping_and_group_edits(tmp_path):
     assert (sc3.mesh_id[~sc3.active] == -1).all()
 
 
+@pytest.mark.slow
 def test_mesh_scene_renders_brute_and_bvh():
     from cudaraytracer_tpu.models.camera import make_camera_params
     from cudaraytracer_tpu.models.renderer import Renderer
@@ -445,6 +447,7 @@ def test_cluster_kinds_with_triangles():
     np.testing.assert_allclose(np.dot(v0 + e2, m2) + d2, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_triangles_match_xla():
     """Megakernel triangle path (kind-3 clusters + triple-product
     Moller-Trumbore) vs the XLA renderer on a mesh scene.  Interpret-mode

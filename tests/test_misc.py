@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from cudaraytracer_tpu import config as cfg_mod
 from cudaraytracer_tpu.ops.pack import pack_rgba8, to_rgba8, tonemap
@@ -72,6 +73,7 @@ def test_config_camera_model_from_scene_registry():
                   "--camera-model", "two_plane"]).camera_model == "two_plane"
 
 
+@pytest.mark.slow
 def test_cli_render_subprocess(tmp_path):
     """End-to-end: the module CLI renders a PNG headlessly."""
     out = str(tmp_path / "cli.png")
@@ -134,6 +136,7 @@ def test_register_obj_scene(tmp_path):
         scn.CAMERA_MODELS.pop(name, None)
 
 
+@pytest.mark.slow
 def test_cli_render_obj_subprocess(tmp_path):
     """End-to-end: `render --obj model.obj` renders the model headlessly."""
     p = tmp_path / "ball.obj"
@@ -187,6 +190,7 @@ def test_terrain_texture_height_alignment():
     assert err.max() < 0.08, err.max()
 
 
+@pytest.mark.slow
 def test_every_registered_scene_renders():
     """Registry smoke test: every SCENES entry constructs and renders a
     tiny brute-force frame with finite, non-black output (guards new
@@ -208,6 +212,7 @@ def test_every_registered_scene_renders():
         assert img.sum() > 0, name
 
 
+@pytest.mark.slow
 def test_pallas_cull_stats_diagnostic():
     """with_cull_stats returns the entered-cluster count: positive, bounded
     by launch-iterations x clusters, and the image output is unchanged."""
@@ -241,6 +246,7 @@ def test_pallas_cull_stats_diagnostic():
     assert 0 < ncl <= 4 * t.clusters.shape[1] * n_tiles  # <= iters x clusters
 
 
+@pytest.mark.slow
 def test_pfm_roundtrip_and_cli_hdr(tmp_path):
     """PFM write/read round-trips floats exactly, and `render -o out.pfm`
     exports linear HDR radiance whose gamma-2 tonemap matches the PNG."""

@@ -146,6 +146,7 @@ def test_marble_scene_matches_oracle():
     assert err.mean() < 0.05, f"mean block error {err.mean()}"
 
 
+@pytest.mark.slow
 def test_pallas_marble_matches_xla():
     """The megakernel's in-kernel marble branch vs the XLA path: marble
     albedo is DETERMINISTIC in the hit point, so with the same camera the
@@ -193,6 +194,7 @@ def test_pallas_marble_matches_xla():
     assert hero.max(0).max() - hero.min(0).min() > 0.3
 
 
+@pytest.mark.slow
 def test_gbuffer_kernel_marble_matches_xla():
     """The G-buffer albedo plane through the megakernel pass on a noise
     scene vs the XLA primary pass.  Center rays are deterministic, but the
@@ -224,6 +226,7 @@ def test_gbuffer_kernel_marble_matches_xla():
     np.testing.assert_allclose(a_p[miss], a_x[miss], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_viewer_marble_scene_e2e():
     """The viewer renders the registered marble scene on the pallas path
     (has_noise compiled in) and the scene panel round-trips the noise

@@ -25,6 +25,7 @@ def test_mesh_shapes():
         make_mesh(n_rows=3, n_samples=3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_samples", [1, 2])
 def test_sharded_render_matches_statistics(setup, n_samples):
     sd, cam = setup
@@ -47,6 +48,7 @@ def test_sharded_render_matches_statistics(setup, n_samples):
         assert rad_sh[b * band : (b + 1) * band].sum() > 0
 
 
+@pytest.mark.slow
 def test_sharded_renderer_class(setup):
     sd, cam = setup
     r = ShardedRenderer(32, 32, n_samples_axis=2)
@@ -63,6 +65,7 @@ def test_height_not_divisible_raises(setup):
         render_sharded(sd, cam, rngu.base_key(), 1, 2, width=16, height=17, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_render():
     """Multi-chip megakernel path on the virtual mesh (interpret mode)."""
     import jax.numpy as jnp
@@ -94,6 +97,7 @@ def test_sharded_pallas_render():
         assert out[b * 16 : (b + 1) * 16].mean() > 0.2
 
 
+@pytest.mark.slow
 def test_sharded_pallas_image_mode():
     """Image-texture scenes on the multi-chip megakernel path: each chip
     returns (radiance, counts) for its band, both psum'd over the samples
@@ -151,6 +155,7 @@ def test_sharded_pallas_image_mode():
     assert rp[..., 0].mean() > rp[..., 1].mean()
 
 
+@pytest.mark.slow
 def test_sharded_pallas_vattr_mesh_exact_interior():
     """Triangle mesh with per-vertex UVs (round-3 vattr path) over the
     device mesh: an emissive UV-mapped quad (two triangles) with a
@@ -222,6 +227,7 @@ def test_sharded_pallas_vattr_mesh_exact_interior():
     assert len({tuple(np.round(c, 3)) for c in pal[const]}) >= 4
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_is_hermetic():
     """dryrun_multichip must be green even when the machine's TPU is broken.
 

@@ -7,6 +7,7 @@ dielectric, on randomized inputs.
 """
 
 import numpy as np
+import pytest
 
 from cudaraytracer_tpu.models.camera import make_camera_params
 from cudaraytracer_tpu.models.renderer import render_radiance
@@ -34,6 +35,7 @@ def _random_lightless_scene(seed, n=12):
     return scene
 
 
+@pytest.mark.slow
 def test_energy_conservation_lightless_scenes():
     """Without emitters, every albedo <= 1 and sky <= 1, so every sample's
     radiance is a product of factors <= 1 times the sky: no channel may
@@ -54,6 +56,7 @@ def test_energy_conservation_lightless_scenes():
         assert rad.min() >= 0.0
 
 
+@pytest.mark.slow
 def test_pallas_energy_conservation_lightless():
     """Same invariant through the megakernel WITHOUT Russian roulette
     (rr_start=0; RR reweights survivors by 1/p, which is unbiased but not

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cudaraytracer_tpu.models import scenes
 from cudaraytracer_tpu.models.camera import make_camera_params
@@ -74,6 +75,7 @@ def test_light_illuminates_dark_scene():
     assert np.isfinite(rad).all()
 
 
+@pytest.mark.slow
 def test_spp_scales_linearly_in_expectation():
     scene = scenes.default_scene()
     sd = scene.device()
@@ -112,6 +114,7 @@ def test_metal_floor_mirrors_sky():
     assert rad.min() > 0.3  # sky gradient is bright everywhere
 
 
+@pytest.mark.slow
 def test_russian_roulette_unbiased():
     """RR from bounce 2 must preserve the radiance expectation (survivors
     are compensated by 1/p) — validated statistically on the CPU RNG."""

@@ -109,6 +109,7 @@ def test_save_load_roundtrip(tmp_path):
     assert (s2.tex_type[idx] == CHECKER).any()
 
 
+@pytest.mark.slow
 def test_save_load_render_bit_identical(tmp_path):
     """End-to-end serialization: a feature-maximal scene (smooth uv-mapped
     mesh + image texture + all materials + hollow glass) renders

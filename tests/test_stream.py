@@ -84,6 +84,7 @@ def test_stream_tiles_layout():
                     >= t.supers[3:6, lo:hi].max(axis=1) - 1e-6).all()
 
 
+@pytest.mark.slow
 def test_stream_bit_identical_spheres():
     """Multi-material sphere scene: streamed == resident bit-for-bit."""
     a, b, st = _render_both(scenes.default_scene(),
@@ -92,6 +93,7 @@ def test_stream_bit_identical_spheres():
     assert np.abs(a - b).max() == 0.0
 
 
+@pytest.mark.slow
 def test_stream_bit_identical_multiblock():
     """rtow_final (~500 prims, several superclusters over 2+ blocks)
     exercises the block pipeline's wrap-around prefetch and the fused
@@ -103,6 +105,7 @@ def test_stream_bit_identical_multiblock():
     assert np.abs(a - b).max() == 0.0
 
 
+@pytest.mark.slow
 def test_stream_bit_identical_vattr_images():
     """terrain: triangles + per-vertex attrs + image-texture deferral —
     the feature-maximal payload (40-row tiles) through the streamed
@@ -138,6 +141,7 @@ def test_renderlayer_streams_beyond_ceiling(monkeypatch, tmp_path):
     app.close()
 
 
+@pytest.mark.slow
 def test_stream_tile_mask_bit_identical():
     """Adaptive x streamed seam: a STREAMED launch with a partially-zeroed
     tile mask must render active tiles BIT-IDENTICALLY to the unmasked
@@ -175,6 +179,7 @@ def test_stream_tile_mask_bit_identical():
     assert np.abs(full[16:]).max() > 0.0  # ... that would have rendered
 
 
+@pytest.mark.slow
 def test_stream_adaptive_app_e2e(monkeypatch):
     """End-to-end: an ADAPTIVE viewer session on a beyond-ceiling
     (streamed) scene converges and displays the same image as the
@@ -219,6 +224,7 @@ def test_stream_adaptive_app_e2e(monkeypatch):
     assert np.allclose(adaptive_img, plain_img, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_sharded_mesh():
     """Streamed tables through the multi-chip sharded megakernel: an
     8-device rows x samples mesh on the CPU backend (interpret-mode

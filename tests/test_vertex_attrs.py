@@ -11,6 +11,7 @@ persistence, and end-to-end renders on brute + BVH.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -88,6 +89,9 @@ def test_default_attrs_are_bit_identical():
 
 
 # ------------------------------------------------------- uv interpolation
+
+
+@pytest.mark.slow
 def test_textured_quad_matches_image_rect():
     """Two UV-mapped triangles forming a rect must render the image texture
     pixel-for-pixel like the rect primitive itself."""
@@ -302,6 +306,9 @@ def test_scene_persistence_with_attrs(tmp_path):
 
 
 # ------------------------------------------------------------ end-to-end
+
+
+@pytest.mark.slow
 def test_smooth_mesh_renders_brute_and_bvh():
     """Smooth icosphere renders on brute and BVH paths identically, and
     differs from the flat-shaded render (the feature is visible)."""
@@ -369,6 +376,9 @@ def test_native_packer_bit_identical_with_vattrs():
 
 
 # ----------------------------------------------------------- megakernel
+
+
+@pytest.mark.slow
 def test_pallas_smooth_mesh_matches_xla():
     """Megakernel smooth shading (quantized vertex normals + in-kernel
     barycentric interpolation) vs the XLA renderer, and vs its own flat
@@ -425,6 +435,7 @@ def test_pallas_smooth_mesh_matches_xla():
     assert np.abs(pal - pal_flat).max() > 0.05
 
 
+@pytest.mark.slow
 def test_pallas_textured_mesh_exact_interior():
     """Image texture on a UV-mapped mesh through the megakernel deferral:
     pixels strictly inside a constant-color image region must match the

@@ -417,6 +417,7 @@ def test_scene_load_and_checkpoint_buttons(served, tmp_path):
         assert marker in page, marker
 
 
+@pytest.mark.slow
 def test_mesh_rows_grouped_and_editable():
     """A mesh appears in the Scene panel as ONE object (id "m<gid>"), and
     panel edits on it fan out: material, translate, delete (round 3)."""

@@ -73,6 +73,7 @@ def test_sort_keys_orders_dead_last():
     assert live_max < dead_min
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sort", [True, False])
 def test_wavefront_matches_xla_statistically(sort):
     scene = scenes.default_scene()
@@ -92,6 +93,7 @@ def test_wavefront_matches_xla_statistically(sort):
     assert np.abs(bg - bo).mean() < 0.06
 
 
+@pytest.mark.slow
 def test_wavefront_smooth_mesh_matches_xla():
     """Vattr scenes through the wavefront path (every-accel-path claim):
     a smooth-shaded mesh renders statistically identical to the XLA
