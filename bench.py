@@ -403,6 +403,8 @@ def main():
         prim_t = _np.asarray(sd.prim_type)[active]
         has_tris = bool((prim_t == 4).any())
         has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
+        has_noise = bool((_np.asarray(sd.tex_type)[active] == 3).any())
+        has_media = bool((_np.asarray(sd.mat_type)[active] == 4).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -425,6 +427,7 @@ def main():
                 cluster=t.cluster, super_=t.super_,
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
+                has_noise=has_noise, has_media=has_media,
             )[-1]
 
         @jax.jit
@@ -444,6 +447,7 @@ def main():
                 cluster=t.cluster, super_=t.super_,
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
+                has_noise=has_noise, has_media=has_media,
             )
             if has_images:
                 img, _counts, nrays = out

@@ -152,8 +152,16 @@ def build_bvh(scene: Scene, capacity: int | None = None, use_native: bool = True
     The reference filters inactive entries with thrust::remove_if at build
     time (Hittable.cuh:311-312); we do the same on the host, so the device
     traversal never needs the active mask.
+
+    Constant-density MEDIA (mat ISOTROPIC) are excluded from the tree:
+    their boundary is not a surface — make_bvh_hit_fn tests them with the
+    stochastic medium scan and combines closest-hit (media counts are a
+    handful per scene, so a brute media-only pass is cheap).
     """
     idx = scene.active_indices()
+    from .scene import ISOTROPIC as _ISO
+
+    idx = idx[scene.mat_type[idx] != _ISO]
     if capacity is None:
         capacity = 2 * scene.capacity
     if len(idx) == 0:
@@ -203,13 +211,34 @@ def make_bvh_hit_fn(bvh: BVHData, scene_data, t_min: float = 0.001):
     """
     from ..ops.bvh_traverse import bvh_closest_hit
 
-    def hit_fn(org, dirn):
-        return bvh_closest_hit(
+    def hit_fn(org, dirn, u_med=None):
+        hit, t, idx = bvh_closest_hit(
             org, dirn, bvh,
             scene_data.prim_type, scene_data.center, scene_data.size,
             t_min=t_min,
             edge1=scene_data.edge1 if scene_data.has_triangles else None,
             edge2=scene_data.edge2 if scene_data.has_triangles else None,
         )
+        if scene_data.has_media and u_med is not None:
+            # media live OUTSIDE the tree (build_bvh docstring): a brute
+            # media-only scan combines by closest hit — order-free, the
+            # medium's sampled t is deterministic given (ray, u_med)
+            from ..ops import intersect as _it
+            from .scene import ISOTROPIC as _ISO
+
+            med_active = scene_data.active & (
+                scene_data.mat_type == _ISO)
+            mhit, mt, midx = _it.hit_scene(
+                org, dirn, scene_data.prim_type, scene_data.center,
+                scene_data.size, med_active, t_min=t_min,
+                mat_type=scene_data.mat_type,
+                density=scene_data.density, u_med=u_med,
+            )
+            t_or_big = jnp.where(hit, t, _it.BIG)
+            closer = mhit & (mt < t_or_big)
+            hit = hit | mhit
+            t = jnp.where(closer, mt, t)
+            idx = jnp.where(closer, midx, idx)
+        return hit, t, idx
 
     return hit_fn

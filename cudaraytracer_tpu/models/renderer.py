@@ -75,13 +75,27 @@ def trace(
             uv0=scene.uv0, uv1=scene.uv1, uv2=scene.uv2,
             vnorm0=scene.vnorm0, vnorm1=scene.vnorm1, vnorm2=scene.vnorm2,
         )
+    # constant-density media (scene.has_media is STATIC): the hit fn takes
+    # a per-ray uniform per wave for the stochastic scatter distance, and
+    # the record marks medium winners (arbitrary normal, isotropic phase)
+    if scene.has_media:
+        rec_kw.update(mat_type=scene.mat_type)
 
     if hit_fn is None:
-        def hit_fn(o, d):
-            return intersect.hit_scene(
-                o, d, scene.prim_type, scene.center, scene.size, scene.active,
-                t_min=t_min, block=block, **tri_kw,
-            )
+        if scene.has_media:
+            def hit_fn(o, d, u_med=None):
+                return intersect.hit_scene(
+                    o, d, scene.prim_type, scene.center, scene.size,
+                    scene.active, t_min=t_min, block=block,
+                    mat_type=scene.mat_type, density=scene.density,
+                    u_med=u_med, **tri_kw,
+                )
+        else:
+            def hit_fn(o, d):
+                return intersect.hit_scene(
+                    o, d, scene.prim_type, scene.center, scene.size,
+                    scene.active, t_min=t_min, block=block, **tri_kw,
+                )
 
     def cond(carry):
         _, _, _, _, alive, bounce, _ = carry
@@ -93,7 +107,11 @@ def trace(
         bkey = rngu.bounce_key(key, bounce)
         k_sphere, k_uniform = jax.random.split(bkey)
 
-        hit, t, idx = hit_fn(org, dirn)
+        if scene.has_media:
+            u_med = jax.random.uniform(jax.random.fold_in(bkey, 13), (r,))
+            hit, t, idx = hit_fn(org, dirn, u_med)
+        else:
+            hit, t, idx = hit_fn(org, dirn)
         rec = intersect.make_hit_record(
             org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size,
             **rec_kw,

@@ -42,13 +42,14 @@ LAMBERTIAN = materials.LAMBERTIAN
 METAL = materials.METAL
 DIELECTRIC = materials.DIELECTRIC
 DIFFUSE_LIGHT = materials.DIFFUSE_LIGHT
+ISOTROPIC = materials.ISOTROPIC
 CONSTANT = textures.CONSTANT
 CHECKER = textures.CHECKER
 IMAGE = textures.IMAGE
 NOISE = textures.NOISE
 
 PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect", TRIANGLE: "triangle"}
-MAT_NAMES = {LAMBERTIAN: "lambertian", METAL: "metal", DIELECTRIC: "dielectric", DIFFUSE_LIGHT: "diffuse_light"}
+MAT_NAMES = {LAMBERTIAN: "lambertian", METAL: "metal", DIELECTRIC: "dielectric", DIFFUSE_LIGHT: "diffuse_light", ISOTROPIC: "isotropic"}
 TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image",
              NOISE: "noise"}
 
@@ -86,6 +87,7 @@ class SceneData:
     vnorm0: jax.Array  # f32[N,3]  triangle per-vertex shading normals;
     vnorm1: jax.Array  # f32[N,3]  all-zero rows mean "flat" (use the
     vnorm2: jax.Array  # f32[N,3]  face normal)
+    density: jax.Array  # f32[N]  constant-medium density (ISOTROPIC prims)
     atlas: jax.Array  # uint8[S,AH,AW,3]
     tex_hw: jax.Array  # i32[S,2]
     background_start: jax.Array  # f32[3]
@@ -93,6 +95,11 @@ class SceneData:
     has_triangles: bool = dataclasses.field(
         default=False, metadata={"static": True})
     has_vertex_attrs: bool = dataclasses.field(
+        default=False, metadata={"static": True})
+    # constant-density media present (ISOTROPIC material, RTOW book-2
+    # ConstantMedium analog) — STATIC like has_triangles: media-free
+    # scenes trace the identical graph they always did
+    has_media: bool = dataclasses.field(
         default=False, metadata={"static": True})
 
     @property
@@ -121,6 +128,7 @@ _PRIM_FIELDS = [
     ("vnorm0", np.float32, (3,)),
     ("vnorm1", np.float32, (3,)),
     ("vnorm2", np.float32, (3,)),
+    ("density", np.float32, ()),
 ]
 
 # Default per-vertex texcoords reproduce the raw barycentric (u, v) after
@@ -215,6 +223,7 @@ class Scene:
         ior: float = 1.5,
         light: float = 2.0,
         tex_id: int = -1,
+        density: float = 1.0,
     ) -> int:
         i = self._alloc_slot()
         self.prim_type[i] = ptype
@@ -228,6 +237,7 @@ class Scene:
         self.albedo[i] = np.asarray(albedo, np.float32)
         self.albedo2[i] = np.asarray(albedo2, np.float32)
         self.tex_id[i] = tex_id
+        self.density[i] = density
         # reset per-vertex attrs and mesh membership: a recycled slot must
         # not leak a previous triangle's uv/normal/group data
         self.uv0[i], self.uv1[i], self.uv2[i] = _UV_DEFAULT
@@ -239,6 +249,19 @@ class Scene:
 
     def add_sphere(self, center, radius: float, **mat) -> int:
         return self._add(SPHERE, center, (radius, radius), **mat)
+
+    def add_medium_sphere(self, center, radius: float, density: float = 1.0,
+                          **mat) -> int:
+        """Constant-density participating medium bounded by a sphere
+        (smoke/fog) — the RTOW book-2 ConstantMedium analog
+        (BEYOND-REFERENCE; the CUDA reference has no volumes).  The
+        boundary is invisible: rays entering the sphere scatter
+        isotropically at a distance sampled from exp(-density * s);
+        the medium's color is the usual texture stack (albedo or any
+        tex_type)."""
+        mat.setdefault("mat_type", ISOTROPIC)
+        return self._add(SPHERE, center, (radius, radius),
+                         density=density, **mat)
 
     def add_xy_rect(self, center, width: float, height: float, **mat) -> int:
         return self._add(XY_RECT, center, (width, height), **mat)
@@ -549,6 +572,8 @@ class Scene:
             background_end=put(self.background_end),
             has_triangles=self.num_triangles > 0,
             has_vertex_attrs=self.has_vertex_attrs,
+            has_media=bool(
+                (self.mat_type[self.active] == ISOTROPIC).any()),
             **kw,
         )
 
@@ -579,6 +604,8 @@ class Scene:
                 "albedo2": self.albedo2[i].tolist(),
                 "tex_id": int(self.tex_id[i]),
             }
+            if self.mat_type[i] == ISOTROPIC:
+                p["density"] = float(self.density[i])
             if self.prim_type[i] == TRIANGLE:
                 p["edge1"] = self.edge1[i].tolist()
                 p["edge2"] = self.edge2[i].tolist()
@@ -661,6 +688,7 @@ class Scene:
                 albedo=p["albedo"],
                 albedo2=p["albedo2"],
                 tex_id=p["tex_id"],
+                density=p.get("density", 1.0),
             )
             if p["prim_type"] == TRIANGLE:
                 scene.edge1[i] = np.asarray(p["edge1"], np.float32)

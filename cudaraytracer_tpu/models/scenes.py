@@ -488,6 +488,36 @@ def marble_camera(**kw):
                               forward=(0.0, -0.05, -1.0), fov_deg=40.0, **kw)
 
 
+
+def smoke_scene(capacity: int = 16) -> Scene:
+    """Constant-density participating media (BEYOND-REFERENCE, the RTOW
+    book-2 cornell_smoke analog; the CUDA reference has no volumes): a
+    bright sphere light over a dark room, a dense white smoke sphere
+    with a metal sphere EMBEDDED inside it (seen only through the fog),
+    a thin dark haze ball, and a glass sphere for contrast.  Exercises
+    fog-light scattering, multi-scatter inside the medium, and
+    medium/surface nesting in every accel path."""
+    scene = Scene(capacity=capacity, background_start=(0.04, 0.04, 0.06),
+                  background_end=(0.04, 0.04, 0.06))
+    scene.add_xz_rect((0, -1, 0), 40.0, 40.0, mat_type=LAMBERTIAN,
+                      albedo=(0.55, 0.55, 0.6))
+    scene.add_sphere((0, 6.5, -3), 2.0, mat_type=DIFFUSE_LIGHT,
+                     albedo=(1.0, 0.95, 0.9), light=6.0)
+    scene.add_medium_sphere((0, 1.4, -3), 2.2, density=1.1,
+                            albedo=(0.85, 0.85, 0.9))
+    scene.add_sphere((0, 1.1, -3), 0.8, mat_type=METAL,
+                     albedo=(0.9, 0.7, 0.4), fuzz=0.05)
+    scene.add_medium_sphere((3.4, 0.4, -1.6), 1.2, density=0.4,
+                            albedo=(0.25, 0.25, 0.3))
+    scene.add_sphere((-3.2, 0.2, -1.8), 1.1, mat_type=DIELECTRIC, ior=1.5)
+    return scene
+
+
+def smoke_camera(**kw):
+    return make_camera_params(origin=(0.0, 2.2, 6.5),
+                              forward=(0.0, -0.1, -1.0), fov_deg=55.0, **kw)
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
@@ -500,6 +530,7 @@ SCENES = {
     "terrain": (terrain_scene, terrain_camera),
     "terrain_big": (terrain_big_scene, terrain_camera),
     "marble": (marble_scene, marble_camera),
+    "smoke": (smoke_scene, smoke_camera),
 }
 
 # Each registered camera was authored for one projection model; rendering
@@ -516,6 +547,7 @@ CAMERA_MODELS = {
     "mirror_room": "two_plane",
     "mesh_demo": "look_at",
     "marble": "look_at",
+    "smoke": "look_at",
     "mesh_smooth": "look_at",
     "terrain": "look_at",
     "terrain_big": "look_at",

@@ -240,6 +240,13 @@ class WavefrontRenderer:
         self.t_min = t_min
         self.sort = sort
         self.interpret = interpret
+        if bool((scene.mat_type[scene.active_indices()] == 4).any()):
+            # ISOTROPIC media need stochastic intersection; this demoted
+            # cross-check path's hit kernel is deterministic — use
+            # accel='brute'/'bvh'/'pallas' for smoke scenes instead
+            raise ValueError(
+                "WavefrontRenderer does not support constant-density "
+                "media (isotropic material)")
         self.update_scene(scene)
 
         @functools.partial(

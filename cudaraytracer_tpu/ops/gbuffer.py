@@ -71,11 +71,17 @@ def primary_features(
             uv0=scene.uv0, uv1=scene.uv1, uv2=scene.uv2,
             vnorm0=scene.vnorm0, vnorm1=scene.vnorm1, vnorm2=scene.vnorm2,
         )
+    # constant-density media have no surface: the feature buffers see
+    # THROUGH them (the megakernel G-buffer skips medium clusters the
+    # same way), so fog never poisons the denoiser's edge stopping
+    act = scene.active
+    if scene.has_media:
+        act = act & (scene.mat_type != 4)  # materials.ISOTROPIC
     if hit_fn is None:
         def hit_fn(o, d):
             return intersect.hit_scene(
                 o, d, scene.prim_type, scene.center, scene.size,
-                scene.active, t_min=t_min, block=block, **tri_kw,
+                act, t_min=t_min, block=block, **tri_kw,
             )
     hit, t, idx = hit_fn(org, dirn)
     rec = intersect.make_hit_record(

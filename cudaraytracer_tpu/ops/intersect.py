@@ -29,6 +29,15 @@ Hittable.cuh:30-38, minus the BVH/list entries which are containers here):
         BEYOND-REFERENCE primitive (the reference supports only spheres
         and axis-aligned rects); enables triangle meshes (utils.mesh).
 
+Constant-density MEDIA (BEYOND-REFERENCE, RTOW book-2 ConstantMedium):
+a sphere whose material is ISOTROPIC is a participating medium, not a
+surface.  Its "hit" is stochastic: with u ~ U[0,1) the scatter distance
+is -log(u)/density from the (clamped) entry point; the candidate t is
+accepted iff it lies inside the boundary and beats the running closest —
+order-independent, because t is a deterministic function of (ray, u).
+``hit_scene`` takes (mat_type, density, u_med) to enable the branch;
+media-free calls trace the identical graph they always did.
+
 The triangle test is Moller-Trumbore re-factored for the MXU: every
 numerator/denominator of (t, u, v) is a scalar triple product, and
 det3[x, y, z] splits over tv = o - v0 into a per-RAY vector dotted with a
@@ -222,6 +231,43 @@ def _tri_block_t(org, dirn, v0_b, e1_b, e2_b, t_min, t_max):
     return hit, t
 
 
+def _medium_block_t(org, dirn, a_quad, center_b, radius_b, density_b,
+                    u_med, idx_b, t_min, t_max):
+    """Stochastic scatter distance inside constant-density sphere media.
+
+    RTOW ConstantMedium::Hit semantics in closed form: both quadratic
+    roots bound the interior chord; entry clamps to t_min; the scatter
+    point is entry + (-log(u)/density)/|d| and must stay inside the exit.
+    ``u_med`` f32[R] is one uniform per ray per wave, decorrelated per
+    PRIM by a golden-ratio rotation on the global index (deterministic in
+    (ray, prim), so closest-hit stays visit-order independent).
+    Returns (hit[R,B], t[R,B])."""
+    ct = center_b.T
+    hi = lax.Precision.HIGHEST
+    o_dot_c = jnp.dot(org, ct, preferred_element_type=jnp.float32,
+                      precision=hi)
+    d_dot_c = jnp.dot(dirn, ct, preferred_element_type=jnp.float32,
+                      precision=hi)
+    o_dot_d = dot(org, dirn)[:, None]
+    o_dot_o = dot(org, org)[:, None]
+    c_dot_c = jnp.sum(center_b * center_b, axis=-1)[None, :]
+    b = o_dot_d - d_dot_c
+    c = o_dot_o - 2.0 * o_dot_c + c_dot_c - (radius_b * radius_b)[None, :]
+    a = a_quad[:, None]
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    te = jnp.maximum(t0, t_min)
+    u = u_med[:, None] + idx_b[None, :].astype(jnp.float32) * 0.61803398875
+    u = u - jnp.floor(u)
+    dlen = jnp.sqrt(jnp.maximum(a_quad, 1e-20))[:, None]
+    hit_dist = -jnp.log(jnp.maximum(u, 1e-12)) / density_b[None, :]
+    t_c = te + hit_dist / dlen
+    hit = (disc > 0.0) & (t1 > te) & (t_c < t1) & (t_c < t_max)
+    return hit, t_c
+
+
 def hit_scene(
     org: jnp.ndarray,
     dirn: jnp.ndarray,
@@ -234,6 +280,9 @@ def hit_scene(
     block: int = 64,
     edge1: jnp.ndarray | None = None,
     edge2: jnp.ndarray | None = None,
+    mat_type: jnp.ndarray | None = None,
+    density: jnp.ndarray | None = None,
+    u_med: jnp.ndarray | None = None,
 ):
     """Closest-hit over every active primitive for a ray batch.
 
@@ -242,7 +291,8 @@ def hit_scene(
 
     ``edge1``/``edge2`` (f32[N,3]) enable the triangle branch; when omitted
     the traced graph is identical to the pre-triangle one (triangle-free
-    scenes pay nothing).
+    scenes pay nothing).  ``mat_type``/``density``/``u_med`` enable the
+    constant-medium branch (module docstring) the same way.
     """
     org = jnp.asarray(org)
     dirn = jnp.asarray(dirn)
@@ -254,6 +304,11 @@ def hit_scene(
     if with_tris:
         edge1 = jnp.asarray(edge1)
         edge2 = jnp.asarray(edge2)
+    with_media = u_med is not None and mat_type is not None
+    if with_media:
+        mat_type = jnp.asarray(mat_type)
+        density = jnp.asarray(density)
+        u_med = jnp.asarray(u_med)
     n = prim_type.shape[0]
     r = org.shape[0]
     if t_max is None:
@@ -269,6 +324,9 @@ def hit_scene(
         if with_tris:
             edge1 = jnp.pad(edge1, ((0, pad), (0, 0)))
             edge2 = jnp.pad(edge2, ((0, pad), (0, 0)))
+        if with_media:
+            mat_type = jnp.pad(mat_type, (0, pad))
+            density = jnp.pad(density, (0, pad), constant_values=1.0)
     n_pad = n + pad
     nblocks = n_pad // block
 
@@ -284,10 +342,20 @@ def hit_scene(
             edge1.reshape(nblocks, block, 3),
             edge2.reshape(nblocks, block, 3),
         )
+    if with_media:
+        scan_blocks = scan_blocks + (
+            mat_type.reshape(nblocks, block),
+            density.reshape(nblocks, block),
+        )
 
     def body(carry, blk):
         best_t, best_idx = carry
-        ptype_b, center_b, size_b, act_b, *edges_b, base = blk
+        ptype_b, center_b, size_b, act_b, *rest_b, base = blk
+        if with_media:
+            mat_b, dens_b = rest_b[-2], rest_b[-1]
+            edges_b = rest_b[:-2]
+        else:
+            edges_b = rest_b
 
         is_sphere = ptype_b == SPHERE
         sph_hit, sph_t = _sphere_block_t(
@@ -306,6 +374,15 @@ def hit_scene(
             )
             hit = jnp.where(is_tri[None, :], tri_hit, hit)
             t = jnp.where(is_tri[None, :], tri_t, t)
+        if with_media:
+            is_med = is_sphere & (mat_b == 4)  # materials.ISOTROPIC
+            med_hit, med_t = _medium_block_t(
+                org, dirn, a_quad, center_b, size_b[:, 0], dens_b,
+                u_med, base + jnp.arange(block, dtype=jnp.int32),
+                t_min, t_max,
+            )
+            hit = jnp.where(is_med[None, :], med_hit, hit)
+            t = jnp.where(is_med[None, :], med_t, t)
         hit = hit & act_b[None, :]
         t = jnp.where(hit, t, jnp.float32(BIG))
 
@@ -349,6 +426,7 @@ def make_hit_record(
     vnorm0: jnp.ndarray | None = None,
     vnorm1: jnp.ndarray | None = None,
     vnorm2: jnp.ndarray | None = None,
+    mat_type: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Reconstruct normal / uv / front_face for each ray's winning primitive.
 
@@ -470,6 +548,19 @@ def make_hit_record(
         front = jnp.where(is_tri, tri_front, front)
         u = jnp.where(is_tri, tri_u_out, u)
         v = jnp.where(is_tri, tri_v_out, v)
+
+    if mat_type is not None:
+        # constant-medium winners: arbitrary unit normal + front_face,
+        # exactly like RTOW ConstantMedium::Hit (the isotropic phase
+        # function ignores both); (u, v) = 0 so constant/checker/noise
+        # textures (which use the 3D point) behave and image uvs are
+        # defined
+        is_med = jnp.asarray(mat_type)[safe_idx] == 4  # ISOTROPIC
+        med_n = jnp.zeros_like(normal).at[:, 0].set(1.0)
+        normal = jnp.where(is_med[:, None], med_n, normal)
+        front = jnp.where(is_med, True, front)
+        u = jnp.where(is_med, 0.0, u)
+        v = jnp.where(is_med, 0.0, v)
 
     return HitRecord(
         hit=hit,

@@ -11,8 +11,13 @@ flow would, since each branch is a few VPU ops.  RNG is counter-based
 (one shared in-unit-sphere draw and one uniform draw per bounce) instead of
 curand state arrays.
 
-Material type encoding (MaterialType enum order, Material.cuh:6-12):
-    0 = lambertian, 1 = metal, 2 = dielectric, 3 = diffuse light
+Material type encoding (MaterialType enum order, Material.cuh:6-12; type 4
+is BEYOND-REFERENCE):
+    0 = lambertian, 1 = metal, 2 = dielectric, 3 = diffuse light,
+    4 = isotropic (constant-density participating medium — the RTOW book-2
+        ConstantMedium phase function: scatter in a uniform random
+        direction, attenuate by the medium's texture color; the medium
+        DISTANCE sampling lives in the intersection layer, ops/intersect.py)
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ LAMBERTIAN = 0
 METAL = 1
 DIELECTRIC = 2
 DIFFUSE_LIGHT = 3
+ISOTROPIC = 4
 
 
 class ScatterResult(NamedTuple):
@@ -93,15 +99,21 @@ def scatter(
     is_diel = (mat_type == DIELECTRIC)[:, None]
     is_light = mat_type == DIFFUSE_LIGHT
 
+    is_iso = (mat_type == ISOTROPIC)[:, None]
+
     direction = jnp.where(is_lamb, lamb_dir, jnp.zeros_like(lamb_dir))
     direction = jnp.where(is_metal, metal_dir, direction)
     direction = jnp.where(is_diel, diel_dir, direction)
+    # isotropic phase function: uniform random direction (the in-unit-ball
+    # sample IS the RTOW Isotropic::Scatter direction, Ray(p, rand_in_sphere))
+    direction = jnp.where(is_iso, sphere_sample, direction)
 
     ones = jnp.ones_like(tex_color)
     attenuation = jnp.where(is_diel, ones, tex_color)
 
     scattered = (mat_type == LAMBERTIAN) | (mat_type == DIELECTRIC)
     scattered = scattered | ((mat_type == METAL) & metal_ok)
+    scattered = scattered | (mat_type == ISOTROPIC)
 
     emitted = jnp.where(is_light[:, None], emitted_light, jnp.zeros_like(tex_color))
 

@@ -87,6 +87,7 @@ def _gbuffer_kernel(
     has_tris: bool = False,
     has_vattrs: bool = False,
     has_noise: bool = False,
+    has_media: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -194,6 +195,9 @@ def _gbuffer_kernel(
             order_ref=ord_ref, cluster=cluster, super_=super_,
             block_b=stream_b, p_rows=p_rows,
             has_tris=has_tris, carry_uv=carry_uv,
+            # media have no feature surface: u_med stays None, so medium
+            # clusters are SKIPPED (fog never poisons the edge stopping)
+            has_media=has_media,
         )
         best_t, best_j = found[0], found[1]
         k0 = 2
@@ -207,7 +211,7 @@ def _gbuffer_kernel(
             ox, oy, oz, dx, dy, dz,
             t_min, best_t0, has_rects,
             order_ref=ord_ref, cluster=cluster, super_=super_,
-            has_tris=has_tris, carry_uv=carry_uv,
+            has_tris=has_tris, carry_uv=carry_uv, has_media=has_media,
         )
         best_t, best_j = found[0], found[1]
         if carry_uv:
@@ -432,6 +436,7 @@ def pallas_gbuffer(
     has_vattrs: bool = False,
     stream_b: int = 0,
     has_noise: bool = False,
+    has_media: bool = False,
 ):
     """One megakernel primary-visibility pass -> (normal, albedo, depth).
 
@@ -462,7 +467,7 @@ def pallas_gbuffer(
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, cluster=cluster, super_=super_,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
-        has_noise=has_noise,
+        has_noise=has_noise, has_media=has_media,
     )
     if stream_b:
         def kern(cnt, cam, s, p, c, sc, out, key, ordr, b0, b1, q0, q1):
@@ -538,7 +543,7 @@ def pallas_gbuffer(
 def pallas_gbuffer_step(width, height, camera_model, tile_h, tile_w,
                         has_rects, has_images, cluster, super_,
                         interpret_ctx, has_tris=False, has_vattrs=False,
-                        stream_b=0, has_noise=False):
+                        stream_b=0, has_noise=False, has_media=False):
     """Jitted G-buffer step cached by STATIC config (same contract as
     viewer.app._pallas_step: tables/camera are runtime ARGUMENTS, so scene
     edits and camera motion never re-trace; ``interpret_ctx`` is key-only —
@@ -557,6 +562,7 @@ def pallas_gbuffer_step(width, height, camera_model, tile_h, tile_w,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
+            has_media=has_media,
         )
         return GBuffer(normal=normal, albedo=albedo, depth=depth)
 

@@ -71,6 +71,10 @@ S_NX, S_NY, S_NZ = S_KAX, S_AAX, S_BAX
 S_N1X, S_N1Y, S_N1Z = S_CX, S_CY, S_CZ
 S_M2X, S_M2Y, S_M2Z = S_CK, S_CA, S_CB
 S_DN, S_D1, S_D2 = 13, 14, 15
+# Constant-density MEDIA (prim SPHERE + mat ISOTROPIC, BEYOND-REFERENCE
+# RTOW book-2 ConstantMedium) pack as ptype 5: sphere rows (center, R2)
+# plus the DENSITY in the rect-only S_CK row (spheres never read it).
+S_DENS = S_CK
 # Payload table P: f32[P_ROWS, NP] — winning-primitive attributes, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
@@ -195,10 +199,13 @@ class SceneTables(_t.NamedTuple):
 
 def _npad_for(scene, cluster: int = CLUSTER, super_: int = SUPER) -> int:
     span = cluster * super_
-    # + 4*(cluster-1): segment alignment padding in the worst case — each
-    # of the four segments (big, spheres, rects, triangles) pads to a
-    # cluster multiple
-    cap = max(scene.capacity, span) + 4 * (cluster - 1)
+    # + n_seg*(cluster-1): segment alignment padding in the worst case —
+    # each segment (big, spheres, rects, triangles[, media]) pads to a
+    # cluster multiple.  Media add a 5th segment; flipping a scene's
+    # media-ness recompiles once, like the first triangle.
+    idx = scene.active_indices()
+    n_seg = 5 if bool((scene.mat_type[idx] == 4).any()) else 4
+    cap = max(scene.capacity, span) + n_seg * (cluster - 1)
     return ((cap + span - 1) // span) * span
 
 
@@ -273,7 +280,9 @@ def pack_scene_tables(scene, with_uv: bool = False,
         cluster = c0 if cluster is None else cluster
         super_ = s0 if super_ is None else super_
 
-    if not force_numpy and pack_native.available():
+    idx0 = scene.active_indices()
+    has_media = bool((scene.mat_type[idx0] == 4).any())  # ISOTROPIC
+    if not force_numpy and pack_native.available() and not has_media:
         from ...models.bvh import primitive_aabbs
 
         idx = scene.active_indices()
@@ -439,13 +448,19 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
         big = area > 50.0 * np.median(area)
         t_all = scene.prim_type[idx].astype(np.int64)
-        is_tri = t_all == 4
-        is_rect = (t_all != 0) & ~is_tri
+        is_med = (t_all == 0) & (scene.mat_type[idx] == 4)  # ISOTROPIC
+        big = big & ~is_med  # media NEVER share clusters with surfaces:
+        # the medium test replaces the whole prim loop for kind-4
+        # clusters, and mixed (dual) clusters must stay media-free
+        is_tri = (t_all == 4) & ~is_med
+        is_rect = (t_all != 0) & ~is_tri & ~is_med
         segs = [
             order[big[order]],
-            order[~big[order] & ~is_rect[order] & ~is_tri[order]],
+            order[~big[order] & ~is_rect[order] & ~is_tri[order]
+                  & ~is_med[order]],
             order[~big[order] & is_rect[order]],
             order[~big[order] & is_tri[order]],
+            order[is_med[order]],
         ]
         cols: list[int] = []  # position in `idx`, or -1 for alignment padding
         for seg in segs:
@@ -461,12 +476,14 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
 
         sidx = idx[rsel]  # scene slots, packed order
         t = scene.prim_type[sidx].astype(np.int64)
+        med = (t == 0) & (scene.mat_type[sidx] == 4)
+        t = np.where(med, 5, t)  # media pack as ptype 5 (module comment)
         c = scene.center[sidx]
         sz = scene.size[sidx]
-        k_ax = np.choose(t, [0, 2, 1, 0, 0])
-        a_ax = np.choose(t, [0, 0, 0, 1, 0])
-        b_ax = np.choose(t, [0, 1, 2, 2, 0])
-        ea = np.choose(t, [0, 0, 0, 1, 0])
+        k_ax = np.choose(t, [0, 2, 1, 0, 0, 0])
+        a_ax = np.choose(t, [0, 0, 0, 1, 0, 0])
+        b_ax = np.choose(t, [0, 1, 2, 2, 0, 0])
+        ea = np.choose(t, [0, 0, 0, 1, 0, 0])
         rows = np.arange(len(sidx))
         S[S_CX, rdst], S[S_CY, rdst], S[S_CZ, rdst] = c[:, 0], c[:, 1], c[:, 2]
         S[S_R2, rdst] = sz[:, 0] * sz[:, 0]
@@ -479,13 +496,23 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         S[S_CB, rdst] = c[rows, b_ax]
         S[S_HA, rdst] = 0.5 * np.where(ea == 0, sz[:, 0], sz[:, 1])
         S[S_HB, rdst] = 0.5 * np.where(ea == 0, sz[:, 1], sz[:, 0])
+        if med.any():
+            md = rdst[med]
+            # medium columns: sphere center/R2 stay; density rides the
+            # rect-only S_CK row; rect extents stay -1 (can't rect-hit)
+            S[S_DENS, md] = scene.density[sidx][med]
+            S[S_HA, md] = -1.0
+            S[S_HB, md] = -1.0
 
         mat = scene.mat_type[sidx].astype(np.int64)
         # one row for the material's single parameter (mutually exclusive:
-        # fuzz for metal, ior for dielectric, light for diffuse_light)
+        # fuzz for metal, ior for dielectric, light for diffuse_light,
+        # density for isotropic media — though the SEARCH reads density
+        # from S_DENS; the payload row is informational for media)
         P[P_MPARAM, rdst] = np.choose(
             mat, [np.zeros(len(sidx)), scene.fuzz[sidx],
-                  scene.ior[sidx], scene.light[sidx]],
+                  scene.ior[sidx], scene.light[sidx],
+                  scene.density[sidx]],
         )
 
         def pack_rgb(a):
@@ -500,8 +527,9 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         P[P_PACKA, rdst] = pack_rgb(albedo)
         P[P_PACKB, rdst] = pack_rgb(scene.albedo2[sidx])
         neg_r = (sz[:, 0] < 0).astype(np.int64)
+        mat_p = np.where(med, 0, mat)  # media: is_iso = ptype16 > 4.5
         P[P_PACKC, rdst] = (
-            mat + 4 * tex_t + 16 * t + 128 * neg_r
+            mat_p + 4 * tex_t + 16 * t + 128 * neg_r
             + 256 * (np.maximum(tex_id, -1) + 1)
         ).astype(np.float32)
         P[P_CX, rdst], P[P_CY, rdst], P[P_CZ, rdst] = c.T
@@ -585,9 +613,11 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
                 continue
             clusters[0:3, ci] = bmin[members].min(0)
             clusters[3:6, ci] = bmax[members].max(0)
-            # kind row: 0 all spheres, 1 all rects, 3 all triangles, 2 mixed
+            # kind row: 0 all spheres, 1 all rects, 3 all triangles,
+            # 4 all MEDIA (segment-segregated, never mixed), 2 mixed
             kinds = set(
-                0 if int(v) == 0 else (3 if int(v) == 4 else 1)
+                0 if int(v) == 0 else (
+                    3 if int(v) == 4 else (4 if int(v) == 5 else 1))
                 for v in t[members]
             )
             clusters[6, ci] = float(kinds.pop()) if len(kinds) == 1 else 2.0
@@ -686,6 +716,7 @@ def _make_search_parts(
     sread, ox, oy, oz, dx, dy, dz,
     t_min, has_tris: bool, carry_uv: bool, cluster: int,
     with_rec: bool = False,
+    u_med=None,
 ):
     """Build the per-primitive test closures shared by the resident and the
     streamed search.  ``sread(row, j)`` abstracts the S-table access: the
@@ -695,9 +726,14 @@ def _make_search_parts(
     streamed search can record GLOBAL primitive ids while reading LOCAL
     columns (resident callers trace exactly the historical code).
 
-    Returns (box_any, run_sphere, run_rect, run_dual, run_tri) where
-    box_any(ref, ci, best_t) gates on resident AABB tables and the run_*
-    prim loops consume the search carry (see _prim_loop below).
+    ``u_med`` (f32 tile, media scenes): one uniform per lane per wave for
+    the constant-medium scatter-distance sampling; decorrelated per PRIM
+    by hashing the medium's CENTER (prim-intrinsic, so the resident and
+    streamed layouts — whose column indices differ — stay bit-identical).
+
+    Returns (box_any, run_sphere, run_rect, run_dual, run_tri, run_med)
+    where box_any(ref, ci, best_t) gates on resident AABB tables and the
+    run_* prim loops consume the search carry (see _prim_loop below).
     """
     inv_dx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     inv_dy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
@@ -789,6 +825,30 @@ def _make_search_parts(
         )
         return hit_t, t_t, u, v
 
+    def _med_test(j, best_t):
+        # constant-density medium (RTOW ConstantMedium::Hit, closed form):
+        # both sphere roots bound the chord; scatter at entry +
+        # -log(u)/density (dirs are unit, so t IS world distance)
+        cxj, cyj, czj = sread(S_CX, j), sread(S_CY, j), sread(S_CZ, j)
+        ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
+        bq = ocx * dx + ocy * dy + ocz * dz
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - sread(S_R2, j)
+        disc = bq * bq - cq
+        dpos = jnp.maximum(disc, 1e-30)
+        sq = dpos * lax.rsqrt(dpos)
+        t0 = -bq - sq
+        t1 = -bq + sq
+        te = jnp.maximum(t0, t_min)
+        # per-prim uniform: golden-ratio-ish center hash rotation of the
+        # wave's lane uniform (prim-INTRINSIC: identical across table
+        # layouts, unlike a column index)
+        uj = u_med + (cxj * 0.7548777 + cyj * 0.5698403 + czj * 0.3287281)
+        uj = uj - jnp.floor(uj)
+        hd = -jnp.log(jnp.maximum(uj, 1e-12)) / sread(S_DENS, j)
+        t_c = te + hd
+        hit_m = (disc > 0.0) & (t1 > te) & (t_c < t1) & (t_c < best_t)
+        return hit_m, t_c
+
     def _dual_test(j, best_t):
         ptype = sread(S_PTYPE, j)
         is_sphere = ptype < 0.5
@@ -855,7 +915,8 @@ def _make_search_parts(
     run_rect = _prim_loop(_rect_test)
     run_dual = _prim_loop(_dual_test, test_uv=True)
     run_tri = _prim_loop(_tri_test, test_uv=True)
-    return _box_any, run_sphere, run_rect, run_dual, run_tri
+    run_med = _prim_loop(_med_test) if u_med is not None else None
+    return _box_any, run_sphere, run_rect, run_dual, run_tri, run_med
 
 
 def hierarchical_search(
@@ -867,6 +928,8 @@ def hierarchical_search(
     super_: int = SUPER,
     has_tris: bool = False,
     carry_uv: bool = False,
+    has_media: bool = False,
+    u_med=None,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -896,34 +959,45 @@ def hierarchical_search(
     clusters within supers too was measured SLOWER: the per-super sort
     costs more scalar work than 4-element segments can prune.)
     """
-    _box_any, run_sphere, run_rect, run_dual, run_tri = _make_search_parts(
-        lambda r, j: s_ref[r, j], ox, oy, oz, dx, dy, dz,
-        t_min, has_tris, carry_uv, cluster,
-    )
+    _box_any, run_sphere, run_rect, run_dual, run_tri, run_med = \
+        _make_search_parts(
+            lambda r, j: s_ref[r, j], ox, oy, oz, dx, dy, dz,
+            t_min, has_tris, carry_uv, cluster, u_med=u_med,
+        )
 
     def cluster_scan(ci, carry):
         best_t, nclus = carry[0], carry[-1]
         any_hit = _box_any(clus_ref, ci, best_t)
 
         def run(carry3):
-            if not (has_rects or has_tris):
+            if not (has_rects or has_tris or has_media):
                 return run_sphere(carry3)
             # homogeneous clusters (pack_scene_tables segregates types):
             # pick the cheapest primitive loop for this cluster's kind
-            # (0 spheres, 1 rects, 2 mixed, 3 triangles)
+            # (0 spheres, 1 rects, 2 mixed, 3 triangles, 4 media —
+            # media are segment-segregated so kind 2 is never media).
+            # u_med None on a media scene (the G-buffer's deterministic
+            # pass) SKIPS medium clusters: fog has no feature surface.
             kind = clus_ref[6, ci]
-            if has_tris:
-                return lax.cond(
-                    kind < 0.5, run_sphere,
-                    lambda c: lax.cond(
-                        kind < 1.5, run_rect,
-                        lambda c2: lax.cond(kind < 2.5, run_dual, run_tri, c2),
-                        c),
-                    carry3,
-                )
+
+            def tail(c2):
+                if has_media:
+                    last = run_med if run_med is not None else (
+                        lambda c: c)
+                    if has_tris:
+                        return lax.cond(
+                            kind < 2.5, run_dual,
+                            lambda c3: lax.cond(kind < 3.5, run_tri,
+                                                last, c3),
+                            c2)
+                    return lax.cond(kind < 3.5, run_dual, last, c2)
+                if has_tris:
+                    return lax.cond(kind < 2.5, run_dual, run_tri, c2)
+                return run_dual(c2)
+
             return lax.cond(
                 kind < 0.5, run_sphere,
-                lambda c: lax.cond(kind < 1.5, run_rect, run_dual, c),
+                lambda c: lax.cond(kind < 1.5, run_rect, tail, c),
                 carry3,
             )
 
@@ -962,6 +1036,8 @@ def _streamed_search_payload(
     p_rows: int,
     has_tris: bool = False,
     carry_uv: bool = False,
+    has_media: bool = False,
+    u_med=None,
 ):
     """Closest-hit search + FUSED payload over HBM-streamed block tiles.
 
@@ -998,26 +1074,33 @@ def _streamed_search_payload(
         parts = _make_search_parts(
             lambda r, j: buf[r, j], ox, oy, oz, dx, dy, dz,
             t_min, has_tris, carry_uv, cluster, with_rec=True,
+            u_med=u_med,
         )
-        box_any, run_sphere, run_rect, run_dual, run_tri = parts
+        box_any, run_sphere, run_rect, run_dual, run_tri, run_med = parts
 
         def kind_run(ci, carry3):
-            if not (has_rects or has_tris):
+            if not (has_rects or has_tris or has_media):
                 return run_sphere(carry3)
             kind = clus_ref[6, ci]
-            if has_tris:
-                return lax.cond(
-                    kind < 0.5, run_sphere,
-                    lambda c: lax.cond(
-                        kind < 1.5, run_rect,
-                        lambda c2: lax.cond(kind < 2.5, run_dual, run_tri,
-                                            c2),
-                        c),
-                    carry3,
-                )
+
+            def tail(c2):
+                if has_media:
+                    last = run_med if run_med is not None else (
+                        lambda c: c)
+                    if has_tris:
+                        return lax.cond(
+                            kind < 2.5, run_dual,
+                            lambda c3: lax.cond(kind < 3.5, run_tri,
+                                                last, c3),
+                            c2)
+                    return lax.cond(kind < 3.5, run_dual, last, c2)
+                if has_tris:
+                    return lax.cond(kind < 2.5, run_dual, run_tri, c2)
+                return run_dual(c2)
+
             return lax.cond(
                 kind < 0.5, run_sphere,
-                lambda c: lax.cond(kind < 1.5, run_rect, run_dual, c),
+                lambda c: lax.cond(kind < 1.5, run_rect, tail, c),
                 carry3,
             )
 
@@ -1188,6 +1271,7 @@ def _render_kernel(
     has_tris: bool = False,
     has_vattrs: bool = False,
     has_noise: bool = False,
+    has_media: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -1355,6 +1439,11 @@ def _render_kernel(
         # fold away.  Same directions, same hit points as the reference's
         # unnormalized rays — t is just measured in world units.
 
+        # constant-density media: one uniform per lane per wave drives the
+        # stochastic scatter-distance sampling (decorrelated per prim by a
+        # center hash inside _med_test)
+        u_med = _u01(shape) if has_media else None
+
         # -------- front-to-back supercluster order for this wave --------
         # Sort superclusters by clamped squared distance from the mean live
         # ray origin to their AABB (0 when the origin is inside).  Visiting
@@ -1418,6 +1507,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 block_b=stream_b, p_rows=p_rows,
                 has_tris=has_tris, carry_uv=carry_uv,
+                has_media=has_media, u_med=u_med,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             k0 = 2
@@ -1433,6 +1523,7 @@ def _render_kernel(
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
+                has_media=has_media, u_med=u_med,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             if carry_uv:
@@ -1454,6 +1545,7 @@ def _render_kernel(
                 t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
+                has_media=has_media, u_med=u_med,
             )
             front_to_back_order(bwd_f)
             found_b = hierarchical_search(
@@ -1462,6 +1554,7 @@ def _render_kernel(
                 t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
+                has_media=has_media, u_med=u_med,
             )
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, found_a[0], found_b[0])
@@ -1663,6 +1756,10 @@ def _render_kernel(
             has_data = tidp1 > 0.5
             is_img = (tex > 1.5) & (tex < 2.5) & lit_i
             eligible = is_img & has_data & ~is_diel
+            if has_media:
+                # image textures on MEDIA shade with the atlas mean (a
+                # medium hit has no meaningful uv — RTOW leaves it unset)
+                eligible = eligible & (ptype16 < 4.5)
             first = eligible & ~(used1_f > 0.5)
             second = eligible & (used1_f > 0.5) & ~(used2_f > 0.5)
             # sphere UV (GetSphereUV, Hittable.cuh:119-125) from the
@@ -1828,12 +1925,22 @@ def _render_kernel(
         ndx = jnp.where(is_lamb, ldx, jnp.where(is_metal, mdx, gdx))
         ndy = jnp.where(is_lamb, ldy, jnp.where(is_metal, mdy, gdy))
         ndz = jnp.where(is_lamb, ldz, jnp.where(is_metal, mdz, gdz))
+        scat_ok = is_lamb | is_diel | (is_metal & metal_ok)
+        if has_media:
+            # isotropic phase (ptype 5 columns pack mat 0; the PRIM type
+            # is the medium marker): scatter in a uniform random
+            # direction — the sphere sample (sx, sy, sz_) is exactly
+            # RTOW's Isotropic::Scatter draw; attenuation stays texr
+            is_iso = ptype16 > 4.5
+            ndx = jnp.where(is_iso, sx, ndx)
+            ndy = jnp.where(is_iso, sy, ndy)
+            ndz = jnp.where(is_iso, sz_, ndz)
+            scat_ok = scat_ok | is_iso
         ninv = lax.rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-20))
         ndx, ndy, ndz = ndx * ninv, ndy * ninv, ndz * ninv
         att_r = jnp.where(is_diel, ones, texr)
         att_g = jnp.where(is_diel, ones, texg)
         att_b = jnp.where(is_diel, ones, texb)
-        scat_ok = is_lamb | is_diel | (is_metal & metal_ok)
 
         # a path may scatter again only while its NEXT trace index stays
         # below max_depth (exact reference termination: color() returns
@@ -1976,6 +2083,7 @@ def pallas_render_sample(
     tile_mask: jnp.ndarray | None = None,  # i32[n_tiles]: adaptive sampling
     stream_b: int = 0,  # >0: HBM-streamed tables (see docstring)
     has_noise: bool = False,  # compile in the noise/marble texture branch
+    has_media: bool = False,  # compile in the constant-medium branch
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -2070,7 +2178,7 @@ def pallas_render_sample(
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
-        has_noise=has_noise,
+        has_noise=has_noise, has_media=has_media,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

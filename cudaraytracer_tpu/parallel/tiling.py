@@ -142,6 +142,8 @@ def render_sharded_pallas(
     has_tris: bool = False,
     has_vattrs: bool = False,
     stream_b: int = 0,
+    has_noise: bool = False,
+    has_media: bool = False,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -200,6 +202,7 @@ def render_sharded_pallas(
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b,
+            has_noise=has_noise, has_media=has_media,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

@@ -635,7 +635,8 @@ def _tpu_interpret_mode_active() -> bool:
 def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
                  interpret_ctx, has_tris=False, has_vattrs=False,
-                 adaptive=False, stream_b=0, has_noise=False):
+                 adaptive=False, stream_b=0, has_noise=False,
+                 has_media=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -686,7 +687,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 tex_hw=atl[1] if has_images else None,
                 cluster=cluster, super_=super_, has_tris=has_tris,
                 has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
-                has_noise=has_noise,
+                has_noise=has_noise, has_media=has_media,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -772,6 +773,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
+            has_media=has_media,
         )
         if has_images:
             rad, counts = out
@@ -853,6 +855,9 @@ class _PallasPipeline:
         # noise/marble textures (tex_type 3) compile in the in-kernel
         # marble branch (ops/noise.py math; scenes without it pay nothing)
         self.has_noise = bool((scene.tex_type[idx] == 3).any())
+        # constant-density media (mat ISOTROPIC) compile in the medium
+        # search branch; the G-buffer pass skips medium clusters
+        self.has_media = bool((scene.mat_type[idx] == 4).any())
         # only the sky colors are needed at frame time; HOST numpy so the
         # in-jit pack embeds them as cheap host-sourced constants
         import types
@@ -871,7 +876,7 @@ class _PallasPipeline:
         self._tile = (tile_h, tile_w)
         # static kernel config the G-buffer pass shares (gbuffer() below)
         self._kcfg = (cluster, super_, has_rects, has_tris, t.vattrs,
-                      self.has_noise)
+                      self.has_noise, self.has_media)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
@@ -884,7 +889,7 @@ class _PallasPipeline:
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
-            self.adaptive, self.stream_b, self.has_noise)
+            self.adaptive, self.stream_b, self.has_noise, self.has_media)
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()
@@ -942,12 +947,13 @@ class _PallasPipeline:
         cam_vec = pack_camera_np(
             cam, self._sky.background_start, self._sky.background_end,
             self._cfg.width, self._cfg.height, self._cfg.t_min)
-        cluster, super_, has_rects, has_tris, vattrs, has_noise = self._kcfg
+        (cluster, super_, has_rects, has_tris, vattrs, has_noise,
+         has_media) = self._kcfg
         step = pallas_gbuffer_step(
             self._cfg.width, self._cfg.height, self._cfg.camera_model,
             *self._tile, has_rects, self.has_images, cluster, super_,
             _tpu_interpret_mode_active(), has_tris, vattrs, self.stream_b,
-            has_noise)
+            has_noise, has_media)
         import numpy as _np
 
         return step(*self._tabs, _np.int32(self._n_super), cam_vec,

@@ -105,7 +105,7 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
   <button onclick="setCam()">set</button></div>
  <h3>Scene</h3>
  <div class=row>+ add <select id=addtype><option>sphere</option><option>xy_rect</option><option>xz_rect</option><option>yz_rect</option><option>icosphere</option><option>torus</option><option>box</option></select>
-  <select id=addmat><option>lambertian</option><option>metal</option><option>dielectric</option><option>diffuse_light</option></select>
+  <select id=addmat><option>lambertian</option><option>metal</option><option>dielectric</option><option>diffuse_light</option><option>isotropic</option></select>
   <button onclick="addPrim()">add</button>
   <button onclick="uploadObj()">load OBJ</button>
   <button onclick="post('/edit',{op:'clear'})">clear</button></div>
@@ -151,7 +151,7 @@ function upd(id,field,value){post('/edit',{op:'update',id,field,value})}
 function updC(id,k,v){const p=S.scene.find(q=>String(q.id)===String(id));p.center[k]=v;upd(id,'center',p.center)}
 function num(id,k,v,step){return `<input type=number step=${step||0.1} value=${v} onchange="updC('${id}',${k},+this.value)">`}
 function primPanel(p){
- const mats=['lambertian','metal','dielectric','diffuse_light'];
+ const mats=['lambertian','metal','dielectric','diffuse_light','isotropic'];
  const texs=['constant','checker','image','noise'];
  let rows=`<div class=row><span class=lbl>pos</span>${[0,1,2].map(k=>num(p.id,k,p.center[k])).join('')}</div>`;
  if(p.prim==='sphere')
@@ -169,6 +169,7 @@ function primPanel(p){
  if(p.mat==='metal')rows+=`<div class=row><span class=lbl>fuzz</span><input type=range min=0 max=1 step=0.01 value=${p.fuzz} onchange="upd('${p.id}','fuzz',+this.value)"><span>${p.fuzz.toFixed(2)}</span></div>`;
  if(p.mat==='dielectric')rows+=`<div class=row><span class=lbl>ior</span><input type=number step=0.05 value=${p.ior} onchange="upd('${p.id}','ior',+this.value)"></div>`;
  if(p.mat==='diffuse_light')rows+=`<div class=row><span class=lbl>light</span><input type=range min=0 max=10 step=1 value=${p.light} onchange="upd('${p.id}','light',+this.value)"><span>${p.light}</span></div>`;
+ if(p.mat==='isotropic')rows+=`<div class=row><span class=lbl>density</span><input type=number step=0.1 min=0.01 value=${p.density||1} title="constant-medium density (smoke/fog)" onchange="upd('${p.id}','density',Math.max(0.01,+this.value))"></div>`;
  const label=p.prim==='mesh'?`${p.id} mesh (${p.tris} tris)`:`#${p.id} ${p.prim}`;
  return `<details class=prim data-id=${p.id}><summary>${label} / ${p.mat}
   <button onclick="event.preventDefault();post('/edit',{op:'delete',id:'${p.id}'})">x</button></summary>${rows}</details>`}
@@ -279,6 +280,7 @@ class ViewerServer:
                 "albedo": [round(float(v), 4) for v in scene.albedo[i]],
                 "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
                 "tex_id": int(scene.tex_id[i]),
+                "density": round(float(scene.density[i]), 4),
                 "fuzz": round(float(scene.fuzz[i]), 4),
                 "ior": round(float(scene.ior[i]), 4),
                 "light": round(float(scene.light[i]), 4),
@@ -299,6 +301,7 @@ class ViewerServer:
                 "albedo": [round(float(v), 4) for v in scene.albedo[i]],
                 "albedo2": [round(float(v), 4) for v in scene.albedo2[i]],
                 "tex_id": int(scene.tex_id[i]),
+                "density": round(float(scene.density[i]), 4),
                 "fuzz": round(float(scene.fuzz[i]), 4),
                 "ior": round(float(scene.ior[i]), 4),
                 "light": round(float(scene.light[i]), 4),

@@ -73,11 +73,39 @@ def _tri_hit(o, d, v0, e1, e2, t_min, t_max):
     return t, u, v
 
 
-def _closest_hit(scene, o, d, t_min=1e-3):
+def _medium_hit(o, d, c, r, density, rng, t_min, t_max):
+    """RTOW ConstantMedium::Hit transliterated for a sphere boundary:
+    both quadratic roots bound the chord, entry clamps to t_min, scatter
+    at -log(u)/density world units from entry."""
+    oc = o - c
+    a = d @ d
+    b = oc @ d
+    cc = oc @ oc - r * r
+    disc = b * b - a * cc
+    if disc <= 0:
+        return None
+    sq = np.sqrt(disc)
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    te = max(t0, t_min)
+    if t1 <= te:
+        return None
+    dlen = np.sqrt(a)
+    hit_dist = -np.log(max(rng.random_sample(), 1e-12)) / density
+    t = te + hit_dist / dlen
+    if t >= t1 or t >= t_max:
+        return None
+    return t
+
+
+def _closest_hit(scene, o, d, t_min=1e-3, rng=None):
     best_t, best_i, best_uv = 3.4e38, -1, (0.0, 0.0)
     for i in scene.active_indices():
         pt = int(scene.prim_type[i])
-        if pt == 0:
+        if pt == 0 and int(scene.mat_type[i]) == 4:  # isotropic medium
+            t = _medium_hit(o, d, scene.center[i], scene.size[i][0],
+                            float(scene.density[i]), rng, t_min, best_t)
+        elif pt == 0:
             t = _sphere_hit(o, d, scene.center[i], scene.size[i][0], t_min, best_t)
         elif pt == 4:
             r = _tri_hit(o, d, scene.center[i].astype(float),
@@ -169,7 +197,7 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
     """color() (Kernel.cu:30-80) transliterated."""
     throughput = np.ones(3)
     for _ in range(max_depth):
-        i, t, buv = _closest_hit(scene, o, d, t_min)
+        i, t, buv = _closest_hit(scene, o, d, t_min, rng=rng)
         if i is None:
             unit = d / np.linalg.norm(d)
             s = 0.5 * (unit[1] + 1.0)
@@ -206,7 +234,10 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
             normal = outward if d @ outward < 0 else -outward
         if mat == 3:  # diffuse light
             return throughput * scene.light[i] * _texture(scene, i, p, buv)
-        if mat == 0:  # lambertian
+        if mat == 4:  # isotropic medium (RTOW book-2 Isotropic::Scatter)
+            nd = _rand_in_sphere(rng)
+            throughput = throughput * _texture(scene, i, p, buv)
+        elif mat == 0:  # lambertian
             nd = normal + _rand_in_sphere(rng)
             throughput = throughput * _texture(scene, i, p, buv)
         elif mat == 1:  # metal
