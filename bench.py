@@ -405,6 +405,7 @@ def main():
         has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
         has_noise = bool((_np.asarray(sd.tex_type)[active] == 3).any())
         has_media = bool((_np.asarray(sd.mat_type)[active] == 4).any())
+        has_motion = bool((_np.asarray(sd.velocity)[active] != 0).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -428,6 +429,7 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
+                has_motion=has_motion,
             )[-1]
 
         @jax.jit
@@ -448,6 +450,7 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
+                has_motion=has_motion,
             )
             if has_images:
                 img, _counts, nrays = out

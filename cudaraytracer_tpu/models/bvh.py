@@ -67,6 +67,13 @@ def primitive_aabbs(scene: Scene, idx: np.ndarray):
             r = abs(ss[0])
             bmin[row] = cc - r
             bmax[row] = cc + r
+            vel = scene.velocity[idx[row]]
+            if (vel != 0).any():
+                # moving sphere (motion blur): the box covers the whole
+                # shutter sweep [c, c + v] so BVH nodes and megakernel
+                # cluster gates never cull a moved position
+                bmin[row] = np.minimum(bmin[row], cc + vel - r)
+                bmax[row] = np.maximum(bmax[row], cc + vel + r)
         elif pt == 4:  # triangle: hull of v0, v0+e1, v0+e2 (+ flat-axis pad)
             i = idx[row]
             pts = np.stack([cc, cc + scene.edge1[i], cc + scene.edge2[i]])
@@ -153,15 +160,18 @@ def build_bvh(scene: Scene, capacity: int | None = None, use_native: bool = True
     time (Hittable.cuh:311-312); we do the same on the host, so the device
     traversal never needs the active mask.
 
-    Constant-density MEDIA (mat ISOTROPIC) are excluded from the tree:
-    their boundary is not a surface — make_bvh_hit_fn tests them with the
-    stochastic medium scan and combines closest-hit (media counts are a
-    handful per scene, so a brute media-only pass is cheap).
+    Constant-density MEDIA (mat ISOTROPIC) and MOVING spheres (motion
+    blur) are excluded from the tree: the medium boundary is not a
+    surface, and a moving sphere's hit depends on the path's shutter
+    time — make_bvh_hit_fn tests both with a brute side pass and
+    combines closest-hit (their counts are a handful per scene).
     """
     idx = scene.active_indices()
     from .scene import ISOTROPIC as _ISO
 
-    idx = idx[scene.mat_type[idx] != _ISO]
+    keep = (scene.mat_type[idx] != _ISO) \
+        & ~(np.abs(scene.velocity[idx]) > 0).any(axis=1)
+    idx = idx[keep]
     if capacity is None:
         capacity = 2 * scene.capacity
     if len(idx) == 0:
@@ -211,7 +221,7 @@ def make_bvh_hit_fn(bvh: BVHData, scene_data, t_min: float = 0.001):
     """
     from ..ops.bvh_traverse import bvh_closest_hit
 
-    def hit_fn(org, dirn, u_med=None):
+    def hit_fn(org, dirn, u_med=None, time=None):
         hit, t, idx = bvh_closest_hit(
             org, dirn, bvh,
             scene_data.prim_type, scene_data.center, scene_data.size,
@@ -219,20 +229,27 @@ def make_bvh_hit_fn(bvh: BVHData, scene_data, t_min: float = 0.001):
             edge1=scene_data.edge1 if scene_data.has_triangles else None,
             edge2=scene_data.edge2 if scene_data.has_triangles else None,
         )
-        if scene_data.has_media and u_med is not None:
-            # media live OUTSIDE the tree (build_bvh docstring): a brute
-            # media-only scan combines by closest hit — order-free, the
-            # medium's sampled t is deterministic given (ray, u_med)
+        if scene_data.has_media or scene_data.has_motion:
+            # media and moving spheres live OUTSIDE the tree (build_bvh
+            # docstring): one brute side scan over just those prims
+            # combines by closest hit — order-free, both candidate t's
+            # are deterministic given (ray, u_med, time)
             from ..ops import intersect as _it
             from .scene import ISOTROPIC as _ISO
 
-            med_active = scene_data.active & (
-                scene_data.mat_type == _ISO)
+            side = jnp.zeros_like(scene_data.active)
+            kw = {}
+            if scene_data.has_media:
+                side = side | (scene_data.mat_type == _ISO)
+                kw.update(mat_type=scene_data.mat_type,
+                          density=scene_data.density, u_med=u_med)
+            if scene_data.has_motion:
+                side = side | jnp.any(scene_data.velocity != 0, axis=1)
+                kw.update(velocity=scene_data.velocity, time=time)
             mhit, mt, midx = _it.hit_scene(
                 org, dirn, scene_data.prim_type, scene_data.center,
-                scene_data.size, med_active, t_min=t_min,
-                mat_type=scene_data.mat_type,
-                density=scene_data.density, u_med=u_med,
+                scene_data.size, scene_data.active & side, t_min=t_min,
+                **kw,
             )
             t_or_big = jnp.where(hit, t, _it.BIG)
             closer = mhit & (mt < t_or_big)

@@ -80,15 +80,24 @@ def trace(
     # the record marks medium winners (arbitrary normal, isotropic phase)
     if scene.has_media:
         rec_kw.update(mat_type=scene.mat_type)
+    # moving spheres (scene.has_motion is STATIC): one shutter time per
+    # PATH (drawn below, constant across its bounces) shifts sphere
+    # centers; the record reconstructs the normal at that time
+    if scene.has_motion:
+        rec_kw.update(velocity=scene.velocity)
 
     if hit_fn is None:
-        if scene.has_media:
-            def hit_fn(o, d, u_med=None):
+        if scene.has_media or scene.has_motion:
+            med_kw = (dict(mat_type=scene.mat_type, density=scene.density)
+                      if scene.has_media else {})
+
+            def hit_fn(o, d, u_med=None, time=None):
+                mot_kw = (dict(velocity=scene.velocity, time=time)
+                          if scene.has_motion else {})
                 return intersect.hit_scene(
                     o, d, scene.prim_type, scene.center, scene.size,
                     scene.active, t_min=t_min, block=block,
-                    mat_type=scene.mat_type, density=scene.density,
-                    u_med=u_med, **tri_kw,
+                    u_med=u_med, **med_kw, **mot_kw, **tri_kw,
                 )
         else:
             def hit_fn(o, d):
@@ -96,6 +105,11 @@ def trace(
                     o, d, scene.prim_type, scene.center, scene.size,
                     scene.active, t_min=t_min, block=block, **tri_kw,
                 )
+
+    # one shutter time per path, frozen across its bounces (RTOW book-2
+    # camera::get_ray semantics)
+    shutter = (jax.random.uniform(jax.random.fold_in(key, 17), (r,))
+               if scene.has_motion else None)
 
     def cond(carry):
         _, _, _, _, alive, bounce, _ = carry
@@ -107,14 +121,16 @@ def trace(
         bkey = rngu.bounce_key(key, bounce)
         k_sphere, k_uniform = jax.random.split(bkey)
 
-        if scene.has_media:
-            u_med = jax.random.uniform(jax.random.fold_in(bkey, 13), (r,))
-            hit, t, idx = hit_fn(org, dirn, u_med)
+        if scene.has_media or scene.has_motion:
+            u_med = (jax.random.uniform(jax.random.fold_in(bkey, 13), (r,))
+                     if scene.has_media else None)
+            hit, t, idx = hit_fn(org, dirn, u_med=u_med, time=shutter)
         else:
             hit, t, idx = hit_fn(org, dirn)
+        mot_rec = dict(time=shutter) if scene.has_motion else {}
         rec = intersect.make_hit_record(
             org, dirn, hit, t, idx, scene.prim_type, scene.center, scene.size,
-            **rec_kw,
+            **rec_kw, **mot_rec,
         )
 
         # ---- miss: sky gradient (Kernel.cu:40-45) ----

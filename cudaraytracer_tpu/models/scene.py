@@ -88,6 +88,7 @@ class SceneData:
     vnorm1: jax.Array  # f32[N,3]  all-zero rows mean "flat" (use the
     vnorm2: jax.Array  # f32[N,3]  face normal)
     density: jax.Array  # f32[N]  constant-medium density (ISOTROPIC prims)
+    velocity: jax.Array  # f32[N,3] per-shutter sphere motion (motion blur)
     atlas: jax.Array  # uint8[S,AH,AW,3]
     tex_hw: jax.Array  # i32[S,2]
     background_start: jax.Array  # f32[3]
@@ -100,6 +101,10 @@ class SceneData:
     # ConstantMedium analog) — STATIC like has_triangles: media-free
     # scenes trace the identical graph they always did
     has_media: bool = dataclasses.field(
+        default=False, metadata={"static": True})
+    # moving spheres present (RTOW book-2 motion blur) — STATIC: static
+    # scenes trace the identical graph they always did
+    has_motion: bool = dataclasses.field(
         default=False, metadata={"static": True})
 
     @property
@@ -129,6 +134,7 @@ _PRIM_FIELDS = [
     ("vnorm1", np.float32, (3,)),
     ("vnorm2", np.float32, (3,)),
     ("density", np.float32, ()),
+    ("velocity", np.float32, (3,)),
 ]
 
 # Default per-vertex texcoords reproduce the raw barycentric (u, v) after
@@ -238,6 +244,7 @@ class Scene:
         self.albedo2[i] = np.asarray(albedo2, np.float32)
         self.tex_id[i] = tex_id
         self.density[i] = density
+        self.velocity[i] = 0.0  # recycled slots must not leak motion
         # reset per-vertex attrs and mesh membership: a recycled slot must
         # not leak a previous triangle's uv/normal/group data
         self.uv0[i], self.uv1[i], self.uv2[i] = _UV_DEFAULT
@@ -249,6 +256,19 @@ class Scene:
 
     def add_sphere(self, center, radius: float, **mat) -> int:
         return self._add(SPHERE, center, (radius, radius), **mat)
+
+    def add_moving_sphere(self, center0, center1, radius: float,
+                          **mat) -> int:
+        """Sphere that moves from ``center0`` (shutter open, time 0) to
+        ``center1`` (shutter close, time 1) — RTOW book-2 motion blur
+        (BEYOND-REFERENCE; the reference's world is static).  Each path
+        samples one shutter time and the whole path sees the world frozen
+        at that instant: center(t) = center0 + t * (center1 - center0)."""
+        i = self._add(SPHERE, center0, (radius, radius), **mat)
+        self.velocity[i] = (np.asarray(center1, np.float32)
+                            - np.asarray(center0, np.float32))
+        self.version += 1
+        return i
 
     def add_medium_sphere(self, center, radius: float, density: float = 1.0,
                           **mat) -> int:
@@ -574,6 +594,8 @@ class Scene:
             has_vertex_attrs=self.has_vertex_attrs,
             has_media=bool(
                 (self.mat_type[self.active] == ISOTROPIC).any()),
+            has_motion=bool(
+                (np.abs(self.velocity[self.active]) > 0).any()),
             **kw,
         )
 
@@ -606,6 +628,8 @@ class Scene:
             }
             if self.mat_type[i] == ISOTROPIC:
                 p["density"] = float(self.density[i])
+            if (self.velocity[i] != 0).any():
+                p["velocity"] = self.velocity[i].tolist()
             if self.prim_type[i] == TRIANGLE:
                 p["edge1"] = self.edge1[i].tolist()
                 p["edge2"] = self.edge2[i].tolist()
@@ -690,6 +714,8 @@ class Scene:
                 tex_id=p["tex_id"],
                 density=p.get("density", 1.0),
             )
+            if "velocity" in p:
+                scene.velocity[i] = np.asarray(p["velocity"], np.float32)
             if p["prim_type"] == TRIANGLE:
                 scene.edge1[i] = np.asarray(p["edge1"], np.float32)
                 scene.edge2[i] = np.asarray(p["edge2"], np.float32)

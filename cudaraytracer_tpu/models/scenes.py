@@ -518,6 +518,36 @@ def smoke_camera(**kw):
                               forward=(0.0, -0.1, -1.0), fov_deg=55.0, **kw)
 
 
+
+def bounce_scene(seed: int = 11, capacity: int = 64) -> Scene:
+    """Motion blur demo (BEYOND-REFERENCE, RTOW book-2 moving spheres —
+    the reference's world is static): a checkered ground with a row of
+    small spheres mid-bounce, each blurred along its own arc direction,
+    plus a static glass and metal pair for a sharp reference."""
+    rnd = np.random.RandomState(seed).random_sample
+    scene = Scene(capacity=capacity)
+    scene.add_sphere((0.0, -1000.0, 0.0), 1000.0, mat_type=LAMBERTIAN,
+                     albedo=(0.5, 0.5, 0.5), albedo2=(0.9, 0.9, 0.9),
+                     tex_type=CHECKER)
+    for gx in range(-4, 5, 2):
+        c0 = np.array([gx, 0.4, -2.0 + 0.7 * rnd()], np.float32)
+        hop = np.array([0.3 * (rnd() - 0.5), 0.55 * rnd(), 0.0], np.float32)
+        scene.add_moving_sphere(c0, c0 + hop, 0.4, mat_type=LAMBERTIAN,
+                                albedo=(0.3 + 0.6 * rnd(),
+                                        0.3 + 0.6 * rnd(),
+                                        0.3 + 0.6 * rnd()))
+    scene.add_sphere((-1.2, 1.0, -4.5), 1.0, mat_type=DIELECTRIC, ior=1.5)
+    scene.add_sphere((1.2, 1.0, -4.5), 1.0, mat_type=METAL,
+                     albedo=(0.85, 0.8, 0.7), fuzz=0.02)
+    return scene
+
+
+def bounce_camera(**kw):
+    return make_camera_params(origin=(0.0, 1.6, 4.5),
+                              forward=(0.0, -0.12, -1.0), fov_deg=50.0,
+                              **kw)
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),
@@ -531,6 +561,7 @@ SCENES = {
     "terrain_big": (terrain_big_scene, terrain_camera),
     "marble": (marble_scene, marble_camera),
     "smoke": (smoke_scene, smoke_camera),
+    "bounce": (bounce_scene, bounce_camera),
 }
 
 # Each registered camera was authored for one projection model; rendering
@@ -548,6 +579,7 @@ CAMERA_MODELS = {
     "mesh_demo": "look_at",
     "marble": "look_at",
     "smoke": "look_at",
+    "bounce": "look_at",
     "mesh_smooth": "look_at",
     "terrain": "look_at",
     "terrain_big": "look_at",

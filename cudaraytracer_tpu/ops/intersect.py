@@ -231,6 +231,49 @@ def _tri_block_t(org, dirn, v0_b, e1_b, e2_b, t_min, t_max):
     return hit, t
 
 
+def _moving_sphere_block_t(org, dirn, a_quad, center_b, vel_b, radius_b,
+                           time, t_min, t_max):
+    """Sphere test with per-path shutter time: effective center =
+    c + time * v.  Expanding the quadratic keeps every ray-prim cross
+    term an [R,3]@[3,B] matmul:
+        oc.d  = o.d - d.c - time (d.v)
+        oc.oc = o.o - 2 o.c + c.c + time^2 (v.v) + 2 time (c.v - o.v)
+    Zero-velocity rows reduce EXACTLY to the static test (adds exact 0s).
+    Returns (hit[R,B], t[R,B])."""
+    ct = center_b.T
+    vt = vel_b.T
+    hi = lax.Precision.HIGHEST
+    o_dot_c = jnp.dot(org, ct, preferred_element_type=jnp.float32,
+                      precision=hi)
+    d_dot_c = jnp.dot(dirn, ct, preferred_element_type=jnp.float32,
+                      precision=hi)
+    o_dot_v = jnp.dot(org, vt, preferred_element_type=jnp.float32,
+                      precision=hi)
+    d_dot_v = jnp.dot(dirn, vt, preferred_element_type=jnp.float32,
+                      precision=hi)
+    o_dot_d = dot(org, dirn)[:, None]
+    o_dot_o = dot(org, org)[:, None]
+    c_dot_c = jnp.sum(center_b * center_b, axis=-1)[None, :]
+    c_dot_v = jnp.sum(center_b * vel_b, axis=-1)[None, :]
+    v_dot_v = jnp.sum(vel_b * vel_b, axis=-1)[None, :]
+    tm = time[:, None]
+    b = o_dot_d - d_dot_c - tm * d_dot_v
+    c = (o_dot_o - 2.0 * o_dot_c + c_dot_c
+         + tm * tm * v_dot_v + 2.0 * tm * (c_dot_v - o_dot_v)
+         - (radius_b * radius_b)[None, :])
+    a = a_quad[:, None]
+    disc = b * b - a * c
+    has_root = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    t0_ok = (t0 < t_max) & (t0 > t_min)
+    t1_ok = (t1 < t_max) & (t1 > t_min)
+    t = jnp.where(t0_ok, t0, t1)
+    hit = has_root & (t0_ok | t1_ok)
+    return hit, t
+
+
 def _medium_block_t(org, dirn, a_quad, center_b, radius_b, density_b,
                     u_med, idx_b, t_min, t_max):
     """Stochastic scatter distance inside constant-density sphere media.
@@ -283,6 +326,8 @@ def hit_scene(
     mat_type: jnp.ndarray | None = None,
     density: jnp.ndarray | None = None,
     u_med: jnp.ndarray | None = None,
+    velocity: jnp.ndarray | None = None,
+    time: jnp.ndarray | None = None,
 ):
     """Closest-hit over every active primitive for a ray batch.
 
@@ -309,6 +354,10 @@ def hit_scene(
         mat_type = jnp.asarray(mat_type)
         density = jnp.asarray(density)
         u_med = jnp.asarray(u_med)
+    with_motion = velocity is not None and time is not None
+    if with_motion:
+        velocity = jnp.asarray(velocity)
+        time = jnp.asarray(time)
     n = prim_type.shape[0]
     r = org.shape[0]
     if t_max is None:
@@ -327,6 +376,8 @@ def hit_scene(
         if with_media:
             mat_type = jnp.pad(mat_type, (0, pad))
             density = jnp.pad(density, (0, pad), constant_values=1.0)
+        if with_motion:
+            velocity = jnp.pad(velocity, ((0, pad), (0, 0)))
     n_pad = n + pad
     nblocks = n_pad // block
 
@@ -347,10 +398,15 @@ def hit_scene(
             mat_type.reshape(nblocks, block),
             density.reshape(nblocks, block),
         )
+    if with_motion:
+        scan_blocks = scan_blocks + (velocity.reshape(nblocks, block, 3),)
 
     def body(carry, blk):
         best_t, best_idx = carry
         ptype_b, center_b, size_b, act_b, *rest_b, base = blk
+        if with_motion:
+            vel_b = rest_b[-1]
+            rest_b = rest_b[:-1]
         if with_media:
             mat_b, dens_b = rest_b[-2], rest_b[-1]
             edges_b = rest_b[:-2]
@@ -358,9 +414,15 @@ def hit_scene(
             edges_b = rest_b
 
         is_sphere = ptype_b == SPHERE
-        sph_hit, sph_t = _sphere_block_t(
-            org, dirn, a_quad, center_b, size_b[:, 0], t_min, t_max
-        )
+        if with_motion:
+            sph_hit, sph_t = _moving_sphere_block_t(
+                org, dirn, a_quad, center_b, vel_b, size_b[:, 0],
+                time, t_min, t_max
+            )
+        else:
+            sph_hit, sph_t = _sphere_block_t(
+                org, dirn, a_quad, center_b, size_b[:, 0], t_min, t_max
+            )
         rect_hit, rect_t = _rect_block_t(
             org, dirn, jnp.clip(ptype_b, 0, YZ_RECT), center_b, size_b,
             t_min, t_max
@@ -427,6 +489,8 @@ def make_hit_record(
     vnorm1: jnp.ndarray | None = None,
     vnorm2: jnp.ndarray | None = None,
     mat_type: jnp.ndarray | None = None,
+    velocity: jnp.ndarray | None = None,
+    time: jnp.ndarray | None = None,
 ) -> HitRecord:
     """Reconstruct normal / uv / front_face for each ray's winning primitive.
 
@@ -455,6 +519,9 @@ def make_hit_record(
     safe_idx = jnp.maximum(jnp.asarray(idx), 0)
     ptype = prim_type[safe_idx]  # [R]
     c = center[safe_idx]  # [R,3]
+    if velocity is not None and time is not None:
+        # moving spheres: the winner's center at the path's shutter time
+        c = c + jnp.asarray(time)[:, None] * jnp.asarray(velocity)[safe_idx]
     sz = size[safe_idx]  # [R,2]
 
     point = org + t[:, None] * dirn  # [R,3]

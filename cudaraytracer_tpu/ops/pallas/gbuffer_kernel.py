@@ -88,6 +88,8 @@ def _gbuffer_kernel(
     has_vattrs: bool = False,
     has_noise: bool = False,
     has_media: bool = False,
+    has_motion: bool = False,  # P-row layout only: features render the
+    # world at shutter-open (time 0), so the motion branch never compiles
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -183,7 +185,7 @@ def _gbuffer_kernel(
     # triangles are the raw barycentrics (exactly what the XLA record's
     # rec.u/rec.v hold, ops/intersect.py::make_hit_record)
     carry_uv = has_tris
-    p_rows = p_rows_for(has_images, has_vattrs)
+    p_rows = p_rows_for(has_images, has_vattrs, has_motion)
     ub = vb = None
 
     # ---- closest hit + payload (shared megakernel machinery) ----
@@ -437,6 +439,7 @@ def pallas_gbuffer(
     stream_b: int = 0,
     has_noise: bool = False,
     has_media: bool = False,
+    has_motion: bool = False,
 ):
     """One megakernel primary-visibility pass -> (normal, albedo, depth).
 
@@ -450,7 +453,7 @@ def pallas_gbuffer(
     band_h = -(-height // tile_h) * tile_h
     assert tile_w % 128 == 0, tile_w
     has_images = atlas is not None
-    expect_rows = p_rows_for(has_images, has_vattrs)
+    expect_rows = p_rows_for(has_images, has_vattrs, has_motion)
     if stream_b:
         r8 = -(-(16 + expect_rows) // 8) * 8
         assert s_tab.ndim == 3 and s_tab.shape[1] == r8 \
@@ -467,7 +470,7 @@ def pallas_gbuffer(
         camera_model=camera_model, has_rects=has_rects,
         has_images=has_images, cluster=cluster, super_=super_,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
-        has_noise=has_noise, has_media=has_media,
+        has_noise=has_noise, has_media=has_media, has_motion=has_motion,
     )
     if stream_b:
         def kern(cnt, cam, s, p, c, sc, out, key, ordr, b0, b1, q0, q1):
@@ -543,7 +546,8 @@ def pallas_gbuffer(
 def pallas_gbuffer_step(width, height, camera_model, tile_h, tile_w,
                         has_rects, has_images, cluster, super_,
                         interpret_ctx, has_tris=False, has_vattrs=False,
-                        stream_b=0, has_noise=False, has_media=False):
+                        stream_b=0, has_noise=False, has_media=False,
+                        has_motion=False):
     """Jitted G-buffer step cached by STATIC config (same contract as
     viewer.app._pallas_step: tables/camera are runtime ARGUMENTS, so scene
     edits and camera motion never re-trace; ``interpret_ctx`` is key-only —
@@ -562,7 +566,7 @@ def pallas_gbuffer_step(width, height, camera_model, tile_h, tile_w,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
-            has_media=has_media,
+            has_media=has_media, has_motion=has_motion,
         )
         return GBuffer(normal=normal, albedo=albedo, depth=depth)
 

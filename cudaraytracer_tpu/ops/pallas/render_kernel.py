@@ -75,6 +75,11 @@ S_DN, S_D1, S_D2 = 13, 14, 15
 # RTOW book-2 ConstantMedium) pack as ptype 5: sphere rows (center, R2)
 # plus the DENSITY in the rect-only S_CK row (spheres never read it).
 S_DENS = S_CK
+# MOVING spheres (BEYOND-REFERENCE RTOW book-2 motion blur): the shutter
+# velocity rides the rect-only S_CK/S_CA/S_CB rows of PLAIN sphere
+# columns (zero for static spheres, so the motion test reduces exactly).
+# Media cannot move (S_CK holds their density) — documented limit.
+S_VX, S_VY, S_VZ = S_CK, S_CA, S_CB
 # Payload table P: f32[P_ROWS, NP] — winning-primitive attributes, packed
 # tight because payload reconstruction costs one masked select PER ROW per
 # primitive of every entered cluster:
@@ -133,12 +138,15 @@ def fits_megakernel(n_active: int, has_vattrs: bool) -> bool:
 # plane-reconstruction numbers).
 
 
-def p_rows_for(with_uv: bool, with_vattrs: bool) -> int:
+def p_rows_for(with_uv: bool, with_vattrs: bool,
+               with_motion: bool = False) -> int:
     base = P_ROWS_UV if with_uv else P_ROWS
     if with_vattrs:
         base += 3
         if with_uv:
             base += 6
+    if with_motion:
+        base += 3  # sphere velocity (vx, vy, vz) — normal reconstruction
     return base
 
 
@@ -195,6 +203,7 @@ class SceneTables(_t.NamedTuple):
     cluster: int = CLUSTER  # prims/cluster these tables were packed with
     super_: int = SUPER  # clusters/supercluster (kernel must use the same)
     vattrs: bool = False  # P has per-vertex attr rows (pass has_vattrs=)
+    motion: bool = False  # P has velocity rows (pass has_motion=)
 
 
 def _npad_for(scene, cluster: int = CLUSTER, super_: int = SUPER) -> int:
@@ -282,7 +291,9 @@ def pack_scene_tables(scene, with_uv: bool = False,
 
     idx0 = scene.active_indices()
     has_media = bool((scene.mat_type[idx0] == 4).any())  # ISOTROPIC
-    if not force_numpy and pack_native.available() and not has_media:
+    has_motion = bool((scene.velocity[idx0] != 0).any())
+    if (not force_numpy and pack_native.available()
+            and not has_media and not has_motion):
         from ...models.bvh import primitive_aabbs
 
         idx = scene.active_indices()
@@ -341,6 +352,7 @@ class StreamTables(_t.NamedTuple):
     super_: int
     block_b: int  # superclusters per streamed block
     vattrs: bool
+    motion: bool = False
 
 
 STREAM_BLOCK_B = 4  # superclusters per streamed block (512 f32 columns)
@@ -397,7 +409,7 @@ def pack_stream_tiles(t: SceneTables, block_b: int = STREAM_BLOCK_B
     n_blocks = min(n_blocks, n_blocks_cap)
     return StreamTables(tiles, block_boxes, clusters, supers, n_blocks,
                         t.prim_map, t.cluster, t.super_, block_b,
-                        t.vattrs)
+                        t.vattrs, t.motion)
 
 
 def _pack_scene_tables_numpy(scene, with_uv: bool = False,
@@ -411,8 +423,10 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
     span = cluster * super_
     npad = _npad_for(scene, cluster, super_)
 
+    has_motion = bool((scene.velocity[scene.active_indices()] != 0).any())
     S = np.zeros((16, npad), np.float32)
-    P = np.zeros((p_rows_for(with_uv, with_vattrs), npad), np.float32)
+    P = np.zeros((p_rows_for(with_uv, with_vattrs, has_motion), npad),
+                 np.float32)
     # padding lanes can never hit: r^2 = -1 makes the sphere discriminant
     # strictly negative (Cauchy-Schwarz) and half-extents of -1 fail the
     # rect bounds test, so the kernel needs no per-primitive active test
@@ -503,6 +517,21 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             S[S_DENS, md] = scene.density[sidx][med]
             S[S_HA, md] = -1.0
             S[S_HB, md] = -1.0
+        if has_motion:
+            # plain-sphere columns carry the shutter velocity in the
+            # rect-only rows (zero for static spheres — the motion test
+            # reduces exactly); the payload velocity rows feed the
+            # winner's normal reconstruction at the path's time
+            sph = (t == 0)
+            vel = np.asarray(scene.velocity[sidx], np.float32)
+            sd_ = rdst[sph]
+            S[S_VX, sd_] = vel[sph, 0]
+            S[S_VY, sd_] = vel[sph, 1]
+            S[S_VZ, sd_] = vel[sph, 2]
+            vb_ = p_rows_for(with_uv, with_vattrs)
+            P[vb_ + 0, rdst] = vel[:, 0] * (t == 0)
+            P[vb_ + 1, rdst] = vel[:, 1] * (t == 0)
+            P[vb_ + 2, rdst] = vel[:, 2] * (t == 0)
 
         mat = scene.mat_type[sidx].astype(np.int64)
         # one row for the material's single parameter (mutually exclusive:
@@ -630,7 +659,8 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             supers[3:6, si] = bmax[members].max(0)
 
     return SceneTables(S, P, clusters, supers, n_super, prim_map,
-                       cluster, super_, vattrs=with_vattrs)
+                       cluster, super_, vattrs=with_vattrs,
+                       motion=has_motion)
 
 
 def pack_camera(cam, scene_data, width: int, height: int, t_min: float) -> jnp.ndarray:
@@ -717,6 +747,7 @@ def _make_search_parts(
     t_min, has_tris: bool, carry_uv: bool, cluster: int,
     with_rec: bool = False,
     u_med=None,
+    time=None,
 ):
     """Build the per-primitive test closures shared by the resident and the
     streamed search.  ``sread(row, j)`` abstracts the S-table access: the
@@ -765,6 +796,12 @@ def _make_search_parts(
         # (the expanded o.o - 2 c.o + |c|^2 form cancels catastrophically
         # for far-away geometry, and measured no faster)
         cxj, cyj, czj = sread(S_CX, j), sread(S_CY, j), sread(S_CZ, j)
+        if time is not None:
+            # motion blur: center at the path's shutter time (velocity
+            # rows are zero for static spheres — adds exact zeros)
+            cxj = cxj + time * sread(S_VX, j)
+            cyj = cyj + time * sread(S_VY, j)
+            czj = czj + time * sread(S_VZ, j)
         ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
         bq = ocx * dx + ocy * dy + ocz * dz
         cq = ocx * ocx + ocy * ocy + ocz * ocz - sread(S_R2, j)
@@ -930,6 +967,7 @@ def hierarchical_search(
     carry_uv: bool = False,
     has_media: bool = False,
     u_med=None,
+    time=None,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -962,7 +1000,7 @@ def hierarchical_search(
     _box_any, run_sphere, run_rect, run_dual, run_tri, run_med = \
         _make_search_parts(
             lambda r, j: s_ref[r, j], ox, oy, oz, dx, dy, dz,
-            t_min, has_tris, carry_uv, cluster, u_med=u_med,
+            t_min, has_tris, carry_uv, cluster, u_med=u_med, time=time,
         )
 
     def cluster_scan(ci, carry):
@@ -1038,6 +1076,7 @@ def _streamed_search_payload(
     carry_uv: bool = False,
     has_media: bool = False,
     u_med=None,
+    time=None,
 ):
     """Closest-hit search + FUSED payload over HBM-streamed block tiles.
 
@@ -1074,7 +1113,7 @@ def _streamed_search_payload(
         parts = _make_search_parts(
             lambda r, j: buf[r, j], ox, oy, oz, dx, dy, dz,
             t_min, has_tris, carry_uv, cluster, with_rec=True,
-            u_med=u_med,
+            u_med=u_med, time=time,
         )
         box_any, run_sphere, run_rect, run_dual, run_tri, run_med = parts
 
@@ -1272,6 +1311,7 @@ def _render_kernel(
     has_vattrs: bool = False,
     has_noise: bool = False,
     has_media: bool = False,
+    has_motion: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -1381,7 +1421,7 @@ def _render_kernel(
     # the raw barycentrics are the uv map the XLA record samples with
     # (ops/intersect.py), so image-textured plain meshes defer exactly
     # instead of shading with the atlas mean (round-3 VERDICT Next #7).
-    p_rows = p_rows_for(has_images, has_vattrs)
+    p_rows = p_rows_for(has_images, has_vattrs, has_motion)
     carry_uv = has_vattrs or (has_tris and has_images)
 
     def bounce_body(state):
@@ -1389,6 +1429,11 @@ def _render_kernel(
          rx, ry, rz, alive_f, done_f, depth_f, *img_state) = state
         nclus = img_state[-1]  # appended last: entered-cluster diagnostic
         img_state = img_state[:-1]
+        if has_motion:
+            # per-PATH shutter time (motion blur): carried so every wave
+            # of a path sees the world frozen at the same instant
+            time_f = img_state[-1]
+            img_state = img_state[:-1]
         if has_images:
             # two-record image-texture deferral state.  Each lane carries
             # TWO single-use (u, v, slot) records; the XLA epilogue applies
@@ -1418,6 +1463,8 @@ def _render_kernel(
             need = need & ~(used2_f > 0.5)
             # a fresh path starts with no pending texel factor
             stage_f = jnp.where(need, 0.0, stage_f)
+        if has_motion:
+            time_f = jnp.where(need, _u01(shape), time_f)
         ox = jnp.where(need, nox, ox)
         oy = jnp.where(need, noy, oy)
         oz = jnp.where(need, noz, oz)
@@ -1443,6 +1490,7 @@ def _render_kernel(
         # stochastic scatter-distance sampling (decorrelated per prim by a
         # center hash inside _med_test)
         u_med = _u01(shape) if has_media else None
+        sh_time = time_f if has_motion else None
 
         # -------- front-to-back supercluster order for this wave --------
         # Sort superclusters by clamped squared distance from the mean live
@@ -1507,7 +1555,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 block_b=stream_b, p_rows=p_rows,
                 has_tris=has_tris, carry_uv=carry_uv,
-                has_media=has_media, u_med=u_med,
+                has_media=has_media, u_med=u_med, time=sh_time,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             k0 = 2
@@ -1523,7 +1571,7 @@ def _render_kernel(
                 t_min, jnp.where(alive, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
-                has_media=has_media, u_med=u_med,
+                has_media=has_media, u_med=u_med, time=sh_time,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             if carry_uv:
@@ -1545,7 +1593,7 @@ def _render_kernel(
                 t_min, jnp.where(fwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
-                has_media=has_media, u_med=u_med,
+                has_media=has_media, u_med=u_med, time=sh_time,
             )
             front_to_back_order(bwd_f)
             found_b = hierarchical_search(
@@ -1554,7 +1602,7 @@ def _render_kernel(
                 t_min, jnp.where(bwd_f > 0.5, BIG, t_min), has_rects,
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
-                has_media=has_media, u_med=u_med,
+                has_media=has_media, u_med=u_med, time=sh_time,
             )
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, found_a[0], found_b[0])
@@ -1634,9 +1682,17 @@ def _render_kernel(
         # unit normal = normalize(p - c) * sign(r) == (p - c)/r at the hit
         # (negative radii flip the normal inward: the hollow-glass idiom,
         # Hittable.cuh:96 divides by the SIGNED radius)
-        ncx = px - pay[P_CX]
-        ncy = py - pay[P_CY]
-        ncz = pz - pay[P_CZ]
+        if has_motion:
+            # the winner's center at the path's time: velocity payload
+            # rows (zero for static spheres and every non-sphere type)
+            vb_m = p_rows - 3
+            ncx = px - (pay[P_CX] + time_f * pay[vb_m + 0])
+            ncy = py - (pay[P_CY] + time_f * pay[vb_m + 1])
+            ncz = pz - (pay[P_CZ] + time_f * pay[vb_m + 2])
+        else:
+            ncx = px - pay[P_CX]
+            ncy = py - pay[P_CY]
+            ncz = pz - pay[P_CZ]
         rinv = lax.rsqrt(jnp.maximum(ncx * ncx + ncy * ncy + ncz * ncz, 1e-20))
         rinv = rinv * (1.0 - 2.0 * neg_r)
         snx = ncx * rinv
@@ -1985,6 +2041,8 @@ def _render_kernel(
         if has_images:
             out = out + (used1_f, stage_f, used2_f, chain_f, iu, iv, iid,
                          iu2, iv2, iid2, rpx, rpy, rpz, rqx, rqy, rqz)
+        if has_motion:
+            out = out + (time_f,)
         return out + (nclus,)
 
     def bounce_cond(state):
@@ -2008,6 +2066,8 @@ def _render_kernel(
         init = init + (zeros, zeros, zeros, zeros, zeros, zeros, neg1,
                        zeros, zeros, neg1, zeros, zeros, zeros,
                        zeros, zeros, zeros)
+    if has_motion:
+        init = init + (zeros,)  # per-path shutter time
     init = init + (jnp.float32(0.0),)  # entered-cluster diagnostic (last)
     final = lax.while_loop(bounce_cond, bounce_body, init)
     out_ref[0] = final[11]
@@ -2084,6 +2144,7 @@ def pallas_render_sample(
     stream_b: int = 0,  # >0: HBM-streamed tables (see docstring)
     has_noise: bool = False,  # compile in the noise/marble texture branch
     has_media: bool = False,  # compile in the constant-medium branch
+    has_motion: bool = False,  # compile in the moving-sphere branch
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -2152,7 +2213,7 @@ def pallas_render_sample(
     assert band_h % tile_h == 0, (band_h, tile_h)
     has_images = atlas is not None
     assert not has_vattrs or has_tris, "has_vattrs requires has_tris"
-    expect_rows = p_rows_for(has_images, has_vattrs)
+    expect_rows = p_rows_for(has_images, has_vattrs, has_motion)
     if stream_b:
         assert not octant_split, "octant_split is resident-only"
         r8 = -(-(16 + expect_rows) // 8) * 8
@@ -2178,7 +2239,7 @@ def pallas_render_sample(
         has_images=has_images, rr_start=rr_start,
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
-        has_noise=has_noise, has_media=has_media,
+        has_noise=has_noise, has_media=has_media, has_motion=has_motion,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

@@ -144,6 +144,7 @@ def render_sharded_pallas(
     stream_b: int = 0,
     has_noise: bool = False,
     has_media: bool = False,
+    has_motion: bool = False,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -203,6 +204,7 @@ def render_sharded_pallas(
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b,
             has_noise=has_noise, has_media=has_media,
+            has_motion=has_motion,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

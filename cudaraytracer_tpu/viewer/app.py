@@ -636,7 +636,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
                  interpret_ctx, has_tris=False, has_vattrs=False,
                  adaptive=False, stream_b=0, has_noise=False,
-                 has_media=False):
+                 has_media=False, has_motion=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -688,6 +688,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 cluster=cluster, super_=super_, has_tris=has_tris,
                 has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
+                has_motion=has_motion,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -773,7 +774,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
-            has_media=has_media,
+            has_media=has_media, has_motion=has_motion,
         )
         if has_images:
             rad, counts = out
@@ -858,6 +859,9 @@ class _PallasPipeline:
         # constant-density media (mat ISOTROPIC) compile in the medium
         # search branch; the G-buffer pass skips medium clusters
         self.has_media = bool((scene.mat_type[idx] == 4).any())
+        # moving spheres (motion blur) compile in the shutter-time branch;
+        # the G-buffer shows them at shutter-open (time 0)
+        self.has_motion = bool((scene.velocity[idx] != 0).any())
         # only the sky colors are needed at frame time; HOST numpy so the
         # in-jit pack embeds them as cheap host-sourced constants
         import types
@@ -876,7 +880,7 @@ class _PallasPipeline:
         self._tile = (tile_h, tile_w)
         # static kernel config the G-buffer pass shares (gbuffer() below)
         self._kcfg = (cluster, super_, has_rects, has_tris, t.vattrs,
-                      self.has_noise, self.has_media)
+                      self.has_noise, self.has_media, self.has_motion)
         # pad to tile multiples; crop on output
         self._wpad = -(-cfg.width // tile_w) * tile_w
         self._hpad = -(-cfg.height // tile_h) * tile_h
@@ -889,7 +893,8 @@ class _PallasPipeline:
             cfg.camera_model, tile_h, tile_w, has_rects, self.has_images,
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
-            self.adaptive, self.stream_b, self.has_noise, self.has_media)
+            self.adaptive, self.stream_b, self.has_noise, self.has_media,
+            self.has_motion)
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()
@@ -948,12 +953,12 @@ class _PallasPipeline:
             cam, self._sky.background_start, self._sky.background_end,
             self._cfg.width, self._cfg.height, self._cfg.t_min)
         (cluster, super_, has_rects, has_tris, vattrs, has_noise,
-         has_media) = self._kcfg
+         has_media, has_motion) = self._kcfg
         step = pallas_gbuffer_step(
             self._cfg.width, self._cfg.height, self._cfg.camera_model,
             *self._tile, has_rects, self.has_images, cluster, super_,
             _tpu_interpret_mode_active(), has_tris, vattrs, self.stream_b,
-            has_noise, has_media)
+            has_noise, has_media, has_motion)
         import numpy as _np
 
         return step(*self._tabs, _np.int32(self._n_super), cam_vec,

@@ -83,6 +83,8 @@ def main():
                 (scene.tex_type[scene.active_indices()] == 3).any())
             has_media = bool(
                 (scene.mat_type[scene.active_indices()] == 4).any())
+            has_motion = bool(
+                (scene.velocity[scene.active_indices()] != 0).any())
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -108,7 +110,7 @@ def main():
                         camera_model=cam_model, spp=1, rr_start=2,
                         atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
                         has_vattrs=t.vattrs, has_noise=has_noise,
-                        has_media=has_media,
+                        has_media=has_media, has_motion=has_motion,
                     )
 
                 acc = cnt = 0.0
@@ -128,6 +130,7 @@ def main():
                     camera_model=cam_model, spp=args.spp, rr_start=2,
                     has_tris=has_tris, has_vattrs=t.vattrs,
                     has_noise=has_noise, has_media=has_media,
+                    has_motion=has_motion,
                 )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)

@@ -98,7 +98,13 @@ def _medium_hit(o, d, c, r, density, rng, t_min, t_max):
     return t
 
 
-def _closest_hit(scene, o, d, t_min=1e-3, rng=None):
+def _center_at(scene, i, time):
+    """Sphere center at the path's shutter time (motion blur; static
+    prims have zero velocity)."""
+    return scene.center[i] + time * scene.velocity[i]
+
+
+def _closest_hit(scene, o, d, t_min=1e-3, rng=None, time=0.0):
     best_t, best_i, best_uv = 3.4e38, -1, (0.0, 0.0)
     for i in scene.active_indices():
         pt = int(scene.prim_type[i])
@@ -106,7 +112,8 @@ def _closest_hit(scene, o, d, t_min=1e-3, rng=None):
             t = _medium_hit(o, d, scene.center[i], scene.size[i][0],
                             float(scene.density[i]), rng, t_min, best_t)
         elif pt == 0:
-            t = _sphere_hit(o, d, scene.center[i], scene.size[i][0], t_min, best_t)
+            t = _sphere_hit(o, d, _center_at(scene, i, time),
+                            scene.size[i][0], t_min, best_t)
         elif pt == 4:
             r = _tri_hit(o, d, scene.center[i].astype(float),
                          scene.edge1[i].astype(float),
@@ -196,8 +203,13 @@ def _reflect(v, n):
 def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
     """color() (Kernel.cu:30-80) transliterated."""
     throughput = np.ones(3)
+    # one shutter time per path (RTOW book-2 camera::get_ray); only drawn
+    # for scenes with motion, so static scenes keep their exact
+    # historical rng streams
+    time = (rng.random_sample()
+            if (scene.velocity[scene.active_indices()] != 0).any() else 0.0)
     for _ in range(max_depth):
-        i, t, buv = _closest_hit(scene, o, d, t_min, rng=rng)
+        i, t, buv = _closest_hit(scene, o, d, t_min, rng=rng, time=time)
         if i is None:
             unit = d / np.linalg.norm(d)
             s = 0.5 * (unit[1] + 1.0)
@@ -207,7 +219,7 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
         mat = int(scene.mat_type[i])
         pt = int(scene.prim_type[i])
         if pt == 0:
-            normal = (p - scene.center[i]) / scene.size[i][0]
+            normal = (p - _center_at(scene, i, time)) / scene.size[i][0]
         elif pt == 4:
             # triangle: two-sided face normal; smooth shading interpolates
             # per-vertex normals and flips them to the geometric front side
