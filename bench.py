@@ -402,10 +402,11 @@ def main():
         tile_h, tile_w = args.tile_h, args.tile_w
         prim_t = _np.asarray(sd.prim_type)[active]
         has_tris = bool((prim_t == 4).any())
-        has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
+        has_rects = bool(((prim_t >= 1) & (prim_t <= 3)).any())
         has_noise = bool((_np.asarray(sd.tex_type)[active] == 3).any())
         has_media = bool((_np.asarray(sd.mat_type)[active] == 4).any())
         has_motion = bool((_np.asarray(sd.velocity)[active] != 0).any())
+        has_boxm = bool((prim_t == 5).any())
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -429,7 +430,7 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion,
+                has_motion=has_motion, has_boxm=has_boxm,
             )[-1]
 
         @jax.jit
@@ -450,7 +451,7 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion,
+                has_motion=has_motion, has_boxm=has_boxm,
             )
             if has_images:
                 img, _counts, nrays = out

@@ -74,6 +74,10 @@ def primitive_aabbs(scene: Scene, idx: np.ndarray):
                 # cluster gates never cull a moved position
                 bmin[row] = np.minimum(bmin[row], cc + vel - r)
                 bmax[row] = np.maximum(bmax[row], cc + vel + r)
+        elif pt == 5:  # medium BOX: half-extents ride the edge1 row
+            he = np.abs(scene.edge1[idx[row]])
+            bmin[row] = cc - he
+            bmax[row] = cc + he
         elif pt == 4:  # triangle: hull of v0, v0+e1, v0+e2 (+ flat-axis pad)
             i = idx[row]
             pts = np.stack([cc, cc + scene.edge1[i], cc + scene.edge2[i]])
@@ -243,6 +247,9 @@ def make_bvh_hit_fn(bvh: BVHData, scene_data, t_min: float = 0.001):
                 side = side | (scene_data.mat_type == _ISO)
                 kw.update(mat_type=scene_data.mat_type,
                           density=scene_data.density, u_med=u_med)
+                if scene_data.has_box_media:
+                    # box-bounded media: half-extents in the edge1 rows
+                    kw.update(half_ext=scene_data.edge1)
             if scene_data.has_motion:
                 side = side | jnp.any(scene_data.velocity != 0, axis=1)
                 kw.update(velocity=scene_data.velocity, time=time)

@@ -90,6 +90,9 @@ def trace(
         if scene.has_media or scene.has_motion:
             med_kw = (dict(mat_type=scene.mat_type, density=scene.density)
                       if scene.has_media else {})
+            if scene.has_media and scene.has_box_media:
+                # box-bounded media: half-extents ride the edge1 rows
+                med_kw["half_ext"] = scene.edge1
 
             def hit_fn(o, d, u_med=None, time=None):
                 mot_kw = (dict(velocity=scene.velocity, time=time)

@@ -38,6 +38,7 @@ XY_RECT = intersect.XY_RECT
 XZ_RECT = intersect.XZ_RECT
 YZ_RECT = intersect.YZ_RECT
 TRIANGLE = intersect.TRIANGLE
+BOX = intersect.BOX
 LAMBERTIAN = materials.LAMBERTIAN
 METAL = materials.METAL
 DIELECTRIC = materials.DIELECTRIC
@@ -48,7 +49,7 @@ CHECKER = textures.CHECKER
 IMAGE = textures.IMAGE
 NOISE = textures.NOISE
 
-PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect", TRIANGLE: "triangle"}
+PRIM_NAMES = {SPHERE: "sphere", XY_RECT: "xy_rect", XZ_RECT: "xz_rect", YZ_RECT: "yz_rect", TRIANGLE: "triangle", BOX: "box"}
 MAT_NAMES = {LAMBERTIAN: "lambertian", METAL: "metal", DIELECTRIC: "dielectric", DIFFUSE_LIGHT: "diffuse_light", ISOTROPIC: "isotropic"}
 TEX_NAMES = {CONSTANT: "constant", CHECKER: "checker", IMAGE: "image",
              NOISE: "noise"}
@@ -105,6 +106,10 @@ class SceneData:
     # moving spheres present (RTOW book-2 motion blur) — STATIC: static
     # scenes trace the identical graph they always did
     has_motion: bool = dataclasses.field(
+        default=False, metadata={"static": True})
+    # BOX-bounded media present (prim BOX, half-extents in edge1) —
+    # STATIC: sphere-only media scenes skip the slab-chord branch
+    has_box_media: bool = dataclasses.field(
         default=False, metadata={"static": True})
 
     @property
@@ -282,6 +287,23 @@ class Scene:
         mat.setdefault("mat_type", ISOTROPIC)
         return self._add(SPHERE, center, (radius, radius),
                          density=density, **mat)
+
+    def add_medium_box(self, center, extents, density: float = 1.0,
+                       **mat) -> int:
+        """Constant-density participating medium bounded by an
+        axis-aligned BOX (the RTOW book-2 Cornell-smoke shape,
+        BEYOND-REFERENCE; the CUDA reference has neither boxes nor
+        volumes).  ``extents`` is the box's FULL (x, y, z) size; the
+        half-extents ride the edge1 rows (spare for non-triangles).
+        The boundary is invisible — rays inside scatter isotropically
+        at a distance sampled from exp(-density * s)."""
+        mat["mat_type"] = ISOTROPIC  # a BOX is ALWAYS a medium boundary
+        he = 0.5 * np.asarray(extents, np.float32)
+        i = self._add(BOX, center, (float(he[0]), float(he[1])),
+                      density=density, **mat)
+        self.edge1[i] = he
+        self.version += 1
+        return i
 
     def add_xy_rect(self, center, width: float, height: float, **mat) -> int:
         return self._add(XY_RECT, center, (width, height), **mat)
@@ -530,6 +552,12 @@ class Scene:
     def update(self, i: int, **fields):
         """Edit any per-primitive field in place (the UI drag paths,
         CudaLayer.cpp:484-563, 719-872)."""
+        if (int(self.prim_type[i]) == BOX and "mat_type" in fields
+                and int(fields["mat_type"]) != ISOTROPIC):
+            # a BOX is exclusively a constant-medium boundary: a surface
+            # material would pack a junk ptype-5 column (invisible in the
+            # XLA paths, spuriously rect-hittable in a mixed cluster)
+            raise ValueError("BOX primitives are always ISOTROPIC media")
         for k, val in fields.items():
             arr = getattr(self, k, None)
             if arr is None or not isinstance(arr, np.ndarray) or arr.shape[0] != self.capacity:
@@ -596,6 +624,8 @@ class Scene:
                 (self.mat_type[self.active] == ISOTROPIC).any()),
             has_motion=bool(
                 (np.abs(self.velocity[self.active]) > 0).any()),
+            has_box_media=bool(
+                (self.prim_type[self.active] == BOX).any()),
             **kw,
         )
 
@@ -630,6 +660,8 @@ class Scene:
                 p["density"] = float(self.density[i])
             if (self.velocity[i] != 0).any():
                 p["velocity"] = self.velocity[i].tolist()
+            if self.prim_type[i] == BOX:
+                p["half_ext"] = self.edge1[i].tolist()
             if self.prim_type[i] == TRIANGLE:
                 p["edge1"] = self.edge1[i].tolist()
                 p["edge2"] = self.edge2[i].tolist()
@@ -716,6 +748,11 @@ class Scene:
             )
             if "velocity" in p:
                 scene.velocity[i] = np.asarray(p["velocity"], np.float32)
+            if p["prim_type"] == BOX:
+                scene.edge1[i] = np.asarray(p["half_ext"], np.float32)
+                # a BOX is always a medium boundary (hand-edited docs):
+                # a surface material would pack a junk ptype-5 column
+                scene.mat_type[i] = ISOTROPIC
             if p["prim_type"] == TRIANGLE:
                 scene.edge1[i] = np.asarray(p["edge1"], np.float32)
                 scene.edge2[i] = np.asarray(p["edge2"], np.float32)

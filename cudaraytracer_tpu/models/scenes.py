@@ -519,6 +519,44 @@ def smoke_camera(**kw):
 
 
 
+def cornell_smoke_scene(capacity: int = 64) -> Scene:
+    """The RTOW book-2 ``cornell_smoke`` final scene, re-proportioned to
+    this repo's 5-unit Cornell room (BEYOND-REFERENCE: the CUDA reference
+    has neither boxes nor volumes): the classic red/green/white room and
+    ceiling light with a tall dark smoke box and a short white fog box —
+    BOX-bounded constant media via ``add_medium_box`` (axis-aligned; the
+    book's 15/-18 degree rotations are a documented simplification)."""
+    scene = Scene(capacity=capacity, background_start=(0.0, 0.0, 0.0),
+                  background_end=(0.0, 0.0, 0.0))
+    s = 5.0
+    scene.add_yz_rect((-s / 2, s / 2, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.65, 0.05, 0.05))
+    scene.add_yz_rect((s / 2, s / 2, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.12, 0.45, 0.15))
+    scene.add_xz_rect((0.0, 0.0, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.73, 0.73, 0.73))
+    scene.add_xz_rect((0.0, s, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.73, 0.73, 0.73))
+    scene.add_xy_rect((0.0, s / 2, -s / 2), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.73, 0.73, 0.73))
+    scene.add_xz_rect((0.0, s - 0.01, 0.0), 2.7, 2.2,
+                      mat_type=DIFFUSE_LIGHT, albedo=(1.0, 1.0, 1.0),
+                      light=7.0)
+    # tall dark smoke (the book's box1, 165x330x165 at 555 scale)
+    scene.add_medium_box((-1.0, 1.5, -0.9), (1.5, 3.0, 1.5), density=1.1,
+                         albedo=(0.0, 0.0, 0.0))
+    # short white fog (the book's box2, 165^3)
+    scene.add_medium_box((1.1, 0.75, 0.6), (1.5, 1.5, 1.5), density=1.1,
+                         albedo=(1.0, 1.0, 1.0))
+    return scene
+
+
+def cornell_smoke_camera(**kw):
+    return make_camera_params(
+        origin=(0.0, 2.5, 9.0), forward=(0.0, 0.0, -1.0), fov_deg=40.0,
+        **kw)
+
+
 def bounce_scene(seed: int = 11, capacity: int = 64) -> Scene:
     """Motion blur demo (BEYOND-REFERENCE, RTOW book-2 moving spheres —
     the reference's world is static): a checkered ground with a row of
@@ -561,6 +599,7 @@ SCENES = {
     "terrain_big": (terrain_big_scene, terrain_camera),
     "marble": (marble_scene, marble_camera),
     "smoke": (smoke_scene, smoke_camera),
+    "cornell_smoke": (cornell_smoke_scene, cornell_smoke_camera),
     "bounce": (bounce_scene, bounce_camera),
 }
 
@@ -579,6 +618,7 @@ CAMERA_MODELS = {
     "mesh_demo": "look_at",
     "marble": "look_at",
     "smoke": "look_at",
+    "cornell_smoke": "two_plane",
     "bounce": "look_at",
     "mesh_smooth": "look_at",
     "terrain": "look_at",

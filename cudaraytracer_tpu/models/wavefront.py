@@ -60,7 +60,7 @@ def pack_wavefront_tables(scene) -> tuple[WavefrontTables, int, bool, bool]:
     prim_t = scene.prim_type[idx]
     has_tris = bool((prim_t == 4).any()) if len(idx) else False
     has_rects = (
-        bool(((prim_t != 0) & (prim_t != 4)).any()) if len(idx) else False
+        bool(((prim_t >= 1) & (prim_t <= 3)).any()) if len(idx) else False
     )
     if len(idx):
         from .bvh import primitive_aabbs

@@ -66,6 +66,12 @@ XY_RECT = 1
 XZ_RECT = 2
 YZ_RECT = 3
 TRIANGLE = 4
+# Axis-aligned BOX — used exclusively as a constant-medium boundary
+# (Scene.add_medium_box, the RTOW book-2 Cornell-smoke shape; the CUDA
+# reference has neither boxes nor volumes).  Half-extents live in the
+# scene's edge1 rows (spare for non-triangles); the boundary is invisible
+# (mat is always ISOTROPIC), so no surface normal/uv is ever needed.
+BOX = 5
 
 # Degenerate-triangle guard: |det| below this means the ray is parallel to
 # the triangle plane (or the triangle has ~zero area); no hit.
@@ -311,6 +317,34 @@ def _medium_block_t(org, dirn, a_quad, center_b, radius_b, density_b,
     return hit, t_c
 
 
+def _medium_box_block_t(org, dirn, a_quad, center_b, he_b, density_b,
+                        u_med, idx_b, t_min, t_max):
+    """Stochastic scatter distance inside constant-density BOX media
+    (RTOW book-2 ConstantMedium with a box boundary — the Cornell-smoke
+    shape).  The slab test's (t_near, t_far) bound the interior chord;
+    entry clamps to t_min; the scatter point is entry +
+    (-log(u)/density)/|d| and must stay inside the exit — the exact
+    box analog of _medium_block_t (same per-prim golden-ratio
+    decorrelation of ``u_med``).  Returns (hit[R,B], t[R,B])."""
+    inv_d = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)  # [R,3]
+    bmin = (center_b - he_b)[None, :, :]  # [1,B,3]
+    bmax = (center_b + he_b)[None, :, :]
+    o = org[:, None, :]  # [R,1,3]
+    iv = inv_d[:, None, :]
+    t0 = (bmin - o) * iv  # [R,B,3]
+    t1 = (bmax - o) * iv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [R,B]
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    te = jnp.maximum(tn, t_min)
+    u = u_med[:, None] + idx_b[None, :].astype(jnp.float32) * 0.61803398875
+    u = u - jnp.floor(u)
+    dlen = jnp.sqrt(jnp.maximum(a_quad, 1e-20))[:, None]
+    hit_dist = -jnp.log(jnp.maximum(u, 1e-12)) / density_b[None, :]
+    t_c = te + hit_dist / dlen
+    hit = (tf > te) & (t_c < tf) & (t_c < t_max)
+    return hit, t_c
+
+
 def hit_scene(
     org: jnp.ndarray,
     dirn: jnp.ndarray,
@@ -328,6 +362,7 @@ def hit_scene(
     u_med: jnp.ndarray | None = None,
     velocity: jnp.ndarray | None = None,
     time: jnp.ndarray | None = None,
+    half_ext: jnp.ndarray | None = None,
 ):
     """Closest-hit over every active primitive for a ray batch.
 
@@ -358,6 +393,11 @@ def hit_scene(
     if with_motion:
         velocity = jnp.asarray(velocity)
         time = jnp.asarray(time)
+    # box-bounded media (prim BOX + mat ISOTROPIC): half-extents ride the
+    # scene's edge1 rows — only threaded when the caller has box media
+    with_boxm = with_media and half_ext is not None
+    if with_boxm:
+        half_ext = jnp.asarray(half_ext)
     n = prim_type.shape[0]
     r = org.shape[0]
     if t_max is None:
@@ -378,6 +418,8 @@ def hit_scene(
             density = jnp.pad(density, (0, pad), constant_values=1.0)
         if with_motion:
             velocity = jnp.pad(velocity, ((0, pad), (0, 0)))
+        if with_boxm:
+            half_ext = jnp.pad(half_ext, ((0, pad), (0, 0)))
     n_pad = n + pad
     nblocks = n_pad // block
 
@@ -398,6 +440,8 @@ def hit_scene(
             mat_type.reshape(nblocks, block),
             density.reshape(nblocks, block),
         )
+    if with_boxm:
+        scan_blocks = scan_blocks + (half_ext.reshape(nblocks, block, 3),)
     if with_motion:
         scan_blocks = scan_blocks + (velocity.reshape(nblocks, block, 3),)
 
@@ -406,6 +450,9 @@ def hit_scene(
         ptype_b, center_b, size_b, act_b, *rest_b, base = blk
         if with_motion:
             vel_b = rest_b[-1]
+            rest_b = rest_b[:-1]
+        if with_boxm:
+            he_b = rest_b[-1]
             rest_b = rest_b[:-1]
         if with_media:
             mat_b, dens_b = rest_b[-2], rest_b[-1]
@@ -445,6 +492,15 @@ def hit_scene(
             )
             hit = jnp.where(is_med[None, :], med_hit, hit)
             t = jnp.where(is_med[None, :], med_t, t)
+            if with_boxm:
+                is_boxm = (ptype_b == BOX) & (mat_b == 4)
+                boxm_hit, boxm_t = _medium_box_block_t(
+                    org, dirn, a_quad, center_b, he_b, dens_b, u_med,
+                    base + jnp.arange(block, dtype=jnp.int32),
+                    t_min, t_max,
+                )
+                hit = jnp.where(is_boxm[None, :], boxm_hit, hit)
+                t = jnp.where(is_boxm[None, :], boxm_t, t)
         hit = hit & act_b[None, :]
         t = jnp.where(hit, t, jnp.float32(BIG))
 

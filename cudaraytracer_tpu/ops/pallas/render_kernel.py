@@ -462,7 +462,8 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
         area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
         big = area > 50.0 * np.median(area)
         t_all = scene.prim_type[idx].astype(np.int64)
-        is_med = (t_all == 0) & (scene.mat_type[idx] == 4)  # ISOTROPIC
+        is_med = ((t_all == 0) | (t_all == 5)) \
+            & (scene.mat_type[idx] == 4)  # ISOTROPIC (sphere or BOX)
         big = big & ~is_med  # media NEVER share clusters with surfaces:
         # the medium test replaces the whole prim loop for kind-4
         # clusters, and mixed (dual) clusters must stay media-free
@@ -490,7 +491,8 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
 
         sidx = idx[rsel]  # scene slots, packed order
         t = scene.prim_type[sidx].astype(np.int64)
-        med = (t == 0) & (scene.mat_type[sidx] == 4)
+        med = ((t == 0) | (t == 5)) & (scene.mat_type[sidx] == 4)
+        boxm = med & (t == 5)  # BOX-bounded media (half-extents in edge1)
         t = np.where(med, 5, t)  # media pack as ptype 5 (module comment)
         c = scene.center[sidx]
         sz = scene.size[sidx]
@@ -517,6 +519,17 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             S[S_DENS, md] = scene.density[sidx][med]
             S[S_HA, md] = -1.0
             S[S_HB, md] = -1.0
+        if boxm.any():
+            # BOX-bounded medium columns: R2 = -1 (the sphere-chord
+            # branch can never fire) and the half-extents ride S_HA /
+            # S_HB / S_CA — S_HA > 0 is the in-kernel is_box flag
+            # (sphere media and cluster padding both carry S_HA = -1)
+            bd = rdst[boxm]
+            he = np.abs(scene.edge1[sidx][boxm]).astype(np.float32)
+            S[S_R2, bd] = -1.0
+            S[S_HA, bd] = he[:, 0]
+            S[S_HB, bd] = he[:, 1]
+            S[S_CA, bd] = he[:, 2]
         if has_motion:
             # plain-sphere columns carry the shutter velocity in the
             # rect-only rows (zero for static spheres — the motion test
@@ -748,6 +761,7 @@ def _make_search_parts(
     with_rec: bool = False,
     u_med=None,
     time=None,
+    has_boxm: bool = False,
 ):
     """Build the per-primitive test closures shared by the resident and the
     streamed search.  ``sread(row, j)`` abstracts the S-table access: the
@@ -864,8 +878,13 @@ def _make_search_parts(
 
     def _med_test(j, best_t):
         # constant-density medium (RTOW ConstantMedium::Hit, closed form):
-        # both sphere roots bound the chord; scatter at entry +
-        # -log(u)/density (dirs are unit, so t IS world distance)
+        # the boundary chord (entry, exit) comes from the sphere quadratic
+        # OR (has_boxm scenes, a STATIC flag) the box slab test — S_HA > 0
+        # flags a BOX column; sphere media and padding both carry
+        # S_HA = -1.  Scatter at entry + -log(u)/density (dirs are unit,
+        # so t IS world distance).  Sphere-medium columns select exactly
+        # the historical operands, and sphere-only media scenes skip the
+        # slab math entirely (bit-identical graph, test_media_box.py).
         cxj, cyj, czj = sread(S_CX, j), sread(S_CY, j), sread(S_CZ, j)
         ocx, ocy, ocz = ox - cxj, oy - cyj, oz - czj
         bq = ocx * dx + ocy * dy + ocz * dz
@@ -875,7 +894,32 @@ def _make_search_parts(
         sq = dpos * lax.rsqrt(dpos)
         t0 = -bq - sq
         t1 = -bq + sq
-        te = jnp.maximum(t0, t_min)
+        if has_boxm:
+            # box chord (slab test on center +/- half-extents)
+            haj = sread(S_HA, j)
+            hbj = sread(S_HB, j)
+            hcj = sread(S_CA, j)
+            bx0 = (cxj - haj - ox) * inv_dx
+            bx1 = (cxj + haj - ox) * inv_dx
+            by0 = (cyj - hbj - oy) * inv_dy
+            by1 = (cyj + hbj - oy) * inv_dy
+            bz0 = (czj - hcj - oz) * inv_dz
+            bz1 = (czj + hcj - oz) * inv_dz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
+                                         jnp.minimum(by0, by1)),
+                             jnp.minimum(bz0, bz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(bx0, bx1),
+                                         jnp.maximum(by0, by1)),
+                             jnp.maximum(bz0, bz1))
+            is_box = haj > 0.0
+            te = jnp.maximum(jnp.where(is_box, tn, t0), t_min)
+            tex = jnp.where(is_box, tf, t1)
+            valid = (is_box & (tf > te)) \
+                | (~is_box & (disc > 0.0) & (t1 > te))
+        else:
+            te = jnp.maximum(t0, t_min)
+            tex = t1
+            valid = (disc > 0.0) & (t1 > te)
         # per-prim uniform: golden-ratio-ish center hash rotation of the
         # wave's lane uniform (prim-INTRINSIC: identical across table
         # layouts, unlike a column index)
@@ -883,17 +927,23 @@ def _make_search_parts(
         uj = uj - jnp.floor(uj)
         hd = -jnp.log(jnp.maximum(uj, 1e-12)) / sread(S_DENS, j)
         t_c = te + hd
-        hit_m = (disc > 0.0) & (t1 > te) & (t_c < t1) & (t_c < best_t)
+        hit_m = valid & (t_c < tex) & (t_c < best_t)
         return hit_m, t_c
 
     def _dual_test(j, best_t):
         ptype = sread(S_PTYPE, j)
         is_sphere = ptype < 0.5
+        # rect ptypes are 1-3 only: the explicit upper gate keeps ptype-5
+        # MEDIUM columns inert here even if a media cluster is ever
+        # mis-dispatched (packing segregates media into kind-4 clusters,
+        # but BOX media carry positive S_HA/S_HB half-extents that would
+        # otherwise fake a rect hit; sphere media were inert by extent<0)
+        is_rect = ~is_sphere & (ptype < 3.5)
         hit_s, t_s = _sphere_test(j, best_t)
         hit_r, t_r = _rect_test(j, best_t)
         t_j = jnp.where(is_sphere, t_s, t_r)
         # boolean select via logic ops (Mosaic can't select i1 vectors)
-        hit_j = (is_sphere & hit_s) | (~is_sphere & hit_r)
+        hit_j = (is_sphere & hit_s) | (is_rect & hit_r)
         if has_tris:
             is_tri = ptype > 3.5
             hit_t, t_t, u_t, v_t = _tri_test(j, best_t)
@@ -968,6 +1018,7 @@ def hierarchical_search(
     has_media: bool = False,
     u_med=None,
     time=None,
+    has_boxm: bool = False,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -1001,6 +1052,7 @@ def hierarchical_search(
         _make_search_parts(
             lambda r, j: s_ref[r, j], ox, oy, oz, dx, dy, dz,
             t_min, has_tris, carry_uv, cluster, u_med=u_med, time=time,
+            has_boxm=has_boxm,
         )
 
     def cluster_scan(ci, carry):
@@ -1077,6 +1129,7 @@ def _streamed_search_payload(
     has_media: bool = False,
     u_med=None,
     time=None,
+    has_boxm: bool = False,
 ):
     """Closest-hit search + FUSED payload over HBM-streamed block tiles.
 
@@ -1113,7 +1166,7 @@ def _streamed_search_payload(
         parts = _make_search_parts(
             lambda r, j: buf[r, j], ox, oy, oz, dx, dy, dz,
             t_min, has_tris, carry_uv, cluster, with_rec=True,
-            u_med=u_med, time=time,
+            u_med=u_med, time=time, has_boxm=has_boxm,
         )
         box_any, run_sphere, run_rect, run_dual, run_tri, run_med = parts
 
@@ -1312,6 +1365,7 @@ def _render_kernel(
     has_noise: bool = False,
     has_media: bool = False,
     has_motion: bool = False,
+    has_boxm: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -1556,6 +1610,7 @@ def _render_kernel(
                 block_b=stream_b, p_rows=p_rows,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
+                has_boxm=has_boxm,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             k0 = 2
@@ -1572,6 +1627,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
+                has_boxm=has_boxm,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             if carry_uv:
@@ -1594,6 +1650,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
+                has_boxm=has_boxm,
             )
             front_to_back_order(bwd_f)
             found_b = hierarchical_search(
@@ -1603,6 +1660,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
+                has_boxm=has_boxm,
             )
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, found_a[0], found_b[0])
@@ -2145,6 +2203,7 @@ def pallas_render_sample(
     has_noise: bool = False,  # compile in the noise/marble texture branch
     has_media: bool = False,  # compile in the constant-medium branch
     has_motion: bool = False,  # compile in the moving-sphere branch
+    has_boxm: bool = False,  # compile in the BOX-bounded medium chord
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -2240,6 +2299,7 @@ def pallas_render_sample(
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
         has_noise=has_noise, has_media=has_media, has_motion=has_motion,
+        has_boxm=has_boxm,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

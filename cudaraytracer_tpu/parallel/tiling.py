@@ -145,6 +145,7 @@ def render_sharded_pallas(
     has_noise: bool = False,
     has_media: bool = False,
     has_motion: bool = False,
+    has_boxm: bool = False,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -204,7 +205,7 @@ def render_sharded_pallas(
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b,
             has_noise=has_noise, has_media=has_media,
-            has_motion=has_motion,
+            has_motion=has_motion, has_boxm=has_boxm,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

@@ -636,7 +636,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
                  interpret_ctx, has_tris=False, has_vattrs=False,
                  adaptive=False, stream_b=0, has_noise=False,
-                 has_media=False, has_motion=False):
+                 has_media=False, has_motion=False, has_boxm=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -688,7 +688,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 cluster=cluster, super_=super_, has_tris=has_tris,
                 has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion,
+                has_motion=has_motion, has_boxm=has_boxm,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -774,7 +774,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             tex_hw=atl[1] if has_images else None,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
-            has_media=has_media, has_motion=has_motion,
+            has_media=has_media, has_motion=has_motion, has_boxm=has_boxm,
         )
         if has_images:
             rad, counts = out
@@ -852,7 +852,7 @@ class _PallasPipeline:
         idx = scene.active_indices()
         prim_t = scene.prim_type[idx]
         has_tris = bool((prim_t == 4).any())
-        has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
+        has_rects = bool(((prim_t >= 1) & (prim_t <= 3)).any())
         # noise/marble textures (tex_type 3) compile in the in-kernel
         # marble branch (ops/noise.py math; scenes without it pay nothing)
         self.has_noise = bool((scene.tex_type[idx] == 3).any())
@@ -862,6 +862,9 @@ class _PallasPipeline:
         # moving spheres (motion blur) compile in the shutter-time branch;
         # the G-buffer shows them at shutter-open (time 0)
         self.has_motion = bool((scene.velocity[idx] != 0).any())
+        # BOX-bounded media (prim BOX=5) compile the slab-chord branch
+        # into the medium test; sphere-only media scenes skip it (STATIC)
+        self.has_boxm = bool((prim_t == 5).any())
         # only the sky colors are needed at frame time; HOST numpy so the
         # in-jit pack embeds them as cheap host-sourced constants
         import types
@@ -894,7 +897,7 @@ class _PallasPipeline:
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
             self.adaptive, self.stream_b, self.has_noise, self.has_media,
-            self.has_motion)
+            self.has_motion, self.has_boxm)
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()

@@ -104,7 +104,7 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <div class=row><span class=lbl>fov</span><input id=cfov type=number step=1 min=1 max=120>
   <button onclick="setCam()">set</button></div>
  <h3>Scene</h3>
- <div class=row>+ add <select id=addtype><option>sphere</option><option>xy_rect</option><option>xz_rect</option><option>yz_rect</option><option>icosphere</option><option>torus</option><option>box</option></select>
+ <div class=row>+ add <select id=addtype><option>sphere</option><option>xy_rect</option><option>xz_rect</option><option>yz_rect</option><option>icosphere</option><option>torus</option><option>box</option><option value=smoke_box>smoke box</option></select>
   <select id=addmat><option>lambertian</option><option>metal</option><option>dielectric</option><option>diffuse_light</option><option>isotropic</option></select>
   <button onclick="addPrim()">add</button>
   <button onclick="uploadObj()">load OBJ</button>
@@ -149,6 +149,7 @@ function rgb2hex(c){return '#'+c.map(v=>Math.round(v*255).toString(16).padStart(
 function hex2rgb(h){return [1,3,5].map(i=>parseInt(h.substr(i,2),16)/255)}
 function upd(id,field,value){post('/edit',{op:'update',id,field,value})}
 function updC(id,k,v){const p=S.scene.find(q=>String(q.id)===String(id));p.center[k]=v;upd(id,'center',p.center)}
+function updHE(id,k,v){const p=S.scene.find(q=>String(q.id)===String(id));p.half_ext[k]=Math.max(0.005,v/2);upd(id,'half_ext',p.half_ext)}
 function num(id,k,v,step){return `<input type=number step=${step||0.1} value=${v} onchange="updC('${id}',${k},+this.value)">`}
 function primPanel(p){
  const mats=['lambertian','metal','dielectric','diffuse_light','isotropic'];
@@ -156,11 +157,15 @@ function primPanel(p){
  let rows=`<div class=row><span class=lbl>pos</span>${[0,1,2].map(k=>num(p.id,k,p.center[k])).join('')}</div>`;
  if(p.prim==='sphere')
   rows+=`<div class=row><span class=lbl>radius</span><input type=number step=0.05 value=${p.size[0]} onchange="upd('${p.id}','radius',+this.value)"></div>`;
+ else if(p.prim==='box')
+  rows+=`<div class=row><span class=lbl>extent</span>${[0,1,2].map(k=>`<input type=number step=0.1 min=0.01 value=${2*p.half_ext[k]} title="full box size, axis ${k}" onchange="updHE('${p.id}',${k},+this.value)">`).join('')}</div>`;
  else if(p.prim!=='mesh')
   rows+=`<div class=row><span class=lbl>size</span><input type=number step=0.1 value=${p.size[0]} onchange="upd('${p.id}','width',+this.value)">x<input type=number step=0.1 value=${p.size[1]} onchange="upd('${p.id}','height',+this.value)"></div>`;
  else
   rows+=`<div class=row><span class=lbl>xform</span><input type=number step=0.1 min=0.01 value=1 title="scale multiplier" onchange="upd('${p.id}','scale',+this.value);this.value=1">&times; <input type=number step=5 value=0 title="yaw degrees" onchange="upd('${p.id}','rotate_y',+this.value);this.value=0">&deg;</div>`;
- rows+=`<div class=row><span class=lbl>mat</span><select onchange="upd('${p.id}','mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
+ rows+=p.prim==='box'
+  ?`<div class=row><span class=lbl>mat</span><span title="a box is always a constant-medium boundary">isotropic (medium)</span></div>`
+  :`<div class=row><span class=lbl>mat</span><select onchange="upd('${p.id}','mat',this.value)">${mats.map(m=>`<option ${m===p.mat?'selected':''}>${m}</option>`).join('')}</select>
   <select onchange="if(this.value==='image'){uploadTex('${p.id}')}else{upd('${p.id}','tex',this.value)}">${texs.map(t=>`<option ${t===p.tex?'selected':''}>${t}</option>`).join('')}</select></div>`;
  rows+=`<div class=row><span class=lbl>albedo</span><input type=color value=${rgb2hex(p.albedo)} onchange="upd('${p.id}','albedo',hex2rgb(this.value))">`;
  if(p.tex==='checker'||p.tex==='noise')rows+=`<input type=color value=${rgb2hex(p.albedo2)} onchange="upd('${p.id}','albedo2',hex2rgb(this.value))">`;
@@ -214,6 +219,7 @@ function setOpt(){post('/options',{max_depth:+document.getElementById('depth').v
 function setBg(){post('/options',{background_start:hex2rgb(document.getElementById('bg0').value),
  background_end:hex2rgb(document.getElementById('bg1').value)})}
 function addPrim(){const t=document.getElementById('addtype').value,m=document.getElementById('addmat').value;
+ if(t==='smoke_box'){post('/edit',{op:'add',prim:'box',mat:'isotropic',center:[0,1,0]});return}
  if(['icosphere','torus','box'].includes(t))post('/edit',{op:'add_mesh',shape:t,mat:m,center:[0,1,0],scale:0.7});
  else post('/edit',{op:'add',prim:t,mat:m,center:[0,1,0],radius:0.5,width:2,height:2})}
 function uploadObj(){const f=document.getElementById('objfile');f.value='';
@@ -270,7 +276,7 @@ class ViewerServer:
         for i in scene.active_indices():
             if scene.mesh_id[i] >= 0:
                 continue  # grouped below: a mesh is ONE object in the panel
-            prims.append({
+            entry = {
                 "id": int(i),
                 "prim": scene_mod.PRIM_NAMES[int(scene.prim_type[i])],
                 "mat": scene_mod.MAT_NAMES[int(scene.mat_type[i])],
@@ -284,7 +290,12 @@ class ViewerServer:
                 "fuzz": round(float(scene.fuzz[i]), 4),
                 "ior": round(float(scene.ior[i]), 4),
                 "light": round(float(scene.light[i]), 4),
-            })
+            }
+            if int(scene.prim_type[i]) == scene_mod.BOX:
+                # medium boxes edit their half-extents (edge1 rows)
+                entry["half_ext"] = [round(float(v), 4)
+                                     for v in scene.edge1[i]]
+            prims.append(entry)
         for mid in scene.mesh_group_ids():
             idx = scene.mesh_indices(mid)
             i = int(idx[0])  # add_mesh gives every triangle one material
@@ -373,7 +384,12 @@ class ViewerServer:
             mat = _MAT_IDS.get(data.get("mat", "lambertian"), 0)
             center = data.get("center", [0.0, 1.0, 0.0])
             kw = dict(mat_type=mat)
-            if prim == scene_mod.SPHERE:
+            if prim == scene_mod.BOX:
+                # medium box (always ISOTROPIC): full extents, default 1.5
+                ext = data.get("extents", (1.5, 1.5, 1.5))
+                scene.add_medium_box(
+                    center, ext, density=float(data.get("density", 1.0)))
+            elif prim == scene_mod.SPHERE:
                 scene.add_sphere(center, float(data.get("radius", 0.5)), **kw)
             else:
                 add = {1: scene.add_xy_rect, 2: scene.add_xz_rect, 3: scene.add_yz_rect}[prim]
@@ -445,7 +461,13 @@ class ViewerServer:
                 rtlog.rt_info("Updated mesh m%d: %s", mid, field)
                 return
             i, field, value = int(data["id"]), data["field"], data["value"]
-            if field == "radius":
+            if field == "half_ext":
+                # medium-BOX geometry: half-extents live in the edge1 rows;
+                # size mirrors (he_x, he_y) (the add_medium_box invariant)
+                he = np.abs(np.asarray(value, np.float32)).reshape(3)
+                he = np.maximum(he, 1e-3)
+                scene.update(i, edge1=he, size=(float(he[0]), float(he[1])))
+            elif field == "radius":
                 scene.update(i, size=(float(value), float(value)))
             elif field == "width":
                 scene.update(i, size=(float(value), float(scene.size[i][1])))

@@ -98,6 +98,26 @@ def _medium_hit(o, d, c, r, density, rng, t_min, t_max):
     return t
 
 
+def _medium_box_hit(o, d, c, he, density, rng, t_min, t_max):
+    """Constant-density medium bounded by an axis-aligned BOX (RTOW
+    book-2 ConstantMedium with a box boundary): the slab chord bounds
+    the interior; scatter at entry + exp-sampled distance."""
+    inv = 1.0 / np.where(d == 0.0, 1e-30, d)
+    t0 = (c - he - o) * inv
+    t1 = (c + he - o) * inv
+    tn = np.minimum(t0, t1).max()
+    tf = np.maximum(t0, t1).min()
+    te = max(tn, t_min)
+    if tf <= te:
+        return None
+    dlen = np.linalg.norm(d)
+    hit_dist = -np.log(max(rng.random_sample(), 1e-12)) / density
+    t = te + hit_dist / dlen
+    if t >= tf or t >= t_max:
+        return None
+    return t
+
+
 def _center_at(scene, i, time):
     """Sphere center at the path's shutter time (motion blur; static
     prims have zero velocity)."""
@@ -111,6 +131,11 @@ def _closest_hit(scene, o, d, t_min=1e-3, rng=None, time=0.0):
         if pt == 0 and int(scene.mat_type[i]) == 4:  # isotropic medium
             t = _medium_hit(o, d, scene.center[i], scene.size[i][0],
                             float(scene.density[i]), rng, t_min, best_t)
+        elif pt == 5:  # box-bounded isotropic medium
+            t = _medium_box_hit(o, d, scene.center[i].astype(float),
+                                np.abs(scene.edge1[i]).astype(float),
+                                float(scene.density[i]), rng, t_min,
+                                best_t)
         elif pt == 0:
             t = _sphere_hit(o, d, _center_at(scene, i, time),
                             scene.size[i][0], t_min, best_t)
@@ -239,6 +264,10 @@ def trace_ray(scene, o, d, max_depth, rng, t_min=1e-3):
                 if ln > 1e-8:
                     ni = ni / ln
                     normal = ni if front else -ni
+        elif pt == 5:
+            # box medium boundary is invisible: arbitrary unit normal,
+            # never used (mat is always ISOTROPIC — isotropic phase)
+            normal = np.array([1.0, 0.0, 0.0])
         else:
             k_ax = {1: 2, 2: 1, 3: 0}[pt]
             outward = np.zeros(3)

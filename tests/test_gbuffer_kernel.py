@@ -31,17 +31,23 @@ def _pallas_gb(scene, cam, model, W, H, streamed=False):
     idx = scene.active_indices()
     prim_t = np.asarray(scene.prim_type)[idx]
     has_tris = bool((prim_t == 4).any())
-    has_rects = bool(((prim_t != 0) & (prim_t != 4)).any())
+    has_rects = bool(((prim_t >= 1) & (prim_t <= 3)).any())
     has_images = bool((np.asarray(scene.tex_type)[idx] == 2).any())
     has_vattrs = bool(getattr(scene, "has_vertex_attrs", False))
     t = pack_scene_tables(scene, with_uv=has_images)
     cam_vec = pack_camera_np(cam, scene.background_start,
                              scene.background_end, W, H, 1e-3)
     has_noise = bool((np.asarray(scene.tex_type)[idx] == 3).any())
+    # media/motion flags mirror the production pipeline (_PallasPipeline):
+    # has_media routes kind-4 medium clusters to the (skipped) medium loop
+    # instead of the surface tests — REQUIRED for fog scenes
+    has_media = bool((np.asarray(scene.mat_type)[idx] == 4).any())
+    has_motion = bool((np.asarray(scene.velocity)[idx] != 0).any())
     kw = dict(width=W, height=H, camera_model=model, tile_h=16, tile_w=128,
               has_rects=has_rects, cluster=t.cluster, super_=t.super_,
               has_tris=has_tris, has_vattrs=has_vattrs and t.vattrs,
-              has_noise=has_noise)
+              has_noise=has_noise, has_media=has_media,
+              has_motion=has_motion)
     if has_images:
         kw.update(atlas=jnp.asarray(scene.atlas),
                   tex_hw=jnp.asarray(scene.tex_hw))

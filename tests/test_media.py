@@ -122,7 +122,8 @@ def test_bvh_accel_matches_brute():
     assert np.abs(blk_b - blk_a).mean() < 0.05
 
 
-def _pallas_render(sc, cam, W, H, D, seed, streamed=False, spp=1):
+def _pallas_render(sc, cam, W, H, D, seed, streamed=False, spp=1,
+                   force_boxm=None):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
@@ -133,9 +134,14 @@ def _pallas_render(sc, cam, W, H, D, seed, streamed=False, spp=1):
     t = pack_scene_tables(sc)
     cam_vec = jnp.asarray(pack_camera_np(
         cam, sc.background_start, sc.background_end, W, H, 1e-3))
+    # BOX-bounded media compile the slab-chord branch (STATIC flag,
+    # mirroring _PallasPipeline)
+    has_boxm = bool((sc.prim_type[sc.active_indices()] == 5).any())
+    if force_boxm is not None:
+        has_boxm = force_boxm
     kw = dict(width=W, height=H, camera_model="look_at", tile_h=16,
               tile_w=128, has_rects=True, cluster=t.cluster,
-              super_=t.super_, has_media=True, spp=spp)
+              super_=t.super_, has_media=True, has_boxm=has_boxm, spp=spp)
     with pltpu.force_tpu_interpret_mode():
         if streamed:
             st = pack_stream_tiles(t)

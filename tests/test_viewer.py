@@ -560,3 +560,43 @@ def test_status_line_shows_pause_and_spp(served):
     assert "id=status" in page and "accumulated" in page
     s = json.loads(get(port, "/state"))
     assert "accumulated_spp" in s["options"] and "paused" in s["options"]
+
+
+def test_medium_box_add_edit_guard(served):
+    """Medium-BOX viewer surface: the smoke-box add path creates a BOX
+    prim (always ISOTROPIC), state JSON exposes its half-extents, the
+    half_ext edit updates edge1 AND the mirrored size rows, and the
+    material is pinned (a surface material on a box would pack a junk
+    ptype-5 column — rejected, viewer stays alive)."""
+    from cudaraytracer_tpu.models.scene import BOX, ISOTROPIC
+
+    app, server, port = served
+    scene = app.render_layer.scene
+    n0 = scene.num_active
+    post(port, "/edit", {"op": "add", "prim": "box", "mat": "isotropic",
+                         "center": [0, 1, 0]})
+    assert scene.num_active == n0 + 1
+    i = [int(k) for k in scene.active_indices()
+         if scene.prim_type[k] == BOX]
+    assert len(i) == 1
+    i = i[0]
+    assert int(scene.mat_type[i]) == ISOTROPIC
+    np.testing.assert_allclose(scene.edge1[i], (0.75, 0.75, 0.75))
+
+    s = json.loads(get(port, "/state"))
+    box_row = [p for p in s["scene"] if p["prim"] == "box"]
+    assert len(box_row) == 1 and box_row[0]["half_ext"] == [0.75] * 3
+
+    post(port, "/edit", {"op": "update", "id": i, "field": "half_ext",
+                         "value": [1.0, 0.5, 2.0]})
+    np.testing.assert_allclose(scene.edge1[i], (1.0, 0.5, 2.0))
+    np.testing.assert_allclose(scene.size[i], (1.0, 0.5))
+
+    # the material combo is pinned server-side: the request errors but
+    # the viewer keeps serving (per-request error isolation)
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        post(port, "/edit", {"op": "update", "id": i, "field": "mat",
+                             "value": "metal"})
+    assert int(scene.mat_type[i]) == ISOTROPIC
+    assert json.loads(get(port, "/state"))["metrics"]["frames"] >= 1
