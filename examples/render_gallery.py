@@ -85,6 +85,8 @@ def main():
                 (scene.mat_type[scene.active_indices()] == 4).any())
             has_motion = bool(
                 (scene.velocity[scene.active_indices()] != 0).any())
+            has_boxm = bool(
+                (scene.prim_type[scene.active_indices()] == 5).any())
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -111,6 +113,7 @@ def main():
                         atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
                         has_vattrs=t.vattrs, has_noise=has_noise,
                         has_media=has_media, has_motion=has_motion,
+                        has_boxm=has_boxm,
                     )
 
                 acc = cnt = 0.0
@@ -130,7 +133,7 @@ def main():
                     camera_model=cam_model, spp=args.spp, rr_start=2,
                     has_tris=has_tris, has_vattrs=t.vattrs,
                     has_noise=has_noise, has_media=has_media,
-                    has_motion=has_motion,
+                    has_motion=has_motion, has_boxm=has_boxm,
                 )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)

@@ -27,9 +27,10 @@ run bench.py
 run bench.py --scene marble
 # 3. vattr + image guard after the carry_uv unification
 run bench.py --scene terrain
-# 3b. NEW round-4 feature branches on the real chip (media + motion)
+# 3b. NEW round-4 feature branches on the real chip (media + motion + box)
 run bench.py --scene smoke
 run bench.py --scene bounce
+run bench.py --scene cornell_smoke
 # 4. megakernel G-buffer across the size story (incl. streamed 20k)
 run tools/gbuffer_probe.py
 # 5. denoise display path end-to-end on the streamed scene
