@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import intersect, materials, textures
+from ..ops import intersect, materials, sampling, textures
 from ..ops.sky import sky_color
 from ..ops.pack import pack_rgba8, tonemap
 from ..utils import rng as rngu
@@ -47,12 +47,22 @@ def trace(
     hit_fn: Callable | None = None,
     with_stats: bool = False,
     rr_start: int = 0,
+    nee: bool = False,
+    nee_p: float = 0.5,
 ):
     """Trace a ray wavefront to completion; returns radiance f32[R,3]
     (plus the number of rays traced — primary + bounces — if with_stats).
 
     ``rr_start > 0`` enables Russian-roulette path termination from that
     bounce (unbiased: survivors are compensated by 1/p).
+
+    ``nee=True`` (STATIC) switches lambertian scatters to the RTOW
+    book-3 importance-sampled estimator (ops/sampling.py): TRUE-cosine
+    lambertian mixed with light solid-angle sampling at weight ``nee_p``,
+    throughput weighted by scattering_pdf / mixture_pdf.  BEYOND-
+    REFERENCE (the CUDA reference has no PDFs) and a DIFFERENT transport
+    than the default: the reference's lambertian is the book-1
+    normal+in_unit_sphere approximation, kept as the parity default.
 
     Faithful to color() (Kernel.cu:30-80): miss -> sky gradient * throughput;
     diffuse light -> emitted * throughput, terminate; scatter failure ->
@@ -114,6 +124,10 @@ def trace(
     shutter = (jax.random.uniform(jax.random.fold_in(key, 17), (r,))
                if scene.has_motion else None)
 
+    # importance sampling: fixed-shape light table (all traced — scene
+    # edits never recompile; the nee TOGGLE is static, like accel)
+    lights = sampling.collect_lights(scene) if nee else None
+
     def cond(carry):
         _, _, _, _, alive, bounce, _ = carry
         return (bounce < max_depth) & jnp.any(alive)
@@ -162,8 +176,22 @@ def trace(
         lit = alive & hit
         radiance = radiance + jnp.where(lit[:, None], throughput * sc.emitted, 0.0)
 
-        cont = lit & sc.scattered
+        direction = sc.direction
+        scattered_mask = sc.scattered
         attenuation = sc.attenuation
+        if nee:
+            # book-3 mixture-sampled lambertian (module docstring): the
+            # other materials keep their delta/phase samplers (book 3
+            # does the same for specular)
+            is_lamb = hit & (scene.mat_type[safe] == materials.LAMBERTIAN)
+            d_nee, a_nee, ok_nee = sampling.nee_lambertian(
+                rec.point, rec.normal, tex_color, lights,
+                jax.random.fold_in(bkey, 23), r, nee_p, t_min=t_min)
+            direction = jnp.where(is_lamb[:, None], d_nee, direction)
+            attenuation = jnp.where(is_lamb[:, None], a_nee, attenuation)
+            scattered_mask = jnp.where(is_lamb, ok_nee, scattered_mask)
+
+        cont = lit & scattered_mask
         if rr_start > 0:
             new_tp = throughput * attenuation
             p_surv = jnp.clip(jnp.max(new_tp, axis=-1), 0.05, 1.0)
@@ -173,7 +201,7 @@ def trace(
             attenuation = attenuation / jnp.where(do_rr, p_surv, 1.0)[:, None]
             cont = cont & survive
         org = jnp.where(cont[:, None], rec.point, org)
-        dirn = jnp.where(cont[:, None], sc.direction, dirn)
+        dirn = jnp.where(cont[:, None], direction, dirn)
         throughput = jnp.where(cont[:, None], throughput * attenuation, throughput)
 
         return org, dirn, throughput, radiance, cont, bounce + 1, nrays
@@ -211,6 +239,8 @@ def render_radiance(
     sample_offset=0,
     with_stats: bool = False,
     rr_start: int = 0,
+    nee: bool = False,
+    nee_p: float = 0.5,
 ):
     """Sum of ``spp`` radiance samples, f32[tile_h,W,3] (divide by spp to display).
 
@@ -235,7 +265,7 @@ def render_radiance(
         rad, nrays = trace(
             scene, org, dirn, k_trace, max_depth,
             t_min=t_min, block=block, hit_fn=hit_fn, with_stats=True,
-            rr_start=rr_start,
+            rr_start=rr_start, nee=nee, nee_p=nee_p,
         )
         return acc + rad.reshape(tile_h, width, 3), total + nrays
 
@@ -264,6 +294,8 @@ class Renderer:
         t_min: float = 0.001,
         block: int = 64,
         accel: str = "brute",
+        nee: bool = False,
+        nee_p: float = 0.5,
     ):
         self.width = int(width)
         self.height = int(height)
@@ -271,6 +303,8 @@ class Renderer:
         self.t_min = t_min
         self.block = block
         self.accel = accel
+        self.nee = bool(nee)  # estimator switch: recompiles, like accel
+        self.nee_p = float(nee_p)
 
         def _make_hit_fn(scene, bvh):
             if bvh is None:
@@ -288,6 +322,7 @@ class Renderer:
                 t_min=self.t_min, block=self.block,
                 hit_fn=_make_hit_fn(scene, bvh),
                 with_stats=with_stats,
+                nee=self.nee, nee_p=self.nee_p,
             )
 
         self._render = _render

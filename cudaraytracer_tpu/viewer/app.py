@@ -145,6 +145,8 @@ class RenderLayer(Layer):
             self.renderer = Renderer(
                 self.cfg.width, self.cfg.height, camera_model=model,
                 t_min=self.cfg.t_min, block=self.cfg.block,
+                nee=getattr(self.cfg, "nee", False),
+                nee_p=getattr(self.cfg, "nee_p", 0.5),
             )
             self._pallas = None
             self._wavefront = None
@@ -161,11 +163,17 @@ class RenderLayer(Layer):
             # megakernel on TPU (the path the benchmark measures), BVH on
             # CPU where the XLA skip-link traversal wins (BASELINE.md)
             cfg.accel = "pallas" if jax.default_backend() == "tpu" else "bvh"
+        if getattr(cfg, "nee", False) and cfg.accel in ("pallas", "wavefront"):
+            # the mixture estimator lives on the XLA paths (ops/sampling.py);
+            # the megakernel renders the reference-parity estimator
+            rtlog.rt_warn("--nee is an XLA-path estimator (brute/bvh); "
+                          "accel=%s renders the parity estimator", cfg.accel)
         rtlog.rt_info("RenderLayer: %dx%d scene=%s accel=%s camera=%s",
                       cfg.width, cfg.height, cfg.scene, cfg.accel, cfg.camera_model)
         self.renderer = Renderer(
             cfg.width, cfg.height, camera_model=cfg.camera_model,
             t_min=cfg.t_min, block=cfg.block,
+            nee=getattr(cfg, "nee", False), nee_p=getattr(cfg, "nee_p", 0.5),
         )
         import jax
 
@@ -276,6 +284,8 @@ class RenderLayer(Layer):
         self.renderer = Renderer(
             width, height, camera_model=self.cfg.camera_model,
             t_min=self.cfg.t_min, block=self.cfg.block,
+            nee=getattr(self.cfg, "nee", False),
+            nee_p=getattr(self.cfg, "nee_p", 0.5),
         )
         # a new shape always means a new executable on every accel path
         self._fence_graced = False
