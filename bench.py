@@ -300,6 +300,9 @@ def main():
                    help="probe: per-direction-bucket hierarchical search "
                         "(two masked searches with their own front-to-back "
                         "orders); bit-identical output, measured for perf")
+    p.add_argument("--nee", action="store_true",
+                   help="RTOW book-3 mixture estimator in the megakernel "
+                        "(light table appended to the camera vector)")
     p.add_argument("--rr-start", dest="rr_start", type=int, default=2,
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
@@ -407,9 +410,15 @@ def main():
         has_media = bool((_np.asarray(sd.mat_type)[active] == 4).any())
         has_motion = bool((_np.asarray(sd.velocity)[active] != 0).any())
         has_boxm = bool((prim_t == 5).any())
+        has_nee = bool(getattr(args, "nee", False))
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
         cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
+        if has_nee:
+            from cudaraytracer_tpu.ops.sampling import pack_lights_np
+
+            cam_vec = jnp.concatenate([
+                cam_vec, jnp.asarray(pack_lights_np(scene))])
 
         # device arrays enter jit as ARGUMENTS (atl), never closures: a
         # captured device array becomes an MLIR constant whose value is
@@ -430,7 +439,7 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion, has_boxm=has_boxm,
+                has_motion=has_motion, has_boxm=has_boxm, has_nee=has_nee,
             )[-1]
 
         @jax.jit
@@ -451,7 +460,7 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion, has_boxm=has_boxm,
+                has_motion=has_motion, has_boxm=has_boxm, has_nee=has_nee,
             )
             if has_images:
                 img, _counts, nrays = out
@@ -489,6 +498,7 @@ def main():
                 sd, cam, key, nframes * args.spp, args.depth,
                 width=args.width, height=args.height,
                 camera_model=camera_model, hit_fn=hit_fn, with_stats=True,
+                nee=bool(getattr(args, "nee", False)),
             )
             return rad, nrays
 

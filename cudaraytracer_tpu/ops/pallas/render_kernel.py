@@ -1366,6 +1366,8 @@ def _render_kernel(
     has_media: bool = False,
     has_motion: bool = False,
     has_boxm: bool = False,
+    has_nee: bool = False,
+    nee_p: float = 0.5,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -2056,6 +2058,194 @@ def _render_kernel(
         att_g = jnp.where(is_diel, ones, texg)
         att_b = jnp.where(is_diel, ones, texb)
 
+        if has_nee:
+            # -------- RTOW book-3 mixture estimator (BEYOND-REFERENCE;
+            # exact in-kernel mirror of ops/sampling.py — the XLA NEE
+            # render is the cross-check contract, test_nee_kernel.py).
+            # Lambertian lanes redraw their direction from a mixture of
+            # the TRUE-cosine density and the lights' solid-angle density
+            # (8-slot SMEM table appended to cam_ref at offset 38), then
+            # weight throughput by scattering_pdf / mixture_pdf.  Slot
+            # params are SMEM scalars (no per-lane gathers on TPU): the
+            # per-lane slot pick is an 8-way unrolled select chain, the
+            # pdf an 8-slot accumulation — a few hundred VPU ops, only
+            # for nee scenes (static flag).
+            L0 = 38
+            n_l = cam_ref[L0]
+            p_eff = jnp.where(n_l > 0.5, jnp.float32(nee_p), 0.0)
+            u_mix = _u01(shape)
+            u_pick = _u01(shape)
+            u_la = _u01(shape)
+            u_lb = _u01(shape)
+            # true-cosine dir: n + the UNIT vector underlying the in-ball
+            # scatter draw (same direction, radius 1 — cos/pi exactly)
+            ucx = rs * jnp.cos(phs)
+            ucy = rs * jnp.sin(phs)
+            ucz = zs
+            cdx = nx + ucx
+            cdy = ny + ucy
+            cdz = nz + ucz
+            cninv = lax.rsqrt(jnp.maximum(
+                cdx * cdx + cdy * cdy + cdz * cdz, 1e-20))
+            cdx, cdy, cdz = cdx * cninv, cdy * cninv, cdz * cninv
+
+            slot_f = jnp.floor(u_pick * jnp.maximum(n_l, 1.0))
+            slot_f = jnp.minimum(slot_f, jnp.float32(7.0))
+            ldx = jnp.zeros_like(px)
+            ldy = jnp.zeros_like(px)
+            ldz = jnp.ones_like(px)
+            for si in range(8):
+                sb = L0 + 2 + 14 * si
+                v_i = cam_ref[sb + 13]
+                isph = cam_ref[sb]
+                lcx, lcy, lcz = (cam_ref[sb + 1], cam_ref[sb + 2],
+                                 cam_ref[sb + 3])
+                ha_i = cam_ref[sb + 7]
+                hb_i = cam_ref[sb + 8]
+                rad_i = cam_ref[sb + 9]
+                aax_i = cam_ref[sb + 11]
+                bax_i = cam_ref[sb + 12]
+                # rect: uniform area point -> direction
+                da = (u_la - 0.5) * (2.0 * ha_i)
+                db = (u_lb - 0.5) * (2.0 * hb_i)
+                offx = (jnp.where(aax_i < 0.5, da, 0.0)
+                        + jnp.where(bax_i < 0.5, db, 0.0))
+                offy = (jnp.where((aax_i >= 0.5) & (aax_i < 1.5), da, 0.0)
+                        + jnp.where((bax_i >= 0.5) & (bax_i < 1.5), db,
+                                    0.0))
+                offz = (jnp.where(aax_i >= 1.5, da, 0.0)
+                        + jnp.where(bax_i >= 1.5, db, 0.0))
+                tvx = lcx + offx - px
+                tvy = lcy + offy - py
+                tvz = lcz + offz - pz
+                tin = lax.rsqrt(jnp.maximum(
+                    tvx * tvx + tvy * tvy + tvz * tvz, 1e-20))
+                rdx_, rdy_, rdz_ = tvx * tin, tvy * tin, tvz * tin
+                # sphere: uniform direction in the subtended cone (inside
+                # the light the cone degrades to the full 4pi sphere —
+                # identical rule in the pdf below and in ops/sampling.py)
+                wx = lcx - px
+                wy = lcy - py
+                wz = lcz - pz
+                dd = jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20)
+                dinv = lax.rsqrt(dd)
+                wux, wuy, wuz = wx * dinv, wy * dinv, wz * dinv
+                outside = dd > rad_i * rad_i * (1.0 + 1e-6)
+                cmax = jnp.where(
+                    outside,
+                    jnp.sqrt(jnp.maximum(
+                        1.0 - rad_i * rad_i / dd, 0.0)),
+                    -1.0)
+                zz = 1.0 + u_lb * (cmax - 1.0)
+                ss = jnp.sqrt(jnp.maximum(1.0 - zz * zz, 0.0))
+                ph2 = (2.0 * math.pi) * u_la
+                # branch-free ONB about w (sampling.py _onb)
+                bigx = jnp.abs(wux) > 0.9
+                ax_ = jnp.where(bigx, 0.0, 1.0)
+                ay_ = jnp.where(bigx, 1.0, 0.0)
+                # v = normalize(cross(w, a)) with a = (ax_, ay_, 0)
+                vx_ = -wuz * ay_
+                vy_ = wuz * ax_
+                vz_ = wux * ay_ - wuy * ax_
+                vninv = lax.rsqrt(jnp.maximum(
+                    vx_ * vx_ + vy_ * vy_ + vz_ * vz_, 1e-20))
+                vx_, vy_, vz_ = vx_ * vninv, vy_ * vninv, vz_ * vninv
+                # u = cross(w, v)
+                ux_ = wuy * vz_ - wuz * vy_
+                uy_ = wuz * vx_ - wux * vz_
+                uz_ = wux * vy_ - wuy * vx_
+                cs_, sn_ = jnp.cos(ph2) * ss, jnp.sin(ph2) * ss
+                sdx = ux_ * cs_ + vx_ * sn_ + wux * zz
+                sdy = uy_ * cs_ + vy_ * sn_ + wuy * zz
+                sdz = uz_ * cs_ + vz_ * sn_ + wuz * zz
+                dix = jnp.where(isph > 0.5, sdx, rdx_)
+                diy = jnp.where(isph > 0.5, sdy, rdy_)
+                diz = jnp.where(isph > 0.5, sdz, rdz_)
+                take = ((slot_f > si - 0.5) & (slot_f < si + 0.5)
+                        & (v_i > 0.5))
+                ldx = jnp.where(take, dix, ldx)
+                ldy = jnp.where(take, diy, ldy)
+                ldz = jnp.where(take, diz, ldz)
+
+            take_l = u_mix < p_eff
+            dmx = jnp.where(take_l, ldx, cdx)
+            dmy = jnp.where(take_l, ldy, cdy)
+            dmz = jnp.where(take_l, ldz, cdz)
+            cosd = dmx * nx + dmy * ny + dmz * nz
+            scat_pdf = jnp.maximum(cosd, 0.0) * jnp.float32(
+                0.3183098861837907)
+            # mixture density at the FINAL direction: average of the
+            # per-slot solid-angle pdfs (rect plane test / sphere cone)
+            lsum = jnp.zeros_like(px)
+            for si in range(8):
+                sb = L0 + 2 + 14 * si
+                v_i = cam_ref[sb + 13]
+                isph = cam_ref[sb]
+                lcx, lcy, lcz = (cam_ref[sb + 1], cam_ref[sb + 2],
+                                 cam_ref[sb + 3])
+                ck_i = cam_ref[sb + 4]
+                ca_i = cam_ref[sb + 5]
+                cb_i = cam_ref[sb + 6]
+                ha_i = cam_ref[sb + 7]
+                hb_i = cam_ref[sb + 8]
+                rad_i = cam_ref[sb + 9]
+                kax_i = cam_ref[sb + 10]
+                aax_i = cam_ref[sb + 11]
+                bax_i = cam_ref[sb + 12]
+                o_k = jnp.where(kax_i < 0.5, px,
+                                jnp.where(kax_i < 1.5, py, pz))
+                d_k = jnp.where(kax_i < 0.5, dmx,
+                                jnp.where(kax_i < 1.5, dmy, dmz))
+                t_r = (ck_i - o_k) / jnp.where(d_k == 0.0, 1e-30, d_k)
+                o_a = jnp.where(aax_i < 0.5, px,
+                                jnp.where(aax_i < 1.5, py, pz))
+                d_a = jnp.where(aax_i < 0.5, dmx,
+                                jnp.where(aax_i < 1.5, dmy, dmz))
+                o_b = jnp.where(bax_i < 0.5, px,
+                                jnp.where(bax_i < 1.5, py, pz))
+                d_b = jnp.where(bax_i < 0.5, dmx,
+                                jnp.where(bax_i < 1.5, dmy, dmz))
+                hit_r = ((t_r > t_min)
+                         & (jnp.abs(o_a + t_r * d_a - ca_i) <= ha_i)
+                         & (jnp.abs(o_b + t_r * d_b - cb_i) <= hb_i))
+                area = 4.0 * ha_i * hb_i
+                rpdf_ = jnp.where(
+                    hit_r,
+                    (t_r * t_r) / jnp.maximum(jnp.abs(d_k)
+                                              * area, 1e-12),
+                    0.0)
+                wx = lcx - px
+                wy = lcy - py
+                wz = lcz - pz
+                dd = jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-20)
+                outside = dd > rad_i * rad_i * (1.0 + 1e-6)
+                cmax = jnp.where(
+                    outside,
+                    jnp.sqrt(jnp.maximum(
+                        1.0 - rad_i * rad_i / dd, 0.0)),
+                    -1.0)
+                cdir = (dmx * wx + dmy * wy + dmz * wz) * lax.rsqrt(dd)
+                solid = (2.0 * math.pi) * (1.0 - cmax)
+                spdf_ = jnp.where((cdir >= cmax) & (solid > 1e-12),
+                                  1.0 / jnp.maximum(solid, 1e-12), 0.0)
+                lsum = lsum + jnp.where(isph > 0.5, spdf_, rpdf_) * v_i
+            lpdf = lsum / jnp.maximum(n_l, 1.0)
+            pdf = (1.0 - p_eff) * scat_pdf + p_eff * lpdf
+            okp = pdf > 1e-9
+            wgt = scat_pdf / jnp.maximum(pdf, 1e-9)
+            sel = is_lamb
+            if has_media:
+                # medium lanes pack mat 0 (lambertian) — keep their
+                # isotropic phase sampler (ptype 5 is the medium marker)
+                sel = sel & (ptype16 < 4.5)
+            ndx = jnp.where(sel, dmx, ndx)
+            ndy = jnp.where(sel, dmy, ndy)
+            ndz = jnp.where(sel, dmz, ndz)
+            att_r = jnp.where(sel, texr * wgt, att_r)
+            att_g = jnp.where(sel, texg * wgt, att_g)
+            att_b = jnp.where(sel, texb * wgt, att_b)
+            scat_ok = (scat_ok & ~sel) | (sel & okp)
+
         # a path may scatter again only while its NEXT trace index stays
         # below max_depth (exact reference termination: color() returns
         # black when the loop exhausts, Kernel.cu:79)
@@ -2204,6 +2394,11 @@ def pallas_render_sample(
     has_media: bool = False,  # compile in the constant-medium branch
     has_motion: bool = False,  # compile in the moving-sphere branch
     has_boxm: bool = False,  # compile in the BOX-bounded medium chord
+    has_nee: bool = False,  # RTOW book-3 mixture estimator for lambertian
+    #                         lanes; cam_vec must then be the 38-float
+    #                         camera vector with sampling.pack_lights_np
+    #                         appended (SMEM light table)
+    nee_p: float = 0.5,  # mixture weight toward light sampling
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -2299,7 +2494,7 @@ def pallas_render_sample(
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
         has_noise=has_noise, has_media=has_media, has_motion=has_motion,
-        has_boxm=has_boxm,
+        has_boxm=has_boxm, has_nee=has_nee, nee_p=nee_p,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

@@ -271,3 +271,53 @@ def nee_lambertian(rec_point, rec_normal, tex_color, lights, key, r,
     w = scat_pdf / jnp.maximum(pdf, 1e-9)
     attenuation = tex_color * jnp.where(alive, w, 0.0)[:, None]
     return dirn, attenuation, alive
+
+
+# ------------------------------------------------------- megakernel pack
+# The Pallas megakernel reads the light table as SMEM scalars appended to
+# the 38-float camera vector (ops/pallas/render_kernel.py has_nee): 8
+# slots x 14 precomputed fields + a 2-float header.  Per-slot layout:
+#   +0 is_sphere  +1..3 center xyz
+#   +4..6 center in (k, a, b) axis order (rects; the pdf plane test)
+#   +7 half_a  +8 half_b  +9 radius
+#   +10..12 k/a/b axis indices (floats; in-kernel scalar selects)
+#   +13 valid
+LIGHT_SLOT_STRIDE = 14
+LIGHT_BLOCK_LEN = 2 + MAX_LIGHTS * LIGHT_SLOT_STRIDE  # header: [n_lights, pad]
+
+
+def pack_lights_np(scene):
+    """Host-side NumPy light table for the megakernel (f32[114]) — the
+    same light set `collect_lights` derives in-graph for the XLA paths
+    (active sphere/rect DIFFUSE_LIGHT emitters, static only), with the
+    rect axis maps precomputed so the kernel needs no per-slot dispatch
+    beyond scalar selects.  Append to the camera vector when has_nee."""
+    import numpy as np
+
+    v = np.zeros(LIGHT_BLOCK_LEN, np.float32)
+    idx = [int(i) for i in scene.active_indices()
+           if int(scene.mat_type[i]) == materials.DIFFUSE_LIGHT
+           and int(scene.prim_type[i]) <= intersect.YZ_RECT
+           and float(scene.light[i]) > 0.0
+           and not (scene.velocity[i] != 0).any()][:MAX_LIGHTS]
+    v[0] = float(len(idx))
+    for s, i in enumerate(idx):
+        b = 2 + LIGHT_SLOT_STRIDE * s
+        t = int(scene.prim_type[i])
+        c = np.asarray(scene.center[i], np.float64)
+        sz = np.asarray(scene.size[i], np.float64)
+        v[b] = 1.0 if t == intersect.SPHERE else 0.0
+        v[b + 1:b + 4] = c
+        if t >= intersect.XY_RECT:
+            ka = int(intersect._K_AXIS[t])
+            aa = int(intersect._A_AXIS[t])
+            ba = int(intersect._B_AXIS[t])
+            ea = int(intersect._A_EXT_COL[t])
+            v[b + 4], v[b + 5], v[b + 6] = c[ka], c[aa], c[ba]
+            v[b + 7] = 0.5 * sz[ea]
+            v[b + 8] = 0.5 * sz[1 - ea]
+            v[b + 10], v[b + 11], v[b + 12] = float(ka), float(aa), float(ba)
+        else:
+            v[b + 9] = abs(float(sz[0]))
+        v[b + 13] = 1.0
+    return v

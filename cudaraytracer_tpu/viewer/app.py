@@ -163,11 +163,12 @@ class RenderLayer(Layer):
             # megakernel on TPU (the path the benchmark measures), BVH on
             # CPU where the XLA skip-link traversal wins (BASELINE.md)
             cfg.accel = "pallas" if jax.default_backend() == "tpu" else "bvh"
-        if getattr(cfg, "nee", False) and cfg.accel in ("pallas", "wavefront"):
-            # the mixture estimator lives on the XLA paths (ops/sampling.py);
-            # the megakernel renders the reference-parity estimator
-            rtlog.rt_warn("--nee is an XLA-path estimator (brute/bvh); "
-                          "accel=%s renders the parity estimator", cfg.accel)
+        if getattr(cfg, "nee", False) and cfg.accel == "wavefront":
+            # the demoted wavefront cross-check path has no estimator
+            # switch; brute/bvh (ops/sampling.py) and the megakernel
+            # (render_kernel has_nee) both implement the mixture estimator
+            rtlog.rt_warn("--nee: accel=wavefront renders the parity "
+                          "estimator")
         rtlog.rt_info("RenderLayer: %dx%d scene=%s accel=%s camera=%s",
                       cfg.width, cfg.height, cfg.scene, cfg.accel, cfg.camera_model)
         self.renderer = Renderer(
@@ -646,7 +647,8 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  has_rects, has_images, rr_start, cluster, super_,
                  interpret_ctx, has_tris=False, has_vattrs=False,
                  adaptive=False, stream_b=0, has_noise=False,
-                 has_media=False, has_motion=False, has_boxm=False):
+                 has_media=False, has_motion=False, has_boxm=False,
+                 has_nee=False, nee_p=0.5):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -699,6 +701,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
                 has_motion=has_motion, has_boxm=has_boxm,
+                has_nee=has_nee, nee_p=nee_p,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -785,6 +788,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
             has_media=has_media, has_motion=has_motion, has_boxm=has_boxm,
+            has_nee=has_nee, nee_p=nee_p,
         )
         if has_images:
             rad, counts = out
@@ -875,6 +879,15 @@ class _PallasPipeline:
         # BOX-bounded media (prim BOX=5) compile the slab-chord branch
         # into the medium test; sphere-only media scenes skip it (STATIC)
         self.has_boxm = bool((prim_t == 5).any())
+        # RTOW book-3 mixture estimator (cfg.nee): the kernel reads the
+        # light table as SMEM scalars appended to the camera vector —
+        # host-packed per pipeline rebuild (edits rebuild the pipeline)
+        self.has_nee = bool(getattr(cfg, "nee", False))
+        self._lights_np = None
+        if self.has_nee:
+            from ..ops.sampling import pack_lights_np
+
+            self._lights_np = pack_lights_np(scene)
         # only the sky colors are needed at frame time; HOST numpy so the
         # in-jit pack embeds them as cheap host-sourced constants
         import types
@@ -907,7 +920,8 @@ class _PallasPipeline:
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
             self.adaptive, self.stream_b, self.has_noise, self.has_media,
-            self.has_motion, self.has_boxm)
+            self.has_motion, self.has_boxm, self.has_nee,
+            float(getattr(cfg, "nee_p", 0.5)))
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()
@@ -991,6 +1005,10 @@ class _PallasPipeline:
         cam_vec = pack_camera_np(
             cam, self._sky.background_start, self._sky.background_end,
             self._cfg.width, self._cfg.height, self._cfg.t_min)
+        if self.has_nee:
+            import numpy as _np0
+
+            cam_vec = _np0.concatenate([cam_vec, self._lights_np])
         seed = (self._cfg.seed * 2654435761 + frame_index) & 0x7FFFFFFF
         import numpy as _np
 
