@@ -76,6 +76,13 @@ def primitive_aabbs(scene: Scene, idx: np.ndarray):
                 bmax[row] = np.maximum(bmax[row], cc + vel + r)
         elif pt == 5:  # medium BOX: half-extents ride the edge1 row
             he = np.abs(scene.edge1[idx[row]])
+            yawv = float(scene.edge2[idx[row], 0])
+            if yawv:
+                # yaw-rotated box: the world AABB of the rotated extents
+                # (|c|/|s| sweep — conservative superset for culling)
+                cy, sy = abs(np.cos(yawv)), abs(np.sin(yawv))
+                he = np.array([cy * he[0] + sy * he[2], he[1],
+                               sy * he[0] + cy * he[2]], np.float32)
             bmin[row] = cc - he
             bmax[row] = cc + he
         elif pt == 4:  # triangle: hull of v0, v0+e1, v0+e2 (+ flat-axis pad)
@@ -250,6 +257,9 @@ def make_bvh_hit_fn(bvh: BVHData, scene_data, t_min: float = 0.001):
                 if scene_data.has_box_media:
                     # box-bounded media: half-extents in the edge1 rows
                     kw.update(half_ext=scene_data.edge1)
+                    if scene_data.has_rot_media:
+                        # yaw-rotated boxes: yaw rides edge2[:,0]
+                        kw.update(yaw=scene_data.edge2[:, 0])
             if scene_data.has_motion:
                 side = side | jnp.any(scene_data.velocity != 0, axis=1)
                 kw.update(velocity=scene_data.velocity, time=time)

@@ -103,6 +103,9 @@ def trace(
             if scene.has_media and scene.has_box_media:
                 # box-bounded media: half-extents ride the edge1 rows
                 med_kw["half_ext"] = scene.edge1
+                if scene.has_rot_media:
+                    # yaw-rotated boxes (rotate_y): yaw rides edge2[:,0]
+                    med_kw["yaw"] = scene.edge2[:, 0]
 
             def hit_fn(o, d, u_med=None, time=None):
                 mot_kw = (dict(velocity=scene.velocity, time=time)

@@ -111,6 +111,10 @@ class SceneData:
     # STATIC: sphere-only media scenes skip the slab-chord branch
     has_box_media: bool = dataclasses.field(
         default=False, metadata={"static": True})
+    # yaw-ROTATED box media present (RTOW rotate_y; yaw rides edge2[0])
+    # — STATIC: axis-aligned box scenes keep their bit-identical graph
+    has_rot_media: bool = dataclasses.field(
+        default=False, metadata={"static": True})
 
     @property
     def capacity(self) -> int:
@@ -289,12 +293,16 @@ class Scene:
                          density=density, **mat)
 
     def add_medium_box(self, center, extents, density: float = 1.0,
-                       **mat) -> int:
-        """Constant-density participating medium bounded by an
-        axis-aligned BOX (the RTOW book-2 Cornell-smoke shape,
-        BEYOND-REFERENCE; the CUDA reference has neither boxes nor
-        volumes).  ``extents`` is the box's FULL (x, y, z) size; the
-        half-extents ride the edge1 rows (spare for non-triangles).
+                       yaw: float = 0.0, **mat) -> int:
+        """Constant-density participating medium bounded by a BOX
+        (the RTOW book-2 Cornell-smoke shape, BEYOND-REFERENCE; the CUDA
+        reference has neither boxes nor volumes).  ``extents`` is the
+        box's FULL (x, y, z) size; the half-extents ride the edge1 rows
+        (spare for non-triangles).  ``yaw`` rotates the box about the
+        world Y axis through its center (radians, same convention as
+        transform_mesh — the RTOW rotate_y instance transform); it rides
+        edge2[0] (spare for non-triangles), so zero-yaw scenes keep the
+        bit-identical axis-aligned graph (static has_rot_media gate).
         The boundary is invisible — rays inside scatter isotropically
         at a distance sampled from exp(-density * s)."""
         mat["mat_type"] = ISOTROPIC  # a BOX is ALWAYS a medium boundary
@@ -302,6 +310,7 @@ class Scene:
         i = self._add(BOX, center, (float(he[0]), float(he[1])),
                       density=density, **mat)
         self.edge1[i] = he
+        self.edge2[i, 0] = float(yaw)
         self.version += 1
         return i
 
@@ -558,6 +567,12 @@ class Scene:
             # material would pack a junk ptype-5 column (invisible in the
             # XLA paths, spuriously rect-hittable in a mixed cluster)
             raise ValueError("BOX primitives are always ISOTROPIC media")
+        if "yaw" in fields:
+            # yaw is a BOX-medium pseudo-field riding edge2[0] (the
+            # rotate_y transform; add_medium_box docstring)
+            if int(self.prim_type[i]) != BOX:
+                raise ValueError("yaw applies to BOX media only")
+            self.edge2[i, 0] = float(fields.pop("yaw"))
         for k, val in fields.items():
             arr = getattr(self, k, None)
             if arr is None or not isinstance(arr, np.ndarray) or arr.shape[0] != self.capacity:
@@ -626,6 +641,9 @@ class Scene:
                 (np.abs(self.velocity[self.active]) > 0).any()),
             has_box_media=bool(
                 (self.prim_type[self.active] == BOX).any()),
+            has_rot_media=bool(
+                (self.edge2[self.active &
+                            (self.prim_type == BOX), 0] != 0).any()),
             **kw,
         )
 
@@ -662,6 +680,8 @@ class Scene:
                 p["velocity"] = self.velocity[i].tolist()
             if self.prim_type[i] == BOX:
                 p["half_ext"] = self.edge1[i].tolist()
+                if self.edge2[i, 0] != 0.0:
+                    p["yaw"] = float(self.edge2[i, 0])
             if self.prim_type[i] == TRIANGLE:
                 p["edge1"] = self.edge1[i].tolist()
                 p["edge2"] = self.edge2[i].tolist()
@@ -750,6 +770,7 @@ class Scene:
                 scene.velocity[i] = np.asarray(p["velocity"], np.float32)
             if p["prim_type"] == BOX:
                 scene.edge1[i] = np.asarray(p["half_ext"], np.float32)
+                scene.edge2[i, 0] = float(p.get("yaw", 0.0))
                 # a BOX is always a medium boundary (hand-edited docs):
                 # a surface material would pack a junk ptype-5 column
                 scene.mat_type[i] = ISOTROPIC

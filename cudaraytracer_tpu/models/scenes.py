@@ -246,6 +246,48 @@ def cornell_like_camera(**kw):
     )
 
 
+def cornell_mesh_light_scene(capacity: int = 64) -> Scene:
+    """Cornell room lit ONLY by a small TRIANGULATED emissive panel (two
+    triangles tilted off-axis at the ceiling) — the mesh-emitter
+    importance-sampling showcase (BEYOND-REFERENCE; the reference has
+    neither meshes nor NEE).  With ``nee=True`` both triangles enter the
+    8-slot light table as type-4 slots (uniform-area sampling +
+    solid-angle pdf, ops/sampling.py); cosine-only sampling almost never
+    finds the 0.5-unit panel, so this scene is where the triangle-light
+    variance reduction is unambiguous (tests/test_nee.py measures it)."""
+    scene = Scene(capacity=capacity, background_start=(0.0, 0.0, 0.0),
+                  background_end=(0.0, 0.0, 0.0))
+    s = 5.0
+    scene.add_yz_rect((-s / 2, s / 2, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.65, 0.05, 0.05))
+    scene.add_yz_rect((s / 2, s / 2, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.12, 0.45, 0.15))
+    scene.add_xz_rect((0.0, 0.0, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.73, 0.73, 0.73))
+    scene.add_xz_rect((0.0, s, 0.0), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.73, 0.73, 0.73))
+    scene.add_xy_rect((0.0, s / 2, -s / 2), s, s, mat_type=LAMBERTIAN,
+                      albedo=(0.73, 0.73, 0.73))
+    # emissive panel: a 0.5x0.5 quad hung in open space below the
+    # ceiling (no near-field surface — a panel flush against the
+    # ceiling makes a tiny hotspot zone that dominates low-spp block
+    # error for BOTH estimators), tilted 10 degrees so neither
+    # triangle is axis-aligned
+    import numpy as np
+
+    h, half, tilt = s - 0.7, 0.25, np.deg2rad(10.0)
+    ct, st = float(np.cos(tilt)), float(np.sin(tilt))
+    q = [(-half, h - st * half, -half * ct), (half, h - st * half, -half * ct),
+         (half, h + st * half, half * ct), (-half, h + st * half, half * ct)]
+    scene.add_triangle(q[0], q[1], q[2], mat_type=DIFFUSE_LIGHT, light=60.0)
+    scene.add_triangle(q[0], q[2], q[3], mat_type=DIFFUSE_LIGHT, light=60.0)
+    scene.add_sphere((-1.0, 0.8, -0.5), 0.8, mat_type=LAMBERTIAN,
+                     albedo=(0.75, 0.71, 0.68))
+    scene.add_sphere((1.2, 0.6, 0.8), 0.6, mat_type=LAMBERTIAN,
+                     albedo=(0.55, 0.64, 0.72))
+    return scene
+
+
 def mesh_demo_scene(capacity: int = 1024) -> Scene:
     """Triangle-mesh showcase (BEYOND-REFERENCE: the reference has no mesh
     support, Hittable.cuh:30-38): a metal icosphere, a lambertian torus and
@@ -524,8 +566,10 @@ def cornell_smoke_scene(capacity: int = 64) -> Scene:
     this repo's 5-unit Cornell room (BEYOND-REFERENCE: the CUDA reference
     has neither boxes nor volumes): the classic red/green/white room and
     ceiling light with a tall dark smoke box and a short white fog box —
-    BOX-bounded constant media via ``add_medium_box`` (axis-aligned; the
-    book's 15/-18 degree rotations are a documented simplification)."""
+    BOX-bounded constant media via ``add_medium_box``, ROTATED by the
+    book's rotate_y instance angles (+15 deg tall box, -18 deg short box;
+    RTOW-TNW ch. 9.2 — round 5 closed the earlier axis-aligned
+    simplification via the yaw chord in every path)."""
     scene = Scene(capacity=capacity, background_start=(0.0, 0.0, 0.0),
                   background_end=(0.0, 0.0, 0.0))
     s = 5.0
@@ -542,11 +586,14 @@ def cornell_smoke_scene(capacity: int = 64) -> Scene:
     scene.add_xz_rect((0.0, s - 0.01, 0.0), 2.7, 2.2,
                       mat_type=DIFFUSE_LIGHT, albedo=(1.0, 1.0, 1.0),
                       light=7.0)
-    # tall dark smoke (the book's box1, 165x330x165 at 555 scale)
+    # tall dark smoke (the book's box1, 165x330x165 at 555 scale,
+    # rotate_y(15 deg))
     scene.add_medium_box((-1.0, 1.5, -0.9), (1.5, 3.0, 1.5), density=1.1,
+                         yaw=float(np.deg2rad(15.0)),
                          albedo=(0.0, 0.0, 0.0))
-    # short white fog (the book's box2, 165^3)
+    # short white fog (the book's box2, 165^3, rotate_y(-18 deg))
     scene.add_medium_box((1.1, 0.75, 0.6), (1.5, 1.5, 1.5), density=1.1,
+                         yaw=float(np.deg2rad(-18.0)),
                          albedo=(1.0, 1.0, 1.0))
     return scene
 
@@ -607,9 +654,10 @@ def book2_final_scene(seed: int = 1984, capacity: int = 8192,
         like cornell_smoke's boxes)
 
     Exercises has_tris + has_images + has_noise + has_media + has_motion
-    compiled together in the megakernel (the full static-flag matrix)
-    and lands beyond the SMEM ceiling only when vattrs are added — at
-    ~5.8k plain prims it renders RESIDENT."""
+    compiled together in the megakernel (the full static-flag matrix;
+    tests/test_nee_kernel.py compiles it through the kernel).  At ~5.8k
+    prims it renders RESIDENT in every configuration (under both the
+    10,144 plain and the 6,064 vattr SMEM ceilings)."""
     from ..utils import mesh
 
     rnd = np.random.RandomState(seed).random_sample
@@ -685,6 +733,7 @@ SCENES = {
     "rtow_image": (rtow_image_scene, rtow_final_camera),
     "rtow_big": (rtow_big_scene, rtow_final_camera),
     "cornell": (cornell_like_scene, cornell_like_camera),
+    "cornell_mesh_light": (cornell_mesh_light_scene, cornell_like_camera),
     "mirror_room": (mirror_room_scene, mirror_room_camera),
     "mesh_demo": (mesh_demo_scene, mesh_demo_camera),
     "mesh_smooth": (mesh_smooth_scene, mesh_demo_camera),
@@ -708,6 +757,7 @@ CAMERA_MODELS = {
     "rtow_image": "look_at",
     "rtow_big": "look_at",
     "cornell": "two_plane",
+    "cornell_mesh_light": "two_plane",
     "mirror_room": "two_plane",
     "mesh_demo": "look_at",
     "marble": "look_at",

@@ -318,23 +318,50 @@ def _medium_block_t(org, dirn, a_quad, center_b, radius_b, density_b,
 
 
 def _medium_box_block_t(org, dirn, a_quad, center_b, he_b, density_b,
-                        u_med, idx_b, t_min, t_max):
+                        u_med, idx_b, t_min, t_max, yaw_b=None):
     """Stochastic scatter distance inside constant-density BOX media
     (RTOW book-2 ConstantMedium with a box boundary — the Cornell-smoke
     shape).  The slab test's (t_near, t_far) bound the interior chord;
     entry clamps to t_min; the scatter point is entry +
     (-log(u)/density)/|d| and must stay inside the exit — the exact
     box analog of _medium_block_t (same per-prim golden-ratio
-    decorrelation of ``u_med``).  Returns (hit[R,B], t[R,B])."""
-    inv_d = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)  # [R,3]
-    bmin = (center_b - he_b)[None, :, :]  # [1,B,3]
-    bmax = (center_b + he_b)[None, :, :]
-    o = org[:, None, :]  # [R,1,3]
-    iv = inv_d[:, None, :]
-    t0 = (bmin - o) * iv  # [R,B,3]
-    t1 = (bmax - o) * iv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [R,B]
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    decorrelation of ``u_med``).  ``yaw_b`` (f32[B], radians) rotates
+    each box about world Y through its center (the RTOW
+    rotate_y/translate instance transform, RTOW-TNW ch. 8.2): the ray is
+    rotated INTO object space before the slab test, and because rotation
+    preserves lengths the object-space t values apply to the world ray
+    unchanged (the scatter point needs no inverse transform — isotropic
+    media have no oriented normal).  ``yaw_b=None`` keeps the historical
+    axis-aligned graph bit-identical.  Returns (hit[R,B], t[R,B])."""
+    if yaw_b is None:
+        inv_d = 1.0 / jnp.where(dirn == 0.0, 1e-30, dirn)  # [R,3]
+        bmin = (center_b - he_b)[None, :, :]  # [1,B,3]
+        bmax = (center_b + he_b)[None, :, :]
+        o = org[:, None, :]  # [R,1,3]
+        iv = inv_d[:, None, :]
+        t0 = (bmin - o) * iv  # [R,B,3]
+        t1 = (bmax - o) * iv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [R,B]
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    else:
+        cy = jnp.cos(yaw_b)[None, :]  # [1,B]
+        sy = jnp.sin(yaw_b)[None, :]
+        oc = org[:, None, :] - center_b[None, :, :]  # [R,B,3]
+        # object-from-world (x_o = c*x - s*z ; z_o = s*x + c*z)
+        ox_o = cy * oc[..., 0] - sy * oc[..., 2]
+        oy_o = oc[..., 1]
+        oz_o = sy * oc[..., 0] + cy * oc[..., 2]
+        dx_o = cy * dirn[:, None, 0] - sy * dirn[:, None, 2]
+        dy_o = jnp.broadcast_to(dirn[:, None, 1], dx_o.shape)
+        dz_o = sy * dirn[:, None, 0] + cy * dirn[:, None, 2]
+        o_o = jnp.stack([ox_o, oy_o + jnp.zeros_like(dx_o), oz_o], -1)
+        d_o = jnp.stack([dx_o, dy_o, dz_o], -1)  # [R,B,3]
+        iv = 1.0 / jnp.where(d_o == 0.0, 1e-30, d_o)
+        he = he_b[None, :, :]
+        t0 = (-he - o_o) * iv
+        t1 = (he - o_o) * iv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     te = jnp.maximum(tn, t_min)
     u = u_med[:, None] + idx_b[None, :].astype(jnp.float32) * 0.61803398875
     u = u - jnp.floor(u)
@@ -363,6 +390,7 @@ def hit_scene(
     velocity: jnp.ndarray | None = None,
     time: jnp.ndarray | None = None,
     half_ext: jnp.ndarray | None = None,
+    yaw: jnp.ndarray | None = None,
 ):
     """Closest-hit over every active primitive for a ray batch.
 
@@ -372,7 +400,10 @@ def hit_scene(
     ``edge1``/``edge2`` (f32[N,3]) enable the triangle branch; when omitted
     the traced graph is identical to the pre-triangle one (triangle-free
     scenes pay nothing).  ``mat_type``/``density``/``u_med`` enable the
-    constant-medium branch (module docstring) the same way.
+    constant-medium branch (module docstring) the same way.  ``yaw``
+    (f32[N], radians; the scene's edge2[:, 0] rows) enables yaw-rotated
+    BOX media (the RTOW rotate_y instance transform) — when omitted the
+    axis-aligned slab graph is untouched.
     """
     org = jnp.asarray(org)
     dirn = jnp.asarray(dirn)
@@ -398,6 +429,9 @@ def hit_scene(
     with_boxm = with_media and half_ext is not None
     if with_boxm:
         half_ext = jnp.asarray(half_ext)
+    with_rotm = with_boxm and yaw is not None
+    if with_rotm:
+        yaw = jnp.asarray(yaw)
     n = prim_type.shape[0]
     r = org.shape[0]
     if t_max is None:
@@ -420,6 +454,8 @@ def hit_scene(
             velocity = jnp.pad(velocity, ((0, pad), (0, 0)))
         if with_boxm:
             half_ext = jnp.pad(half_ext, ((0, pad), (0, 0)))
+        if with_rotm:
+            yaw = jnp.pad(yaw, (0, pad))
     n_pad = n + pad
     nblocks = n_pad // block
 
@@ -442,6 +478,8 @@ def hit_scene(
         )
     if with_boxm:
         scan_blocks = scan_blocks + (half_ext.reshape(nblocks, block, 3),)
+    if with_rotm:
+        scan_blocks = scan_blocks + (yaw.reshape(nblocks, block),)
     if with_motion:
         scan_blocks = scan_blocks + (velocity.reshape(nblocks, block, 3),)
 
@@ -450,6 +488,9 @@ def hit_scene(
         ptype_b, center_b, size_b, act_b, *rest_b, base = blk
         if with_motion:
             vel_b = rest_b[-1]
+            rest_b = rest_b[:-1]
+        if with_rotm:
+            yaw_b = rest_b[-1]
             rest_b = rest_b[:-1]
         if with_boxm:
             he_b = rest_b[-1]
@@ -498,6 +539,7 @@ def hit_scene(
                     org, dirn, a_quad, center_b, he_b, dens_b, u_med,
                     base + jnp.arange(block, dtype=jnp.int32),
                     t_min, t_max,
+                    yaw_b=yaw_b if with_rotm else None,
                 )
                 hit = jnp.where(is_boxm[None, :], boxm_hit, hit)
                 t = jnp.where(is_boxm[None, :], boxm_t, t)

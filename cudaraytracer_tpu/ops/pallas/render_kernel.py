@@ -530,6 +530,14 @@ def _pack_scene_tables_numpy(scene, with_uv: bool = False,
             S[S_HA, bd] = he[:, 0]
             S[S_HB, bd] = he[:, 1]
             S[S_CA, bd] = he[:, 2]
+            yawv = np.asarray(scene.edge2[sidx][boxm][:, 0], np.float64)
+            if (yawv != 0).any():
+                # yaw-ROTATED box media (has_rot_media static gate):
+                # cos/sin ride the triangle-only rows 13/14 (spare for
+                # ptype-5 columns).  Scene-level gate: zero-yaw scenes
+                # keep their byte-identical historical tables
+                S[S_DN, bd] = np.cos(yawv)
+                S[S_D1, bd] = np.sin(yawv)
         if has_motion:
             # plain-sphere columns carry the shutter velocity in the
             # rect-only rows (zero for static spheres — the motion test
@@ -762,6 +770,7 @@ def _make_search_parts(
     u_med=None,
     time=None,
     has_boxm: bool = False,
+    has_rotm: bool = False,
 ):
     """Build the per-primitive test closures shared by the resident and the
     streamed search.  ``sread(row, j)`` abstracts the S-table access: the
@@ -899,12 +908,36 @@ def _make_search_parts(
             haj = sread(S_HA, j)
             hbj = sread(S_HB, j)
             hcj = sread(S_CA, j)
-            bx0 = (cxj - haj - ox) * inv_dx
-            bx1 = (cxj + haj - ox) * inv_dx
-            by0 = (cyj - hbj - oy) * inv_dy
-            by1 = (cyj + hbj - oy) * inv_dy
-            bz0 = (czj - hcj - oz) * inv_dz
-            bz1 = (czj + hcj - oz) * inv_dz
+            if has_rotm:
+                # yaw-ROTATED box media (RTOW rotate_y; STATIC flag —
+                # axis-aligned scenes trace the historical branch).
+                # cos/sin ride the triangle-only rows 13/14; the ray is
+                # rotated INTO object space (x_o = c*x - s*z ;
+                # z_o = s*x + c*z) and rotation preserves lengths, so
+                # the object-space t values apply to the world ray.
+                # Unrotated boxes pack cos=1/sin=0 (exact same chord).
+                cyr = sread(S_DN, j)
+                syr = sread(S_D1, j)
+                rox = cyr * (ox - cxj) - syr * (oz - czj)
+                roy = oy - cyj
+                roz = syr * (ox - cxj) + cyr * (oz - czj)
+                rdx = cyr * dx - syr * dz
+                rdz = syr * dx + cyr * dz
+                ivx = 1.0 / jnp.where(rdx == 0.0, 1e-30, rdx)
+                ivz = 1.0 / jnp.where(rdz == 0.0, 1e-30, rdz)
+                bx0 = (-haj - rox) * ivx
+                bx1 = (haj - rox) * ivx
+                by0 = (-hbj - roy) * inv_dy
+                by1 = (hbj - roy) * inv_dy
+                bz0 = (-hcj - roz) * ivz
+                bz1 = (hcj - roz) * ivz
+            else:
+                bx0 = (cxj - haj - ox) * inv_dx
+                bx1 = (cxj + haj - ox) * inv_dx
+                by0 = (cyj - hbj - oy) * inv_dy
+                by1 = (cyj + hbj - oy) * inv_dy
+                bz0 = (czj - hcj - oz) * inv_dz
+                bz1 = (czj + hcj - oz) * inv_dz
             tn = jnp.maximum(jnp.maximum(jnp.minimum(bx0, bx1),
                                          jnp.minimum(by0, by1)),
                              jnp.minimum(bz0, bz1))
@@ -1019,6 +1052,7 @@ def hierarchical_search(
     u_med=None,
     time=None,
     has_boxm: bool = False,
+    has_rotm: bool = False,
 ):
     """Closest-hit search over the packed scene tables for one ray tile.
 
@@ -1052,7 +1086,7 @@ def hierarchical_search(
         _make_search_parts(
             lambda r, j: s_ref[r, j], ox, oy, oz, dx, dy, dz,
             t_min, has_tris, carry_uv, cluster, u_med=u_med, time=time,
-            has_boxm=has_boxm,
+            has_boxm=has_boxm, has_rotm=has_rotm,
         )
 
     def cluster_scan(ci, carry):
@@ -1130,6 +1164,7 @@ def _streamed_search_payload(
     u_med=None,
     time=None,
     has_boxm: bool = False,
+    has_rotm: bool = False,
 ):
     """Closest-hit search + FUSED payload over HBM-streamed block tiles.
 
@@ -1166,7 +1201,7 @@ def _streamed_search_payload(
         parts = _make_search_parts(
             lambda r, j: buf[r, j], ox, oy, oz, dx, dy, dz,
             t_min, has_tris, carry_uv, cluster, with_rec=True,
-            u_med=u_med, time=time, has_boxm=has_boxm,
+            u_med=u_med, time=time, has_boxm=has_boxm, has_rotm=has_rotm,
         )
         box_any, run_sphere, run_rect, run_dual, run_tri, run_med = parts
 
@@ -1366,6 +1401,7 @@ def _render_kernel(
     has_media: bool = False,
     has_motion: bool = False,
     has_boxm: bool = False,
+    has_rotm: bool = False,
     has_nee: bool = False,
     nee_p: float = 0.5,
 ):
@@ -1612,7 +1648,7 @@ def _render_kernel(
                 block_b=stream_b, p_rows=p_rows,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
-                has_boxm=has_boxm,
+                has_boxm=has_boxm, has_rotm=has_rotm,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             k0 = 2
@@ -1629,7 +1665,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
-                has_boxm=has_boxm,
+                has_boxm=has_boxm, has_rotm=has_rotm,
             )
             best_t, best_j, nc_wave = found[0], found[1], found[-1]
             if carry_uv:
@@ -1652,7 +1688,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
-                has_boxm=has_boxm,
+                has_boxm=has_boxm, has_rotm=has_rotm,
             )
             front_to_back_order(bwd_f)
             found_b = hierarchical_search(
@@ -1662,7 +1698,7 @@ def _render_kernel(
                 order_ref=ord_ref, cluster=cluster, super_=super_,
                 has_tris=has_tris, carry_uv=carry_uv,
                 has_media=has_media, u_med=u_med, time=sh_time,
-                has_boxm=has_boxm,
+                has_boxm=has_boxm, has_rotm=has_rotm,
             )
             is_fwd = fwd_f > 0.5
             best_t = jnp.where(is_fwd, found_a[0], found_b[0])
@@ -2094,10 +2130,14 @@ def _render_kernel(
             ldx = jnp.zeros_like(px)
             ldy = jnp.zeros_like(px)
             ldz = jnp.ones_like(px)
+            # triangle barycentrics (sqrt map) — slot-independent, hoisted
+            su_t = jnp.sqrt(u_la)
+            tb1 = su_t * (1.0 - u_lb)
+            tb2 = su_t * u_lb
             for si in range(8):
                 sb = L0 + 2 + 14 * si
                 v_i = cam_ref[sb + 13]
-                isph = cam_ref[sb]
+                isph = cam_ref[sb]  # geom type: 0 rect, 1 sphere, 2 tri
                 lcx, lcy, lcz = (cam_ref[sb + 1], cam_ref[sb + 2],
                                  cam_ref[sb + 3])
                 ha_i = cam_ref[sb + 7]
@@ -2105,6 +2145,11 @@ def _render_kernel(
                 rad_i = cam_ref[sb + 9]
                 aax_i = cam_ref[sb + 11]
                 bax_i = cam_ref[sb + 12]
+                # triangle slots overlay edge1 at +4..6, edge2 at +7..9
+                e1x_, e1y_, e1z_ = (cam_ref[sb + 4], cam_ref[sb + 5],
+                                    cam_ref[sb + 6])
+                e2x_, e2y_, e2z_ = (cam_ref[sb + 7], cam_ref[sb + 8],
+                                    cam_ref[sb + 9])
                 # rect: uniform area point -> direction
                 da = (u_la - 0.5) * (2.0 * ha_i)
                 db = (u_lb - 0.5) * (2.0 * hb_i)
@@ -2158,9 +2203,19 @@ def _render_kernel(
                 sdx = ux_ * cs_ + vx_ * sn_ + wux * zz
                 sdy = uy_ * cs_ + vy_ * sn_ + wuy * zz
                 sdz = uz_ * cs_ + vz_ * sn_ + wuz * zz
-                dix = jnp.where(isph > 0.5, sdx, rdx_)
-                diy = jnp.where(isph > 0.5, sdy, rdy_)
-                diz = jnp.where(isph > 0.5, sdz, rdz_)
+                # triangle: uniform area point -> direction
+                ttx = lcx + e1x_ * tb1 + e2x_ * tb2 - px
+                tty = lcy + e1y_ * tb1 + e2y_ * tb2 - py
+                ttz = lcz + e1z_ * tb1 + e2z_ * tb2 - pz
+                ttin = lax.rsqrt(jnp.maximum(
+                    ttx * ttx + tty * tty + ttz * ttz, 1e-20))
+                tdx_, tdy_, tdz_ = ttx * ttin, tty * ttin, ttz * ttin
+                dix = jnp.where(isph > 1.5, tdx_,
+                                jnp.where(isph > 0.5, sdx, rdx_))
+                diy = jnp.where(isph > 1.5, tdy_,
+                                jnp.where(isph > 0.5, sdy, rdy_))
+                diz = jnp.where(isph > 1.5, tdz_,
+                                jnp.where(isph > 0.5, sdz, rdz_))
                 take = ((slot_f > si - 0.5) & (slot_f < si + 0.5)
                         & (v_i > 0.5))
                 ldx = jnp.where(take, dix, ldx)
@@ -2180,7 +2235,7 @@ def _render_kernel(
             for si in range(8):
                 sb = L0 + 2 + 14 * si
                 v_i = cam_ref[sb + 13]
-                isph = cam_ref[sb]
+                isph = cam_ref[sb]  # geom type: 0 rect, 1 sphere, 2 tri
                 lcx, lcy, lcz = (cam_ref[sb + 1], cam_ref[sb + 2],
                                  cam_ref[sb + 3])
                 ck_i = cam_ref[sb + 4]
@@ -2192,6 +2247,16 @@ def _render_kernel(
                 kax_i = cam_ref[sb + 10]
                 aax_i = cam_ref[sb + 11]
                 bax_i = cam_ref[sb + 12]
+                # triangle slots overlay edge1 at +4..6, edge2 at +7..9;
+                # normal/area from the SCALAR cross product (SMEM math)
+                e1x_, e1y_, e1z_ = ck_i, ca_i, cb_i
+                e2x_, e2y_, e2z_ = ha_i, hb_i, rad_i
+                tnx_ = e1y_ * e2z_ - e1z_ * e2y_
+                tny_ = e1z_ * e2x_ - e1x_ * e2z_
+                tnz_ = e1x_ * e2y_ - e1y_ * e2x_
+                tn2_ = tnx_ * tnx_ + tny_ * tny_ + tnz_ * tnz_
+                area_t = 0.5 * jnp.sqrt(jnp.maximum(tn2_, 0.0))
+                tninv_ = lax.rsqrt(jnp.maximum(tn2_, 1e-20))
                 o_k = jnp.where(kax_i < 0.5, px,
                                 jnp.where(kax_i < 1.5, py, pz))
                 d_k = jnp.where(kax_i < 0.5, dmx,
@@ -2228,7 +2293,34 @@ def _render_kernel(
                 solid = (2.0 * math.pi) * (1.0 - cmax)
                 spdf_ = jnp.where((cdir >= cmax) & (solid > 1e-12),
                                   1.0 / jnp.maximum(solid, 1e-12), 0.0)
-                lsum = lsum + jnp.where(isph > 0.5, spdf_, rpdf_) * v_i
+                # triangle pdf: dist^2 / (|cos| * area) behind a
+                # Moller-Trumbore hit test (mirrors sampling.lights_pdf)
+                hx_ = dmy * e2z_ - dmz * e2y_
+                hy_ = dmz * e2x_ - dmx * e2z_
+                hz_ = dmx * e2y_ - dmy * e2x_
+                deta = e1x_ * hx_ + e1y_ * hy_ + e1z_ * hz_
+                detok = jnp.abs(deta) > 1e-9
+                invd = 1.0 / jnp.where(detok, deta, 1.0)
+                sx_ = px - lcx
+                sy_ = py - lcy
+                sz_ = pz - lcz
+                bu_ = invd * (sx_ * hx_ + sy_ * hy_ + sz_ * hz_)
+                qx_ = sy_ * e1z_ - sz_ * e1y_
+                qy_ = sz_ * e1x_ - sx_ * e1z_
+                qz_ = sx_ * e1y_ - sy_ * e1x_
+                bv_ = invd * (dmx * qx_ + dmy * qy_ + dmz * qz_)
+                tt_ = invd * (e2x_ * qx_ + e2y_ * qy_ + e2z_ * qz_)
+                hit_t = (detok & (bu_ >= 0.0) & (bv_ >= 0.0)
+                         & (bu_ + bv_ <= 1.0) & (tt_ > t_min))
+                cost_ = jnp.abs(dmx * tnx_ + dmy * tny_
+                                + dmz * tnz_) * tninv_
+                tpdf_ = jnp.where(
+                    hit_t,
+                    (tt_ * tt_) / jnp.maximum(cost_ * area_t, 1e-12),
+                    0.0)
+                lsum = lsum + jnp.where(
+                    isph > 1.5, tpdf_,
+                    jnp.where(isph > 0.5, spdf_, rpdf_)) * v_i
             lpdf = lsum / jnp.maximum(n_l, 1.0)
             pdf = (1.0 - p_eff) * scat_pdf + p_eff * lpdf
             okp = pdf > 1e-9
@@ -2394,6 +2486,8 @@ def pallas_render_sample(
     has_media: bool = False,  # compile in the constant-medium branch
     has_motion: bool = False,  # compile in the moving-sphere branch
     has_boxm: bool = False,  # compile in the BOX-bounded medium chord
+    has_rotm: bool = False,  # compile in the yaw-ROTATED box chord
+    #                          (RTOW rotate_y; cos/sin in S rows 13/14)
     has_nee: bool = False,  # RTOW book-3 mixture estimator for lambertian
     #                         lanes; cam_vec must then be the 38-float
     #                         camera vector with sampling.pack_lights_np
@@ -2494,7 +2588,7 @@ def pallas_render_sample(
         cluster=cluster, super_=super_, octant_split=octant_split,
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
         has_noise=has_noise, has_media=has_media, has_motion=has_motion,
-        has_boxm=has_boxm, has_nee=has_nee, nee_p=nee_p,
+        has_boxm=has_boxm, has_rotm=has_rotm, has_nee=has_nee, nee_p=nee_p,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

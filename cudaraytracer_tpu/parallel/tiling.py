@@ -146,6 +146,7 @@ def render_sharded_pallas(
     has_media: bool = False,
     has_motion: bool = False,
     has_boxm: bool = False,
+    has_rotm: bool = False,
     has_nee: bool = False,
     nee_p: float = 0.5,
 ):
@@ -207,7 +208,7 @@ def render_sharded_pallas(
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b,
             has_noise=has_noise, has_media=has_media,
-            has_motion=has_motion, has_boxm=has_boxm,
+            has_motion=has_motion, has_boxm=has_boxm, has_rotm=has_rotm,
             has_nee=has_nee, nee_p=nee_p,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)

@@ -648,7 +648,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  interpret_ctx, has_tris=False, has_vattrs=False,
                  adaptive=False, stream_b=0, has_noise=False,
                  has_media=False, has_motion=False, has_boxm=False,
-                 has_nee=False, nee_p=0.5):
+                 has_rotm=False, has_nee=False, nee_p=0.5):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -701,7 +701,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 has_vattrs=has_vattrs, tile_mask=mask, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
                 has_motion=has_motion, has_boxm=has_boxm,
-                has_nee=has_nee, nee_p=nee_p,
+                has_rotm=has_rotm, has_nee=has_nee, nee_p=nee_p,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -788,7 +788,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             cluster=cluster, super_=super_, has_tris=has_tris,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
             has_media=has_media, has_motion=has_motion, has_boxm=has_boxm,
-            has_nee=has_nee, nee_p=nee_p,
+            has_rotm=has_rotm, has_nee=has_nee, nee_p=nee_p,
         )
         if has_images:
             rad, counts = out
@@ -879,6 +879,11 @@ class _PallasPipeline:
         # BOX-bounded media (prim BOX=5) compile the slab-chord branch
         # into the medium test; sphere-only media scenes skip it (STATIC)
         self.has_boxm = bool((prim_t == 5).any())
+        # yaw-ROTATED box media (RTOW rotate_y; yaw rides edge2[:,0])
+        # compile the object-space chord — axis-aligned box scenes keep
+        # their bit-identical historical kernel (STATIC)
+        self.has_rotm = bool(
+            (scene.edge2[idx][prim_t == 5, 0] != 0).any())
         # RTOW book-3 mixture estimator (cfg.nee): the kernel reads the
         # light table as SMEM scalars appended to the camera vector —
         # host-packed per pipeline rebuild (edits rebuild the pipeline)
@@ -920,7 +925,7 @@ class _PallasPipeline:
             getattr(cfg, "rr_start", 0), cluster, super_,
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
             self.adaptive, self.stream_b, self.has_noise, self.has_media,
-            self.has_motion, self.has_boxm, self.has_nee,
+            self.has_motion, self.has_boxm, self.has_rotm, self.has_nee,
             float(getattr(cfg, "nee_p", 0.5)))
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)

@@ -71,6 +71,9 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <div><label title="display-time SVGF-lite denoiser (a-trous wavelet, G-buffer edge stopping); never touches the accumulator">
   <input id=dns type=checkbox onchange="post('/options',{denoise:this.checked})"> denoise</label>
  </div>
+ <div><label title="RTOW book-3 importance-sampled light transport (cosine/light-solid-angle mixture for lambertian). A DIFFERENT estimator than the reference-parity default; toggling recompiles the pipeline (one-time, shown in the log)">
+  <input id=nee type=checkbox onchange="post('/options',{nee:this.checked})"> importance sampling (NEE)</label>
+ </div>
  <div>lens <input id=apert type=number min=0 step=0.02 title="aperture (defocus blur; look_at scenes)">
   focus <input id=fdist type=number min=0.1 step=0.5 title="focus distance">
   <button onclick="post('/options',{aperture:+document.getElementById('apert').value,focus_dist:+document.getElementById('fdist').value})">set</button>
@@ -206,6 +209,7 @@ async function state(){try{const r=await fetch('/state?filter='+encodeURICompone
  if(document.activeElement.id!=='fdist')document.getElementById('fdist').value=s.options.focus_dist;
  if(document.activeElement.id!=='adp')document.getElementById('adp').checked=!!s.options.adaptive;
  if(document.activeElement.id!=='dns')document.getElementById('dns').checked=!!s.options.denoise;
+ if(document.activeElement.id!=='nee')document.getElementById('nee').checked=!!s.options.nee;
  document.getElementById('adpf').textContent=s.options.adaptive&&s.options.active_tiles!=null?s.options.active_tiles+'% tiles active':'';
  for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
   ['cyaw',s.camera.yaw],['cpitch',s.camera.pitch],['cfov',s.camera.fov]])
@@ -340,6 +344,7 @@ class ViewerServer:
                 "focus_dist": round(float(rl.cfg.focus_dist), 4),
                 "adaptive": bool(getattr(rl.cfg, "adaptive", False)),
                 "denoise": bool(getattr(rl.cfg, "denoise", False)),
+                "nee": bool(getattr(rl.cfg, "nee", False)),
                 # one small device fetch per state poll, only in adaptive
                 # mode (the mask lives on device; see active_fraction)
                 "active_tiles": (
@@ -532,6 +537,24 @@ class ViewerServer:
             rl.cfg.denoise = bool(data["denoise"])
             rtlog.rt_info("Denoiser %s",
                           "enabled" if rl.cfg.denoise else "disabled")
+        if "nee" in data:
+            want = bool(data["nee"])
+            if want != bool(getattr(rl.cfg, "nee", False)):
+                # the estimator switch is STATIC (has_nee compiles a
+                # different transport into the kernel/XLA path): rebuild
+                # the pipeline via the scene-resync lever, like adaptive.
+                # The wavefront cross-check path keeps the parity
+                # estimator regardless (ops/sampling.py module docstring).
+                rl.cfg.nee = want
+                rl._scene_version = -1
+                rtlog.rt_info(
+                    "Importance sampling (NEE) %s — pipeline recompiles "
+                    "once (estimator is a static graph switch)",
+                    "enabled" if want else "disabled")
+                if rl.cfg.accel == "wavefront":
+                    rtlog.rt_warn(
+                        "wavefront accel keeps the parity estimator; "
+                        "NEE applies to pallas/bvh/brute paths")
         if "aperture" in data or "focus_dist" in data:
             # thin-lens defocus blur (look_at camera; RTOW 12.2 semantics).
             # aperture/focus ride the per-frame camera vector — a traced

@@ -98,10 +98,21 @@ def _medium_hit(o, d, c, r, density, rng, t_min, t_max):
     return t
 
 
-def _medium_box_hit(o, d, c, he, density, rng, t_min, t_max):
-    """Constant-density medium bounded by an axis-aligned BOX (RTOW
-    book-2 ConstantMedium with a box boundary): the slab chord bounds
-    the interior; scatter at entry + exp-sampled distance."""
+def _medium_box_hit(o, d, c, he, density, rng, t_min, t_max, yaw=0.0):
+    """Constant-density medium bounded by a BOX (RTOW book-2
+    ConstantMedium with a box boundary): the slab chord bounds the
+    interior; scatter at entry + exp-sampled distance.  ``yaw`` rotates
+    the box about world Y through its center (RTOW rotate_y): the ray is
+    rotated into object space; rotation preserves lengths so the
+    object-space t applies to the world ray unchanged."""
+    if yaw:
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        oc = o - c
+        o = np.array([cy * oc[0] - sy * oc[2], oc[1],
+                      sy * oc[0] + cy * oc[2]])
+        d = np.array([cy * d[0] - sy * d[2], d[1],
+                      sy * d[0] + cy * d[2]])
+        c = np.zeros(3)
     inv = 1.0 / np.where(d == 0.0, 1e-30, d)
     t0 = (c - he - o) * inv
     t1 = (c + he - o) * inv
@@ -135,7 +146,7 @@ def _closest_hit(scene, o, d, t_min=1e-3, rng=None, time=0.0):
             t = _medium_box_hit(o, d, scene.center[i].astype(float),
                                 np.abs(scene.edge1[i]).astype(float),
                                 float(scene.density[i]), rng, t_min,
-                                best_t)
+                                best_t, yaw=float(scene.edge2[i, 0]))
         elif pt == 0:
             t = _sphere_hit(o, d, _center_at(scene, i, time),
                             scene.size[i][0], t_min, best_t)

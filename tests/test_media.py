@@ -135,13 +135,17 @@ def _pallas_render(sc, cam, W, H, D, seed, streamed=False, spp=1,
     cam_vec = jnp.asarray(pack_camera_np(
         cam, sc.background_start, sc.background_end, W, H, 1e-3))
     # BOX-bounded media compile the slab-chord branch (STATIC flag,
-    # mirroring _PallasPipeline)
-    has_boxm = bool((sc.prim_type[sc.active_indices()] == 5).any())
+    # mirroring _PallasPipeline); non-zero yaw compiles the ROTATED chord
+    idx0 = sc.active_indices()
+    has_boxm = bool((sc.prim_type[idx0] == 5).any())
     if force_boxm is not None:
         has_boxm = force_boxm
+    has_rotm = bool(
+        (sc.edge2[idx0][sc.prim_type[idx0] == 5, 0] != 0).any())
     kw = dict(width=W, height=H, camera_model="look_at", tile_h=16,
               tile_w=128, has_rects=True, cluster=t.cluster,
-              super_=t.super_, has_media=True, has_boxm=has_boxm, spp=spp)
+              super_=t.super_, has_media=True, has_boxm=has_boxm,
+              has_rotm=has_rotm, spp=spp)
     with pltpu.force_tpu_interpret_mode():
         if streamed:
             st = pack_stream_tiles(t)

@@ -261,6 +261,213 @@ def test_gbuffer_sees_through_box_media():
     np.testing.assert_allclose(d_p[both], d_x[both], rtol=5e-4, atol=1e-4)
 
 
+def _rotated_box_smoke(yaw=0.6):
+    """_small_box_smoke with the fog box YAW-ROTATED (round 5: the RTOW
+    rotate_y instance transform for medium boxes)."""
+    sc, cam = _small_box_smoke()
+    for k in sc.active_indices():
+        if int(sc.prim_type[k]) == BOX:
+            sc.update(int(k), yaw=yaw)
+    return sc, cam
+
+
+def test_rotated_box_chord_is_exact():
+    """Deterministic rotated-chord geometry: a 45-degree box of
+    half-extents (1, 1, 1) centered at the origin, probed along -z
+    through its center, has object-space slab entry/exit at t = z0 -/+
+    sqrt(2) (the rotated square's diagonal half-width) — every oracle
+    scatter lands strictly inside that chord, and the hit rate matches
+    the analytic transmission of the sqrt(8) chord."""
+    rng = np.random.RandomState(5)
+    o = np.array([0.0, 0.0, 3.0])
+    d = np.array([0.0, 0.0, -1.0])
+    c = np.array([0.0, 0.0, 0.0])
+    he = np.array([1.0, 1.0, 1.0])
+    yaw = np.pi / 4
+    lo, hi = 3.0 - np.sqrt(2.0), 3.0 + np.sqrt(2.0)
+    density, L = 0.5, 2.0 * np.sqrt(2.0)
+    hits = 0
+    n = 4000
+    for _ in range(n):
+        t = oracle._medium_box_hit(o, d, c, he, density, rng, 1e-3, 1e9,
+                                   yaw=yaw)
+        if t is not None:
+            assert lo - 1e-6 <= t <= hi + 1e-6
+            hits += 1
+    assert abs(hits / n - (1.0 - np.exp(-density * L))) < 0.03
+
+
+def test_rotated_box_rotation_is_applied():
+    """Rotation about Y WIDENS the x-z footprint: seen along -z, a ray
+    at x ~ 1.19 misses the axis-aligned unit-half-extent box (edge at
+    x = 1) but crosses the 45-degree diamond (silhouette out to
+    sqrt(2)) — so that pixel flips from exact background to opaque when
+    yaw is applied, and the frame center stays blocked either way."""
+    W, H = 33, 33
+    cam = make_camera_params(origin=(0, 0, 6), forward=(0, 0, -1),
+                             fov_deg=40.0)
+    bg = np.array([0.2, 0.3, 0.5], np.float32)
+
+    def render(yaw):
+        sc = Scene(capacity=4, background_start=tuple(bg),
+                   background_end=tuple(bg))
+        sc.add_medium_box((0, 0, 0), (2.0, 2.0, 2.0), density=400.0,
+                          yaw=yaw, albedo=(0.0, 0.0, 0.0))
+        assert sc.device().has_rot_media == (yaw != 0.0)
+        return np.asarray(render_radiance(
+            sc.device(), cam, rngu.base_key(), 8, 8, width=W, height=H,
+            camera_model="look_at")) / 8
+
+    aligned = render(0.0)
+    rotated = render(float(np.pi / 4))
+    # both block the center ray
+    assert aligned[H // 2, W // 2].max() < 0.05
+    assert rotated[H // 2, W // 2].max() < 0.05
+    # the measured blocked half-width of the middle row grows by the
+    # diamond's sqrt(2) (perspective shifts it slightly; bracket wide)
+    def half_width(img):
+        blocked = img[H // 2].max(-1) < 0.1
+        assert blocked[W // 2]
+        return max(abs(i - W // 2) for i in range(W) if blocked[i])
+
+    wa, wr = half_width(aligned), half_width(rotated)
+    ratio = wr / wa
+    assert 1.2 < ratio < 1.65, (wa, wr)
+    # containment on the center row: every pixel the aligned box blocks
+    # the diamond blocks too, and the diamond blocks strictly more
+    ba = aligned[H // 2].max(-1) < 0.1
+    br = rotated[H // 2].max(-1) < 0.1
+    assert not (ba & ~br).any()
+    assert int((br & ~ba).sum()) >= 4, (wa, wr)
+
+
+@pytest.mark.slow
+def test_rotated_box_matches_oracle():
+    """The rotated fog box vs the scalar oracle's rotated slab chord
+    (block means) — brute XLA path."""
+    sc, cam = _rotated_box_smoke()
+    W, H, SPP, D = 24, 16, 16, 8
+    gold = oracle.render_look_at(sc, (0.0, 1.8, 5.0), (0.0, -0.05, -1.0),
+                                 W, H, SPP, D, seed=7, fov_deg=55.0)
+    ours = np.asarray(
+        render_radiance(sc.device(), cam, rngu.base_key(), SPP * 2, D,
+                        width=W, height=H, camera_model="look_at")
+    ) / (SPP * 2)
+    np.testing.assert_allclose(ours.mean((0, 1)), gold.mean((0, 1)),
+                               atol=0.05)
+    blk_g = gold.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    blk_o = ours.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    assert np.abs(blk_g - blk_o).mean() < 0.05
+
+
+def test_rotated_bvh_accel_matches_brute():
+    """The BVH side-scan carries yaw, and the swept (|c|/|s|) AABB keeps
+    the rotated box inside its cluster/tree bounds — statistically
+    identical images to the brute scan."""
+    from cudaraytracer_tpu.models.bvh import build_bvh, make_bvh_hit_fn
+
+    sc, cam = _rotated_box_smoke()
+    sd = sc.device()
+    assert sd.has_rot_media
+    W, H, SPP, D = 24, 16, 16, 6
+    brute = np.asarray(render_radiance(
+        sd, cam, rngu.base_key(), SPP, D, width=W, height=H,
+        camera_model="look_at")) / SPP
+    bvh = build_bvh(sc)
+    accel = np.asarray(render_radiance(
+        sd, cam, rngu.base_key(3), SPP, D, width=W, height=H,
+        camera_model="look_at",
+        hit_fn=make_bvh_hit_fn(bvh, sd))) / SPP
+    blk_b = brute.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    blk_a = accel.reshape(H // 4, 4, W // 4, 4, 3).mean((1, 3))
+    assert np.abs(blk_b - blk_a).mean() < 0.05
+
+
+@pytest.mark.slow
+def test_pallas_rotated_box_structure_and_stream_identity():
+    """Interpret-mode: the megakernel rotated-box fog (has_rotm, cos/sin
+    in S rows 13/14) renders finite with structure, resident ==
+    HBM-streamed BIT-FOR-BIT, and differs from the axis-aligned render
+    (rotation is actually compiled in)."""
+    from test_media import _pallas_render
+
+    sc, cam = _rotated_box_smoke()
+    W, H, D = 128, 32, 6
+    a = _pallas_render(sc, cam, W, H, D, seed=3)
+    b = _pallas_render(sc, cam, W, H, D, seed=3, streamed=True)
+    assert np.isfinite(a).all()
+    assert np.abs(a - b).max() == 0.0
+    img = a[:H, :W]
+    assert img.mean() > 0.02 and img.std() > 0.02
+    sc0, _ = _small_box_smoke()
+    a0 = _pallas_render(sc0, cam, W, H, D, seed=3)
+    assert np.abs(a - a0).max() > 1e-3  # the yaw visibly moves the fog
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("CRT_TPU_TESTS"),
+                    reason="tight medium radiance needs real-TPU PRNG "
+                           "(interpret draws are wave-correlated)")
+def test_pallas_rotated_box_matches_xla_tpu():
+    """REAL-chip contract for the ROTATED chord: 64-spp megakernel
+    rotated box fog == XLA to MC noise."""
+    import subprocess
+    import sys
+
+    code = r"""
+import numpy as np, jax.numpy as jnp
+import sys
+sys.path.insert(0, "tests")
+from test_media_box import _rotated_box_smoke
+from cudaraytracer_tpu.models.renderer import render_radiance
+from cudaraytracer_tpu.utils import rng as rngu
+from cudaraytracer_tpu.ops.pallas.render_kernel import (
+    pack_camera_np, pack_scene_tables, pallas_render_sample)
+
+sc, cam = _rotated_box_smoke()
+W, H, D = 128, 32, 8
+t = pack_scene_tables(sc)
+tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+cam_vec = jnp.asarray(pack_camera_np(
+    cam, sc.background_start, sc.background_end, W, H, 1e-3))
+img = pallas_render_sample(
+    *tabs, t.n_super, cam_vec, 7, D, spp=64, width=W, height=H,
+    camera_model="look_at", tile_h=16, tile_w=128, has_rects=True,
+    cluster=t.cluster, super_=t.super_, has_media=True, has_boxm=True,
+    has_rotm=True)
+pal = np.asarray(img)[:H, :W] / 64
+xla = np.asarray(render_radiance(
+    sc.device(), cam, rngu.base_key(), 64, D, width=W, height=H,
+    camera_model="look_at")) / 64
+pb = pal.reshape(H // 8, 8, W // 8, 8, 3).mean((1, 3))
+xb = xla.reshape(H // 8, 8, W // 8, 8, 3).mean((1, 3))
+assert np.abs(pb - xb).mean() < 0.02, np.abs(pb - xb).mean()
+assert abs(pal.mean() - xla.mean()) < 0.01
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], cwd=".",
+                         capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0 and "OK" in out.stdout, (
+        out.stdout[-2000:], out.stderr[-2000:])
+
+
+def test_rotated_box_save_load_and_update(tmp_path):
+    """yaw persists through the scene document (has_rot_media restored),
+    Scene.update(i, yaw=...) edits it, and non-box prims reject it."""
+    sc, _ = _rotated_box_smoke(yaw=0.35)
+    path = str(tmp_path / "rot_smoke.json")
+    sc.save(path)
+    sc2 = Scene.load(path)
+    i = [int(k) for k in sc2.active_indices() if sc2.prim_type[k] == BOX]
+    assert len(i) == 1
+    assert abs(float(sc2.edge2[i[0], 0]) - 0.35) < 1e-7
+    assert sc2.device().has_rot_media
+    sc2.update(i[0], yaw=0.0)
+    assert not sc2.device().has_rot_media
+    with pytest.raises(ValueError):
+        sc2.update(0, yaw=0.1)  # slot 0 is the ground rect
+
+
 def test_box_media_save_load_roundtrip(tmp_path):
     """half_ext + density persist through the scene document and the
     has_box_media static flag is restored (it drives graph selection)."""
@@ -289,7 +496,8 @@ def test_cornell_smoke_scene_registered_e2e():
     sc = scenes.cornell_smoke_scene()
     prim_t = sc.prim_type[sc.active_indices()]
     assert (prim_t == BOX).sum() == 2
-    assert sc.device().has_box_media
+    sd = sc.device()
+    assert sd.has_box_media and sd.has_rot_media  # the book's rotations
 
     cfg = RenderConfig(width=128, height=16, scene="cornell_smoke",
                        accel="pallas", progressive=True, max_depth=4)
@@ -297,6 +505,7 @@ def test_cornell_smoke_scene_registered_e2e():
     with pltpu.force_tpu_interpret_mode():
         rl = app.setup_default_layers()
         assert rl._pallas is not None and rl._pallas.has_media
+        assert rl._pallas.has_rotm
         app.run(max_frames=2)
         img = rl.framebuffer_rgba8()
     app.close()

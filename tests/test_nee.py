@@ -90,6 +90,128 @@ def test_mixture_pdf_consistency_mc_integral():
         assert abs(est - 1.0) < 0.01, (p_light, est)
 
 
+def test_mixture_pdf_consistency_with_triangle_lights():
+    """Triangle emitters (round 5): the same MC integral pin with a
+    table mixing two oblique TRIANGLES, a rect and a sphere — the
+    sqrt-barycentric area sampler and the Moller-Trumbore solid-angle
+    density must agree or the cosine-lobe integral misses 1.0."""
+    import jax
+    import jax.numpy as jnp
+
+    sc = Scene(capacity=16, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    sc.add_triangle((-1.0, 2.5, 0.3), (0.8, 3.1, -0.4), (0.1, 2.2, 1.1),
+                    mat_type=DIFFUSE_LIGHT, light=4.0)
+    sc.add_triangle((2.0, 1.0, -1.0), (2.6, 2.2, -0.2), (1.4, 1.8, 0.9),
+                    mat_type=DIFFUSE_LIGHT, light=4.0)
+    sc.add_xz_rect((0.5, 3.5, 0.2), 1.2, 0.8, mat_type=DIFFUSE_LIGHT,
+                   light=5.0)
+    sc.add_sphere((-2.0, 1.5, 1.0), 0.5, mat_type=DIFFUSE_LIGHT,
+                  light=3.0)
+    lights = sampling.collect_lights(sc.device())
+    assert float(lights[-1]) == 4.0
+    R = 200000
+    point = jnp.tile(jnp.asarray([[0.1, 0.0, -0.3]]), (R, 1))
+    normal = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (R, 1))
+    for p_light, seed in ((0.5, 3), (0.8, 4)):
+        _, att, _ = sampling.nee_lambertian(
+            point, normal, jnp.ones((R, 3)), lights,
+            jax.random.PRNGKey(seed), R, p_light)
+        est = float(np.asarray(att[:, 0]).mean())
+        assert abs(est - 1.0) < 0.01, (p_light, est)
+
+
+def test_degenerate_triangle_light_excluded():
+    """A zero-area emissive triangle must not enter the table (its
+    solid-angle pdf is undefined); a real one must."""
+    sc = Scene(capacity=8)
+    sc.add_triangle((0, 2, 0), (1, 2, 0), (2, 2, 0),  # collinear
+                    mat_type=DIFFUSE_LIGHT, light=5.0)
+    assert float(sampling.collect_lights(sc.device())[-1]) == 0.0
+    assert float(sampling.pack_lights_np(sc)[0]) == 0.0
+    sc.add_triangle((0, 2, 0), (1, 2, 0), (0, 2, 1),
+                    mat_type=DIFFUSE_LIGHT, light=5.0)
+    assert float(sampling.collect_lights(sc.device())[-1]) == 1.0
+    assert float(sampling.pack_lights_np(sc)[0]) == 1.0
+
+
+def test_light_table_overflow_contract():
+    """12 emitters, 8 table slots: the tabled set is the stable first-8
+    (top_k keeps index order on ties), and the truncated estimator stays
+    UNBIASED — the p=0.5 render of the 12-light scene agrees in the mean
+    with the cosine-only one (overflow lights still arrive through the
+    cosine component, and the pdf averages over TABLED lights only)."""
+    sc = Scene(capacity=32, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    sc.add_xz_rect((0, 0, 0), 20, 20, mat_type=LAMBERTIAN,
+                   albedo=(0.6, 0.6, 0.6))
+    centers = []
+    for i in range(12):
+        c = (-5.5 + i, 6.0, -2.0 + 0.3 * (i % 3))
+        centers.append(c)
+        sc.add_sphere(c, 0.4, mat_type=DIFFUSE_LIGHT, light=3.0)
+    lights = sampling.collect_lights(sc.device())
+    assert float(lights[-1]) == 8.0
+    np.testing.assert_allclose(np.asarray(lights[1]),
+                               np.asarray(centers[:8], np.float32))
+    v = sampling.pack_lights_np(sc)
+    assert float(v[0]) == 8.0  # host packer truncates identically
+    np.testing.assert_allclose(v[2 + 1:2 + 4], centers[0])
+    cam = scenes.cornell_like_camera()
+    nee = _render(sc.device(), cam, 192, 0.5, seed=3)
+    cos = _render(sc.device(), cam, 192, 0.0, seed=4)
+    assert abs(nee.mean() - cos.mean()) < 0.015, (nee.mean(), cos.mean())
+
+
+@pytest.mark.slow
+def test_triangle_light_variance_reduction():
+    """cornell_mesh_light (two tilted emissive TRIANGLES, the only light
+    in the room): the mixture estimator's 16-spp block error vs a
+    512-spp reference is several times below the cosine-only
+    estimator's — mesh emitters get the importance-sampling payoff
+    (round-4 fell back to cosine for them).  The free-hanging two-sided
+    panel keeps some real residual variance (the ceiling hotspot above
+    it), so the bounds are looser than the flush-rect scene's —
+    test_triangle_sampler_matches_rect_sampler below is the tight
+    apples-to-apples statement."""
+    sd = scenes.cornell_mesh_light_scene().device()
+    cam = scenes.cornell_like_camera()
+    ref = _render(sd, cam, 512, 0.5, seed=9)
+    cos16 = _render(sd, cam, 16, 0.0, seed=1)
+    nee16 = _render(sd, cam, 16, 0.5, seed=1)
+    e_cos, e_nee = _block_err(cos16, ref), _block_err(nee16, ref)
+    assert e_nee < 0.025, e_nee  # measured 0.0170 (seed-deterministic)
+    assert e_nee < 0.4 * e_cos, (e_nee, e_cos)  # measured ratio 4.0x
+    assert abs(nee16.mean() - ref.mean()) < 0.015
+
+
+@pytest.mark.slow
+def test_triangle_sampler_matches_rect_sampler():
+    """THE apples-to-apples contract: _small_light_cornell with its rect
+    light replaced by two coplanar triangles covering the IDENTICAL
+    0.4x0.4 area must give the mixture estimator the same error as the
+    rect table does (measured 0.0042 vs 0.0041 at 16 spp — the
+    triangle area sampler + MT solid-angle pdf are exactly as tight as
+    the closed-form rect pair)."""
+    s = 5.0
+    sc = _small_light_cornell()
+    sc.delete(5)  # the rect light (slot order: 5 walls then the light)
+    h, a = s - 0.01, 0.2
+    q = [(-a, h, -a), (a, h, -a), (a, h, a), (-a, h, a)]
+    sc.add_triangle(q[0], q[1], q[2], mat_type=DIFFUSE_LIGHT, light=60.0)
+    sc.add_triangle(q[0], q[2], q[3], mat_type=DIFFUSE_LIGHT, light=60.0)
+    assert float(sampling.collect_lights(sc.device())[-1]) == 2.0
+    cam = scenes.cornell_like_camera()
+    sd_tri = sc.device()
+    sd_rect = _small_light_cornell().device()
+    ref_t = _render(sd_tri, cam, 512, 0.5, seed=9)
+    ref_r = _render(sd_rect, cam, 512, 0.5, seed=9)
+    e_tri = _block_err(_render(sd_tri, cam, 16, 0.5, seed=1), ref_t)
+    e_rect = _block_err(_render(sd_rect, cam, 16, 0.5, seed=1), ref_r)
+    assert e_tri < 1.3 * e_rect, (e_tri, e_rect)
+    assert e_tri < 0.01, e_tri
+
+
 @pytest.mark.slow
 def test_nee_converges_faster_and_to_the_same_mean():
     """Small-light Cornell: at 16 spp the mixture estimator's block

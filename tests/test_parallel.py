@@ -228,6 +228,57 @@ def test_sharded_pallas_vattr_mesh_exact_interior():
 
 
 @pytest.mark.slow
+def test_sharded_pallas_feature_branches():
+    """Round-4/5 static branches through the multi-chip shard (the
+    round-4 VERDICT's blind spot): ONE sharded megakernel compiled with
+    has_nee (light table riding the camera vector) + has_noise +
+    has_media + has_motion + has_boxm + has_rotm renders finite and lit
+    on the 8-device mesh."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.models.scene import Scene
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera_np, pack_scene_tables)
+    from cudaraytracer_tpu.ops.sampling import pack_lights_np
+    from cudaraytracer_tpu.parallel import render_sharded_pallas
+
+    sc = Scene(capacity=64, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    sc.add_xz_rect((0, 6, 0), 2.0, 2.0, mat_type=3, light=5.0)
+    sc.add_xz_rect((0, 0, 0), 20.0, 20.0, albedo=(0.6, 0.6, 0.6))
+    sc.add_sphere((-1.5, 1.0, -2.0), 1.0, albedo=(0.7, 0.4, 0.3),
+                  tex_type=3, tex_id=2)  # marble noise
+    sc.add_moving_sphere((1.5, 1.0, -2.0), (1.8, 1.0, -2.0), 0.8,
+                         albedo=(0.3, 0.5, 0.8))
+    sc.add_medium_sphere((0.0, 1.0, 0.5), 0.9, density=0.8,
+                         albedo=(0.9, 0.9, 0.9))
+    sc.add_medium_box((0.0, 1.0, -4.0), (2.0, 2.0, 2.0), density=1.0,
+                      yaw=0.3, albedo=(0.2, 0.2, 0.2))
+    t = pack_scene_tables(sc)
+    mesh = make_mesh(n_rows=4, n_samples=2)
+    W, H = 128, 64
+    cam_np = np.concatenate([
+        pack_camera_np(scn.cornell_like_camera(), sc.background_start,
+                       sc.background_end, W, H, 1e-3),
+        pack_lights_np(sc)])
+    tables = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    with pltpu.force_tpu_interpret_mode():
+        out = render_sharded_pallas(
+            tables, t.n_super, jnp.asarray(cam_np), 7, 4,
+            width=W, height=H, mesh=mesh, camera_model="two_plane",
+            tile_h=16, tile_w=128, cluster=t.cluster, super_=t.super_,
+            has_noise=True, has_media=True, has_motion=True,
+            has_boxm=True, has_rotm=True, has_nee=True,
+        )
+        out = np.asarray(out) / 2
+    assert out.shape == (H, W, 3)
+    assert np.isfinite(out).all()
+    assert out.mean() > 0.001  # lit through the NEE table
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_is_hermetic():
     """dryrun_multichip must be green even when the machine's TPU is broken.
 
