@@ -410,6 +410,8 @@ def main():
         has_media = bool((_np.asarray(sd.mat_type)[active] == 4).any())
         has_motion = bool((_np.asarray(sd.velocity)[active] != 0).any())
         has_boxm = bool((prim_t == 5).any())
+        has_rotm = bool(
+            (_np.asarray(sd.edge2)[active][prim_t == 5, 0] != 0).any())
         has_nee = bool(getattr(args, "nee", False))
         wpad = -(-args.width // tile_w) * tile_w
         hpad = -(-args.height // tile_h) * tile_h
@@ -439,7 +441,8 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion, has_boxm=has_boxm, has_nee=has_nee,
+                has_motion=has_motion, has_boxm=has_boxm,
+                has_rotm=has_rotm, has_nee=has_nee,
             )[-1]
 
         @jax.jit
@@ -460,7 +463,8 @@ def main():
                 octant_split=args.octant_split, has_tris=has_tris,
                 has_vattrs=t.vattrs, stream_b=stream_b,
                 has_noise=has_noise, has_media=has_media,
-                has_motion=has_motion, has_boxm=has_boxm, has_nee=has_nee,
+                has_motion=has_motion, has_boxm=has_boxm,
+                has_rotm=has_rotm, has_nee=has_nee,
             )
             if has_images:
                 img, _counts, nrays = out

@@ -9,7 +9,10 @@ HTTP viewer: the render loop stays in-process next to the device, and any
 browser becomes the display.
 
   * GET  /            the UI (canvas + panels, dark theme, dockable-ish)
-  * GET  /frame.png   current progressive framebuffer (PNG, row 0 = top)
+  * GET  /frame.jpg   current progressive framebuffer (JPEG q85 default —
+                      the UI's poll format: ~10x fewer bytes than PNG on
+                      noisy renders; ?scale=&q= knobs)
+  * GET  /frame.png   lossless framebuffer (PNG, row 0 = top)
   * GET  /state       metrics + scene tree + console + options as JSON
   * POST /input       {keys, shift, mouse_dx, mouse_dy, scroll} -> FlyCamera
                       (WASD/Space/Ctrl/C, right-drag look, wheel fov —
@@ -144,7 +147,9 @@ async function frame(){const t0=performance.now();const img=new Image();
   cv.width=img.width*fscale;cv.height=img.height*fscale;
   ctx2.imageSmoothingEnabled=false;ctx2.drawImage(img,0,0,cv.width,cv.height);
   setTimeout(frame,50)};img.onerror=()=>setTimeout(frame,500);
- img.src='/frame.png?scale='+fscale+'&t='+Date.now()}
+ // JPEG poll: ~10x fewer bytes than PNG on noisy renders (q85 default);
+ // /frame.png and /radiance.pfm stay available for lossless grabs
+ img.src='/frame.jpg?scale='+fscale+'&t='+Date.now()}
 frame();
 function esc(s){return s.replace(/&/g,'&amp;').replace(/</g,'&lt;')}
 let S={scene:[]},sceneSig='';
@@ -692,6 +697,31 @@ class ViewerServer:
         self._png_cache = (key, data)
         return data
 
+    def frame_jpeg(self, scale: int = 1, quality: int = 85) -> bytes:
+        """JPEG framebuffer — the viewer's DEFAULT poll format (round 5):
+        on big noisy scenes the lossless PNG is both slow to encode and
+        ~10x the bytes (BASELINE.md "display fetch cost": terrain_big
+        720p PNG = 3.7 MB / ~190 ms per poll), while MC render noise is
+        exactly what JPEG's DCT quantization hides.  The progressive
+        accumulator is untouched — /frame.png and /radiance.pfm remain
+        the lossless paths.  Cached per (spp, frame, scale, q) like the
+        PNG."""
+        from PIL import Image
+
+        rl = self.app.render_layer
+        quality = max(1, min(100, int(quality)))
+        key = (rl._spp_done, rl._frame_index, int(scale), quality)
+        cached = getattr(self, "_jpg_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        img = rl.framebuffer_rgba8(scale=int(scale))
+        buf = io.BytesIO()
+        Image.fromarray(img[..., :3], "RGB").save(
+            buf, "JPEG", quality=quality)
+        data = buf.getvalue()
+        self._jpg_cache = (key, data)
+        return data
+
     # ------------------------------------------------------------ server
     def make_handler(self):
         viewer = self
@@ -715,6 +745,14 @@ class ViewerServer:
                         q = parse_qs(urlparse(self.path).query)
                         scale = max(1, int(q.get("scale", ["1"])[0]))
                         self._send(200, viewer.frame_png(scale), "image/png")
+                    elif self.path.startswith("/frame.jpg"):
+                        from urllib.parse import parse_qs, urlparse
+
+                        q = parse_qs(urlparse(self.path).query)
+                        scale = max(1, int(q.get("scale", ["1"])[0]))
+                        qual = int(q.get("q", ["85"])[0])
+                        self._send(200, viewer.frame_jpeg(scale, qual),
+                                   "image/jpeg")
                     elif self.path.startswith("/state"):
                         from urllib.parse import parse_qs, urlparse
 

@@ -87,6 +87,10 @@ def main():
                 (scene.velocity[scene.active_indices()] != 0).any())
             has_boxm = bool(
                 (scene.prim_type[scene.active_indices()] == 5).any())
+            _idx0 = scene.active_indices()
+            has_rotm = bool(
+                (scene.edge2[_idx0][scene.prim_type[_idx0] == 5, 0]
+                 != 0).any())
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
@@ -113,7 +117,7 @@ def main():
                         atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
                         has_vattrs=t.vattrs, has_noise=has_noise,
                         has_media=has_media, has_motion=has_motion,
-                        has_boxm=has_boxm,
+                        has_boxm=has_boxm, has_rotm=has_rotm,
                     )
 
                 acc = cnt = 0.0
@@ -134,6 +138,7 @@ def main():
                     has_tris=has_tris, has_vattrs=t.vattrs,
                     has_noise=has_noise, has_media=has_media,
                     has_motion=has_motion, has_boxm=has_boxm,
+                    has_rotm=has_rotm,
                 )[: args.height, : args.width]
         else:
             r = Renderer(args.width, args.height, camera_model=cam_model)

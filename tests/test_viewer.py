@@ -371,6 +371,29 @@ def test_frame_scale_and_cache(served):
     assert get(port, "/frame.png?scale=2") == small
 
 
+def test_frame_jpeg_endpoint(served):
+    """/frame.jpg (round 5, the UI's default poll): valid JPEG at the
+    PNG's dimensions, visually the same frame (mean within a couple of
+    8-bit levels), cached between frames, and the q knob trades bytes."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    app, server, port = served
+    png = get(port, "/frame.png")
+    jpg = get(port, "/frame.jpg")
+    assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
+    ip = Image.open(_io.BytesIO(png)).convert("RGB")
+    ij = Image.open(_io.BytesIO(jpg))
+    assert ij.format == "JPEG" and ij.size == ip.size
+    a, b = np.asarray(ip, np.float32), np.asarray(ij, np.float32)
+    assert abs(a.mean() - b.mean()) < 3.0
+    assert get(port, "/frame.jpg") == jpg  # cache hit between frames
+    q30 = get(port, "/frame.jpg?q=30")
+    assert len(q30) < len(jpg)
+
+
 def test_console_filter_clear_copy(served):
     """Console panel parity (Console.h:41-82): server-side text filter on
     /state, a Clear action, and a /console.txt copy source — plus the page

@@ -102,6 +102,33 @@ def main():
         print(f"framebuffer_rgba8 denoise={enabled}: {ms:.1f} ms")
         out[key] = round(ms, 1)
 
+    # ---- viewer poll cost by FORMAT (round 5: /frame.jpg is the UI
+    # default) — decompose device pull vs encode, and the bytes that
+    # ride the browser link per poll
+    import io
+
+    from PIL import Image
+
+    rl.cfg.denoise = False
+    img = rl.framebuffer_rgba8()  # device pull timed above (fetch_raw_ms)
+
+    def enc(fmt, arr, mode, reps=5, **kw):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            buf = io.BytesIO()
+            Image.fromarray(arr, mode).save(buf, fmt, **kw)
+        return (time.perf_counter() - t0) / reps * 1000.0, len(
+            buf.getvalue())
+
+    png_ms, png_b = enc("PNG", img, "RGBA")
+    jpg_ms, jpg_b = enc("JPEG", img[..., :3], "RGB", quality=85)
+    print(f"encode PNG: {png_ms:.1f} ms / {png_b / 1e6:.2f} MB; "
+          f"JPEG q85: {jpg_ms:.1f} ms / {jpg_b / 1e6:.2f} MB")
+    print(f"poll total (pull+encode): png {out['fetch_raw_ms'] + png_ms:.1f}"
+          f" ms vs jpg {out['fetch_raw_ms'] + jpg_ms:.1f} ms")
+    out.update(png_encode_ms=round(png_ms, 1), png_bytes=png_b,
+               jpg_encode_ms=round(jpg_ms, 1), jpg_bytes=jpg_b)
+
     app.close()
     print(json.dumps(out))
 
