@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--only", default=None,
                     help="render just this registered scene")
+    ap.add_argument("--nee", action="store_true",
+                    help="render with the book-3 mixture estimator "
+                         "(writes <scene>_nee.png)")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +97,11 @@ def main():
             t = pack_scene_tables(scene, with_uv=has_images)
             tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
+            if args.nee:
+                from cudaraytracer_tpu.ops.sampling import pack_lights_np
+
+                cam_vec = jnp.concatenate([
+                    cam_vec, jnp.asarray(pack_lights_np(scene))])
             if has_images:
                 # image-texture lanes park once BOTH deferral records
                 # are consumed (counts per launch in [1, 2] here), so
@@ -118,6 +126,7 @@ def main():
                         has_vattrs=t.vattrs, has_noise=has_noise,
                         has_media=has_media, has_motion=has_motion,
                         has_boxm=has_boxm, has_rotm=has_rotm,
+                        has_nee=args.nee,
                     )
 
                 acc = cnt = 0.0
@@ -138,16 +147,18 @@ def main():
                     has_tris=has_tris, has_vattrs=t.vattrs,
                     has_noise=has_noise, has_media=has_media,
                     has_motion=has_motion, has_boxm=has_boxm,
-                    has_rotm=has_rotm,
+                    has_rotm=has_rotm, has_nee=args.nee,
                 )[: args.height, : args.width]
         else:
-            r = Renderer(args.width, args.height, camera_model=cam_model)
+            r = Renderer(args.width, args.height, camera_model=cam_model,
+                         nee=args.nee)
             bvh = build_bvh(scene)
             rad = r.render(sd, cam, rngu.base_key(), spp=spp,
                            max_depth=args.depth, bvh=bvh)
         img = np.asarray(pack_rgba8(rad, spp))
         dt = time.perf_counter() - t0
-        path = os.path.join(outdir, f"{name}.png")
+        suffix = "_nee" if args.nee else ""
+        path = os.path.join(outdir, f"{name}{suffix}.png")
         # two_plane framebuffers are bottom-up; look_at is top-down
         save_png(path, img, flip_vertical=(cam_model == "two_plane"))
         print(f"{name}: {dt:.1f}s -> {path}")

@@ -20,10 +20,13 @@ Usage: python tools/nee_probe.py [--width 512 --height 256 --depth 8]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def small_light_cornell():
