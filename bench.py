@@ -303,6 +303,9 @@ def main():
     p.add_argument("--nee", action="store_true",
                    help="RTOW book-3 mixture estimator in the megakernel "
                         "(light table appended to the camera vector)")
+    p.add_argument("--qmc", action="store_true",
+                   help="R2 low-discrepancy pixel jitter (ops/qmc.py); "
+                        "measures the has_qmc frame-cost premium")
     p.add_argument("--rr-start", dest="rr_start", type=int, default=2,
                    help="Russian-roulette start bounce for the pallas path "
                         "(unbiased; measured identical means at 16 spp); "
@@ -465,6 +468,7 @@ def main():
                 has_noise=has_noise, has_media=has_media,
                 has_motion=has_motion, has_boxm=has_boxm,
                 has_rotm=has_rotm, has_nee=has_nee,
+                has_qmc=bool(getattr(args, "qmc", False)),
             )
             if has_images:
                 img, _counts, nrays = out
@@ -503,6 +507,7 @@ def main():
                 width=args.width, height=args.height,
                 camera_model=camera_model, hit_fn=hit_fn, with_stats=True,
                 nee=bool(getattr(args, "nee", False)),
+                qmc=bool(getattr(args, "qmc", False)),
             )
             return rad, nrays
 

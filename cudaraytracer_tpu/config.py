@@ -68,6 +68,12 @@ class RenderConfig:
     #                    parity default, so opt-in.  Measured ~7x lower
     #                    block error at 16 spp on a small-light Cornell.
     nee_p: float = 0.5  # mixture weight toward light sampling
+    qmc: bool = False  # low-discrepancy pixel sampling (R2 sequence +
+    #                    per-pixel rotation, ops/qmc.py) in the megakernel
+    #                    AND the XLA paths — beyond-reference; screen-space
+    #                    error approaches O(1/N) instead of the reference's
+    #                    O(1/sqrt(N)) curand jitter.  Opt-in: a DIFFERENT
+    #                    (deterministic-jitter) sampler than parity.
     sync_every: int = 8  # fence the dispatch queue every N frames: each
     #                      fence costs a full host round trip (100-300 ms
     #                      over a tunneled link); 1 = fence every frame
@@ -110,6 +116,7 @@ def add_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--denoise-iters", dest="denoise_iters", type=int, default=d.denoise_iters)
     parser.add_argument("--nee", action="store_true", default=d.nee)
     parser.add_argument("--nee-p", dest="nee_p", type=float, default=d.nee_p)
+    parser.add_argument("--qmc", action="store_true", default=d.qmc)
     parser.add_argument("--no-progressive", dest="progressive", action="store_false", default=d.progressive)
     parser.add_argument("--progressive-spp", dest="progressive_spp", type=int, default=d.progressive_spp)
     parser.add_argument("--sync-every", dest="sync_every", type=int, default=d.sync_every)

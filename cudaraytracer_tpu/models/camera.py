@@ -98,13 +98,15 @@ def make_camera_params(
 
 def generate_rays_two_plane(
     cam: CameraParams, width: int, height: int, key: jax.Array,
-    y0=0, tile_h: int | None = None,
+    y0=0, tile_h: int | None = None, xi=None,
 ):
     """Jittered primary rays, reference two-plane model (Kernel.cu:130-148).
 
     Returns (org[R,3], dir[R,3]) with R = width*tile_h, row-major pixels.
     ``y0``/``tile_h`` select a horizontal band of the image (for multi-chip
-    row sharding); coordinates stay in the full-image frame.
+    row sharding); coordinates stay in the full-image frame.  ``xi``
+    (f32[2,tile_h,width], optional) overrides the pixel jitter — the QMC
+    sampler (ops/qmc.py) supplies low-discrepancy offsets this way.
     """
     if tile_h is None:
         tile_h = height
@@ -113,8 +115,9 @@ def generate_rays_two_plane(
     # key=None: deterministic pixel-CENTER rays (0.5 offsets) — the
     # G-buffer/feature passes use this so features are a pure function of
     # (scene, camera) with no pseudo-jitter at silhouettes
-    xi = (jnp.full((2, tile_h, width), 0.5, jnp.float32) if key is None
-          else jax.random.uniform(key, (2, tile_h, width)))
+    if xi is None:
+        xi = (jnp.full((2, tile_h, width), 0.5, jnp.float32) if key is None
+              else jax.random.uniform(key, (2, tile_h, width)))
     # u,v both divided by WIDTH, v measured downward from the image center
     # (Kernel.cu:139-140).
     u = ((x - width / 2.0) + xi[0]) / width  # [H,W]
@@ -158,12 +161,14 @@ def look_at_frame(cam: CameraParams, aspect: float):
 
 def generate_rays_look_at(
     cam: CameraParams, width: int, height: int, key: jax.Array,
-    y0=0, tile_h: int | None = None,
+    y0=0, tile_h: int | None = None, xi=None,
 ):
     """Jittered primary rays, standard RTOW thin-lens camera.
 
     forward/up/fov/aperture/focus_dist are read from ``cam``; fov is the
     vertical field of view.  Supports defocus blur when aperture > 0.
+    ``xi`` overrides the pixel jitter (QMC sampler); the lens-disk draw
+    stays PRNG-driven either way.
     """
     if tile_h is None:
         tile_h = height
@@ -174,11 +179,13 @@ def generate_rays_look_at(
     y = (jnp.arange(tile_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
     if key is None:
         # deterministic pixel-center PINHOLE rays (see two_plane note)
-        xi = jnp.full((2, tile_h, width), 0.5, jnp.float32)
+        if xi is None:
+            xi = jnp.full((2, tile_h, width), 0.5, jnp.float32)
         lens = jnp.zeros((tile_h, width, 3), jnp.float32)
     else:
         kj, ka = jax.random.split(key)
-        xi = jax.random.uniform(kj, (2, tile_h, width))
+        if xi is None:
+            xi = jax.random.uniform(kj, (2, tile_h, width))
         lens = (cam.aperture / 2.0) * rngu.in_unit_disk(ka, (tile_h, width))
     s = (x + xi[0]) / width  # [H,W] in [0,1)
     t = (height - 1.0 - y + xi[1]) / height  # image row 0 = top of screen

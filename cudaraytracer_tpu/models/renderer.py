@@ -244,6 +244,7 @@ def render_radiance(
     rr_start: int = 0,
     nee: bool = False,
     nee_p: float = 0.5,
+    qmc: bool = False,
 ):
     """Sum of ``spp`` radiance samples, f32[tile_h,W,3] (divide by spp to display).
 
@@ -252,11 +253,24 @@ def render_radiance(
     traced scalar so the UI slider costs no recompile.  ``y0``/``tile_h``
     render a horizontal band (multi-chip row sharding); ``sample_offset``
     shifts the sample counter so sample-sharded chips draw disjoint streams.
+    ``qmc`` (STATIC, like the estimator switch) replaces the PRNG pixel
+    jitter with the R2 low-discrepancy sequence (ops/qmc.py); the global
+    sample index is ``s + sample_offset``, so progressive callers MUST pass
+    the accumulated sample count as ``sample_offset`` to keep advancing the
+    sequence across frames (repeating indices would floor the error).
     """
     if tile_h is None:
         tile_h = height
     raygen = RAY_GENERATORS[camera_model]
     spp = jnp.asarray(spp, jnp.int32)
+    if qmc:
+        from ..ops import qmc as qmcm
+
+        xg = jnp.arange(width, dtype=jnp.float32)[None, :]
+        yg = (jnp.arange(tile_h, dtype=jnp.float32)
+              + jnp.asarray(y0, jnp.float32))[:, None]
+        xg, yg = jnp.broadcast_to(xg, (tile_h, width)), jnp.broadcast_to(
+            yg, (tile_h, width))
 
     def sample_body(s, carry):
         acc, total = carry
@@ -264,7 +278,13 @@ def render_radiance(
         # fold the row band in so tiles draw independent jitter streams
         skey = jax.random.fold_in(skey, jnp.asarray(y0, jnp.int32))
         k_pix, k_trace = jax.random.split(skey)
-        org, dirn = raygen(cam, width, height, k_pix, y0=y0, tile_h=tile_h)
+        xi = None
+        if qmc:
+            jx, jy = qmcm.qmc_jitter(
+                xg, yg, jnp.asarray(s + sample_offset, jnp.int32))
+            xi = jnp.stack([jx, jy])
+        org, dirn = raygen(cam, width, height, k_pix, y0=y0, tile_h=tile_h,
+                           xi=xi)
         rad, nrays = trace(
             scene, org, dirn, k_trace, max_depth,
             t_min=t_min, block=block, hit_fn=hit_fn, with_stats=True,
@@ -299,6 +319,7 @@ class Renderer:
         accel: str = "brute",
         nee: bool = False,
         nee_p: float = 0.5,
+        qmc: bool = False,
     ):
         self.width = int(width)
         self.height = int(height)
@@ -308,6 +329,7 @@ class Renderer:
         self.accel = accel
         self.nee = bool(nee)  # estimator switch: recompiles, like accel
         self.nee_p = float(nee_p)
+        self.qmc = bool(qmc)  # low-discrepancy pixel jitter (ops/qmc.py)
 
         def _make_hit_fn(scene, bvh):
             if bvh is None:
@@ -317,7 +339,8 @@ class Renderer:
             return make_bvh_hit_fn(bvh, scene, t_min=self.t_min)
 
         @functools.partial(jax.jit, static_argnames=("with_stats",))
-        def _render(scene, bvh, cam, key, spp, max_depth, with_stats=False):
+        def _render(scene, bvh, cam, key, spp, max_depth, with_stats=False,
+                    sample_offset=0):
             return render_radiance(
                 scene, cam, key, spp, max_depth,
                 width=self.width, height=self.height,
@@ -325,14 +348,19 @@ class Renderer:
                 t_min=self.t_min, block=self.block,
                 hit_fn=_make_hit_fn(scene, bvh),
                 with_stats=with_stats,
-                nee=self.nee, nee_p=self.nee_p,
+                nee=self.nee, nee_p=self.nee_p, qmc=self.qmc,
+                sample_offset=jnp.asarray(sample_offset, jnp.int32),
             )
 
         self._render = _render
 
         @jax.jit
-        def _accumulate(scene, bvh, cam, key, max_depth, accum):
-            rad = _render(scene, bvh, cam, key, 1, max_depth)
+        def _accumulate(scene, bvh, cam, key, max_depth, accum,
+                        sample_offset=0):
+            # progressive QMC: the caller passes its accumulated sample
+            # count so the R2 index keeps advancing across frames
+            rad = _render(scene, bvh, cam, key, 1, max_depth,
+                          sample_offset=sample_offset)
             return accum + rad
 
         self._accumulate = _accumulate
@@ -355,9 +383,14 @@ class Renderer:
         rad = self._render(scene, bvh, cam, key, spp, max_depth)
         return self._pack(rad, spp)
 
-    def accumulate(self, scene, cam, key, max_depth, accum, bvh=None):
-        """One progressive 1-spp sample added into ``accum`` (f32[H,W,3])."""
-        return self._accumulate(scene, bvh, cam, key, max_depth, accum)
+    def accumulate(self, scene, cam, key, max_depth, accum, bvh=None,
+                   sample_offset=0):
+        """One progressive 1-spp sample added into ``accum`` (f32[H,W,3]).
+
+        With ``qmc=True`` pass ``sample_offset`` = samples already in
+        ``accum`` so the low-discrepancy sequence advances across frames."""
+        return self._accumulate(scene, bvh, cam, key, max_depth, accum,
+                                sample_offset)
 
     def zeros_accum(self):
         return jnp.zeros((self.height, self.width, 3), jnp.float32)

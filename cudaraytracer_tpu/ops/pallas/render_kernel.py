@@ -47,6 +47,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import qmc as _qmc
+
 # ----------------------------------------------------------------- tables
 # Search table S: f32[16, NP] — one column per primitive (Morton-sorted).
 # Rows 13-15 hold the triangle's second edge (spare for other types).
@@ -1404,6 +1406,7 @@ def _render_kernel(
     has_rotm: bool = False,
     has_nee: bool = False,
     nee_p: float = 0.5,
+    has_qmc: bool = False,
 ):
     pi = pl.program_id(0)
     pj = pl.program_id(1)
@@ -1437,12 +1440,19 @@ def _render_kernel(
     def cam3(i):
         return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
 
-    def gen_ray():
-        """Fresh jittered primary ray for every lane's pixel (the per-sample
-        raygen of Kernel.cu:130-148); drawn in-loop so finished lanes can
-        start their next sample immediately (path regeneration)."""
-        jx = _u01(shape)
-        jy = _u01(shape)
+    if has_qmc:
+        # deterministic per-pixel Cranley-Patterson rotation (constant per
+        # lane across the whole launch — and across launches, so the R2
+        # sequence indexed by cnt_ref[6] + done keeps extending)
+        qrotx, qroty = _qmc.pixel_rotation(xs, ys)
+
+    def gen_ray(jx, jy):
+        """Fresh primary ray for every lane's pixel (the per-sample raygen
+        of Kernel.cu:130-148); called in-loop so finished lanes can start
+        their next sample immediately (path regeneration).  ``jx``/``jy``
+        are the pixel jitters — PRNG uniforms normally, R2 low-discrepancy
+        offsets under ``has_qmc`` (ops/qmc.py; computed by the caller
+        because the QMC index is the lane's done-count)."""
         if camera_model == "look_at":
             s = (xs + jx) * (1.0 / width)
             t = (height - 1.0 - ys + jy) * (1.0 / height)
@@ -1542,7 +1552,21 @@ def _render_kernel(
         # ---- path regeneration: a finished lane starts its next sample
         # immediately, so deep waves stay at full occupancy instead of
         # paying whole-tile vector cost for a few straggler paths ----
-        nox, noy, noz, ndx, ndy, ndz = gen_ray()
+        if has_qmc:
+            # R2 low-discrepancy jitter: global sample index = launch
+            # base + this lane's completed-sample count (ops/qmc.py;
+            # same formula as the XLA raygen, so the two paths trace
+            # IDENTICAL primary rays for identical indices)
+            m_idx = cnt_ref[6] + done_f.astype(jnp.int32)
+            fqx, fqy = _qmc.r2_frac(m_idx)
+            jx = qrotx + fqx
+            jx = jx - jnp.floor(jx)
+            jy = qroty + fqy
+            jy = jy - jnp.floor(jy)
+        else:
+            jx = _u01(shape)
+            jy = _u01(shape)
+        nox, noy, noz, ndx, ndy, ndz = gen_ray(jx, jy)
         need = (alive_f < 0.5) & (done_f < spp_f)
         if has_images:
             # the deferral records are single-use: a lane parks (stops
@@ -2493,6 +2517,11 @@ def pallas_render_sample(
     #                         camera vector with sampling.pack_lights_np
     #                         appended (SMEM light table)
     nee_p: float = 0.5,  # mixture weight toward light sampling
+    has_qmc: bool = False,  # R2 low-discrepancy pixel jitter (ops/qmc.py);
+    #                         pass sample_base = samples already accumulated
+    #                         so progressive launches extend the sequence
+    sample_base=0,  # i32 scalar: global sample index of this launch's
+    #                 first sample (traced; only read when has_qmc)
 ):
     """``spp`` samples per pixel via the megakernel -> f32[band_h, pad_w, 3]
     (the SUM over samples; divide by spp to display).
@@ -2580,6 +2609,7 @@ def pallas_render_sample(
         jnp.asarray(seed, jnp.int32),
         jnp.asarray(stream, jnp.int32),
         jnp.asarray(spp, jnp.int32),
+        jnp.asarray(sample_base, jnp.int32),
     ])
     statics = dict(
         tile_h=tile_h, tile_w=tile_w, width=width, height=height,
@@ -2589,6 +2619,7 @@ def pallas_render_sample(
         has_tris=has_tris, has_vattrs=has_vattrs, stream_b=stream_b,
         has_noise=has_noise, has_media=has_media, has_motion=has_motion,
         has_boxm=has_boxm, has_rotm=has_rotm, has_nee=has_nee, nee_p=nee_p,
+        has_qmc=has_qmc,
     )
     if tile_mask is not None:
         # adaptive sampling: a per-tile activity mask rides in SMEM; the

@@ -149,6 +149,8 @@ def render_sharded_pallas(
     has_rotm: bool = False,
     has_nee: bool = False,
     nee_p: float = 0.5,
+    has_qmc: bool = False,
+    sample_base=0,
 ):
     """Multi-chip megakernel frame: each chip renders its image band with
     the Pallas megakernel (ops/pallas/render_kernel.py), sample-parallel
@@ -209,7 +211,11 @@ def render_sharded_pallas(
             has_vattrs=has_vattrs, stream_b=stream_b,
             has_noise=has_noise, has_media=has_media,
             has_motion=has_motion, has_boxm=has_boxm, has_rotm=has_rotm,
-            has_nee=has_nee, nee_p=nee_p,
+            has_nee=has_nee, nee_p=nee_p, has_qmc=has_qmc,
+            # under QMC each sample-stream chip draws a DISJOINT slice of
+            # the R2 sequence (base + si*spp); progressive callers advance
+            # sample_base by spp * n_samples per frame
+            sample_base=sample_base + si * spp,
             # distinct PRNG stream per (band, sample-stream) device, mixed
             # with the frame seed and tile id in-kernel (collision-free)
             stream=ri * n_samp + si,

@@ -147,6 +147,7 @@ class RenderLayer(Layer):
                 t_min=self.cfg.t_min, block=self.cfg.block,
                 nee=getattr(self.cfg, "nee", False),
                 nee_p=getattr(self.cfg, "nee_p", 0.5),
+                qmc=getattr(self.cfg, "qmc", False),
             )
             self._pallas = None
             self._wavefront = None
@@ -175,6 +176,7 @@ class RenderLayer(Layer):
             cfg.width, cfg.height, camera_model=cfg.camera_model,
             t_min=cfg.t_min, block=cfg.block,
             nee=getattr(cfg, "nee", False), nee_p=getattr(cfg, "nee_p", 0.5),
+            qmc=getattr(cfg, "qmc", False),
         )
         import jax
 
@@ -287,6 +289,7 @@ class RenderLayer(Layer):
             t_min=self.cfg.t_min, block=self.cfg.block,
             nee=getattr(self.cfg, "nee", False),
             nee_p=getattr(self.cfg, "nee_p", 0.5),
+            qmc=getattr(self.cfg, "qmc", False),
         )
         # a new shape always means a new executable on every accel path
         self._fence_graced = False
@@ -343,13 +346,14 @@ class RenderLayer(Layer):
                 batch = max(1, int(getattr(cfg, "progressive_spp", 1)))
                 self._accum, self._counts = self._pallas.accumulate(
                     cam, self._frame_index, cfg.max_depth, self._accum,
-                    self._counts, spp=batch
+                    self._counts, spp=batch, sample_base=self._spp_done
                 )
                 self._spp_done += batch - 1
             else:
                 batch = 1
                 self._accum = self.renderer.accumulate(
-                    self._sd, cam, fkey, cfg.max_depth, self._accum, bvh=self._bvh
+                    self._sd, cam, fkey, cfg.max_depth, self._accum,
+                    bvh=self._bvh, sample_offset=self._spp_done
                 )
             self._spp_done += 1
             # primary count, spp-batch aware.  For image scenes lanes
@@ -648,7 +652,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                  interpret_ctx, has_tris=False, has_vattrs=False,
                  adaptive=False, stream_b=0, has_noise=False,
                  has_media=False, has_motion=False, has_boxm=False,
-                 has_rotm=False, has_nee=False, nee_p=0.5):
+                 has_rotm=False, has_nee=False, nee_p=0.5, has_qmc=False):
     """Jitted megakernel step, cached by its STATIC configuration.
 
     The pipeline is rebuilt on every scene edit (the reference's drag-edit
@@ -686,8 +690,8 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
 
         @jax.jit
         def _step_adaptive(S, P, C, SC, n_super, cam_vec, seed, depth, spp,
-                           accum, caccum, s1, s2, nlaunch, mask, tau, nmin,
-                           q, *atl):
+                           sbase, accum, caccum, s1, s2, nlaunch, mask, tau,
+                           nmin, q, *atl):
             out = pallas_render_sample(
                 S, P, C, SC, n_super, cam_vec, seed, depth,
                 width=width, height=height,
@@ -702,6 +706,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
                 has_noise=has_noise, has_media=has_media,
                 has_motion=has_motion, has_boxm=has_boxm,
                 has_rotm=has_rotm, has_nee=has_nee, nee_p=nee_p,
+                has_qmc=has_qmc, sample_base=sbase,
             )
             act = tile_activity_plane(
                 mask, (gi, gj), tile_h, tile_w)[:height, :width]
@@ -765,7 +770,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
         return _step_adaptive
 
     @jax.jit
-    def _step(S, P, C, SC, n_super, cam_vec, seed, depth, spp,
+    def _step(S, P, C, SC, n_super, cam_vec, seed, depth, spp, sbase,
               accum, caccum, *atl):
         # the camera vector is packed on the HOST (pack_camera_np) and
         # enters as ONE f32[38] argument per frame: eager per-frame jnp
@@ -789,6 +794,7 @@ def _pallas_step(width, height, wpad, hpad, camera_model, tile_h, tile_w,
             has_vattrs=has_vattrs, stream_b=stream_b, has_noise=has_noise,
             has_media=has_media, has_motion=has_motion, has_boxm=has_boxm,
             has_rotm=has_rotm, has_nee=has_nee, nee_p=nee_p,
+            has_qmc=has_qmc, sample_base=sbase,
         )
         if has_images:
             rad, counts = out
@@ -888,6 +894,8 @@ class _PallasPipeline:
         # light table as SMEM scalars appended to the camera vector —
         # host-packed per pipeline rebuild (edits rebuild the pipeline)
         self.has_nee = bool(getattr(cfg, "nee", False))
+        # R2 low-discrepancy pixel jitter (ops/qmc.py; STATIC like nee)
+        self.has_qmc = bool(getattr(cfg, "qmc", False))
         self._lights_np = None
         if self.has_nee:
             from ..ops.sampling import pack_lights_np
@@ -926,7 +934,7 @@ class _PallasPipeline:
             _tpu_interpret_mode_active(), has_tris, t.vattrs,
             self.adaptive, self.stream_b, self.has_noise, self.has_media,
             self.has_motion, self.has_boxm, self.has_rotm, self.has_nee,
-            float(getattr(cfg, "nee_p", 0.5)))
+            float(getattr(cfg, "nee_p", 0.5)), self.has_qmc)
         if self.adaptive:
             self._zero_stats = None  # cached zeroed stat planes (immutable)
             self.reset_adaptive()
@@ -997,12 +1005,14 @@ class _PallasPipeline:
                     *self._atlas)
 
     def accumulate(self, cam, frame_index: int, max_depth: int, accum,
-                   caccum, spp: int = 1):
+                   caccum, spp: int = 1, sample_base: int = 0):
         """Add ``spp`` megakernel samples to ``accum`` (radiance sums) and
         ``caccum`` (per-pixel sample counts; only meaningful for image
         scenes — lanes park once both deferral records are consumed, so
         counts per launch lie in [1, spp]).  Display = accum / counts
-        (the Wald-consistent ratio)."""
+        (the Wald-consistent ratio).  ``sample_base`` = samples already in
+        ``accum``: under cfg.qmc it advances the R2 sequence across frames
+        (only read when the qmc static flag is on)."""
         # injective in frame_index; tile/band decorrelation happens in-kernel
         # via tuple-mixed prng_seed
         from ..ops.pallas.render_kernel import pack_camera_np
@@ -1024,7 +1034,7 @@ class _PallasPipeline:
             (accum, caccum, self._s1, self._s2, self._nlaunch,
              self._mask) = self._step(
                 *self._tabs, _np.int32(self._n_super), cam_vec,
-                seed, max_depth, spp, accum, caccum,
+                seed, max_depth, spp, _np.int32(sample_base), accum, caccum,
                 self._s1, self._s2, self._nlaunch, self._mask,
                 _np.float32(getattr(self._cfg, "adaptive_tau", 0.02)),
                 _np.float32(getattr(self._cfg, "adaptive_min", 8)),
@@ -1032,7 +1042,8 @@ class _PallasPipeline:
                 *self._atlas)
             return accum, caccum
         return self._step(*self._tabs, _np.int32(self._n_super), cam_vec,
-                          seed, max_depth, spp, accum, caccum, *self._atlas)
+                          seed, max_depth, spp, _np.int32(sample_base),
+                          accum, caccum, *self._atlas)
 
 
 class Application:

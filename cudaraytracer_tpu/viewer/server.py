@@ -77,6 +77,9 @@ input[type=number]{width:56px} input[type=range]{width:90px;vertical-align:middl
  <div><label title="RTOW book-3 importance-sampled light transport (cosine/light-solid-angle mixture for lambertian). A DIFFERENT estimator than the reference-parity default; toggling recompiles the pipeline (one-time, shown in the log)">
   <input id=nee type=checkbox onchange="post('/options',{nee:this.checked})"> importance sampling (NEE)</label>
  </div>
+ <div><label title="R2 low-discrepancy pixel jitter (QMC): screen-space error approaches O(1/N) instead of O(1/sqrt(N)). A DIFFERENT (deterministic) pixel sampler than the reference-parity PRNG; toggling recompiles the pipeline (one-time, shown in the log)">
+  <input id=qmc type=checkbox onchange="post('/options',{qmc:this.checked})"> low-discrepancy sampling (QMC)</label>
+ </div>
  <div>lens <input id=apert type=number min=0 step=0.02 title="aperture (defocus blur; look_at scenes)">
   focus <input id=fdist type=number min=0.1 step=0.5 title="focus distance">
   <button onclick="post('/options',{aperture:+document.getElementById('apert').value,focus_dist:+document.getElementById('fdist').value})">set</button>
@@ -215,6 +218,7 @@ async function state(){try{const r=await fetch('/state?filter='+encodeURICompone
  if(document.activeElement.id!=='adp')document.getElementById('adp').checked=!!s.options.adaptive;
  if(document.activeElement.id!=='dns')document.getElementById('dns').checked=!!s.options.denoise;
  if(document.activeElement.id!=='nee')document.getElementById('nee').checked=!!s.options.nee;
+ if(document.activeElement.id!=='qmc')document.getElementById('qmc').checked=!!s.options.qmc;
  document.getElementById('adpf').textContent=s.options.adaptive&&s.options.active_tiles!=null?s.options.active_tiles+'% tiles active':'';
  for(const [el,v] of [['cx',s.camera.position[0]],['cy',s.camera.position[1]],['cz',s.camera.position[2]],
   ['cyaw',s.camera.yaw],['cpitch',s.camera.pitch],['cfov',s.camera.fov]])
@@ -350,6 +354,7 @@ class ViewerServer:
                 "adaptive": bool(getattr(rl.cfg, "adaptive", False)),
                 "denoise": bool(getattr(rl.cfg, "denoise", False)),
                 "nee": bool(getattr(rl.cfg, "nee", False)),
+                "qmc": bool(getattr(rl.cfg, "qmc", False)),
                 # one small device fetch per state poll, only in adaptive
                 # mode (the mask lives on device; see active_fraction)
                 "active_tiles": (
@@ -560,6 +565,18 @@ class ViewerServer:
                     rtlog.rt_warn(
                         "wavefront accel keeps the parity estimator; "
                         "NEE applies to pallas/bvh/brute paths")
+        if "qmc" in data:
+            want = bool(data["qmc"])
+            if want != bool(getattr(rl.cfg, "qmc", False)):
+                # the pixel sampler is STATIC (has_qmc compiles the R2
+                # jitter into the kernel/XLA raygen): rebuild via the
+                # scene-resync lever, same as the NEE estimator toggle.
+                rl.cfg.qmc = want
+                rl._scene_version = -1
+                rtlog.rt_info(
+                    "Low-discrepancy pixel sampling (QMC) %s — pipeline "
+                    "recompiles once (sampler is a static graph switch)",
+                    "enabled" if want else "disabled")
         if "aperture" in data or "focus_dist" in data:
             # thin-lens defocus blur (look_at camera; RTOW 12.2 semantics).
             # aperture/focus ride the per-frame camera vector — a traced

@@ -396,7 +396,7 @@ def test_step_lowering_embeds_no_device_constants():
             rl.cfg.width, rl.cfg.height, rl.cfg.t_min)
         lowered = pl_pipe._step.lower(
             *pl_pipe._tabs, jnp.int32(pl_pipe._n_super), cam_vec,
-            jnp.int32(1), jnp.int32(2), jnp.int32(1),
+            jnp.int32(1), jnp.int32(2), jnp.int32(1), jnp.int32(0),
             rl._accum, rl._counts, *pl_pipe._atlas,
         )
         text = lowered.as_text()
