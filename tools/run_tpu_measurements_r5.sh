@@ -50,4 +50,10 @@ run python tools/gbuffer_probe.py
 # 8. display poll decomposition on the big streamed scene
 run python tools/denoise_probe.py --scene terrain_big
 
+# QMC: megakernel==XLA R2 raygen contract + the honest payoff probe
+# (banked verdict: a wash at depth 12 — see BASELINE.md)
+run env CRT_TPU_TESTS=1 python -m pytest -q -p no:cacheprovider \
+    tests/test_qmc.py::test_kernel_qmc_matches_xla_qmc_tpu
+run python tools/qmc_probe.py
+
 echo "results in $OUT"
