@@ -393,7 +393,7 @@ def main():
             fits_megakernel, pack_stream_tiles)
 
         stream_b = 0
-        if not fits_megakernel(scene.num_active, t.vattrs):
+        if not fits_megakernel(scene.num_active, t.vattrs, tables=t):
             st = pack_stream_tiles(t)
             stream_b = st.block_b
             n_super = st.n_blocks

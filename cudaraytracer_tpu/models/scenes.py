@@ -655,9 +655,11 @@ def book2_final_scene(seed: int = 1984, capacity: int = 8192,
 
     Exercises has_tris + has_images + has_noise + has_media + has_motion
     compiled together in the megakernel (the full static-flag matrix;
-    tests/test_nee_kernel.py compiles it through the kernel).  At ~5.8k
-    prims it renders RESIDENT in every configuration (under both the
-    10,144 plain and the 6,064 vattr SMEM ceilings)."""
+    tests/test_nee_kernel.py compiles it through the kernel).  Its 5,809
+    prims pack to a 951.6 KB table (images+motion add P rows; kind-
+    segregated Morton clusters pad to 8,400 columns) that Mosaic REJECTS
+    resident on v5e (measured round 5), so the pipeline's byte-accurate
+    fits_megakernel routes it to the HBM-STREAMED layout."""
     from ..utils import mesh
 
     rnd = np.random.RandomState(seed).random_sample

@@ -108,16 +108,54 @@ P_ROWS_UV = 9
 # BASELINE.md "SMEM primitive ceiling"): the S/P/cluster/super tables are
 # SMEM-resident (dynamic per-prim scalar loads), so megakernel capacity is
 # scalar-memory-bound, not HBM-bound.  Scenes beyond the ceiling render on
-# the XLA skip-link BVH path (log-depth traversal, arbitrary prim count).
+# the HBM-streamed megakernel layout (pack_stream_tiles).
 SMEM_PRIM_CEILING = {"plain": 10144, "vattr": 6064}
+# Byte-denominated SMEM table budget for NON-probe layouts, anchored at
+# the heaviest measured-OK point: the vattr bisection ceiling (6,064 prims
+# = 6,076 padded cols x 34 rows + cluster/super/scratch = 834,172 B
+# compiled and ran on v5e).  Prim COUNT is the wrong unit once feature
+# flags add P rows and kind-segregated clusters pad columns: the round-5
+# book2_final all-flags table (28 rows x 8,400 cols for 5,809 prims =
+# 951,600 B) Mosaic-FAILED on v5e while the plain probe passed at
+# 948,164 B — the compile budget is byte-bound with a branch-dependent
+# compiler-scalar overhead, so non-probe layouts get the conservative
+# vattr-anchored budget (its bisection FAIL bound was <= ~888 KB).
+SMEM_TABLE_BUDGET = 834_172
 
 
-def fits_megakernel(n_active: int, has_vattrs: bool) -> bool:
-    """Conservative pre-check (96% of the bisected ceiling) that a scene's
-    packed tables fit the megakernel's SMEM.  Used by accel='auto'/'pallas'
-    routing so an oversized scene goes straight to the BVH path instead of
-    paying a failed (minutes-long, over a tunneled link) Mosaic compile;
-    the reactive try/except fallback in viewer/app.py stays as backstop."""
+def table_smem_bytes(tables: "SceneTables") -> int:
+    """SMEM footprint of a packed resident-layout table set: S + P tables
+    (4 B x rows x padded cols), cluster/super AABB tables, and the
+    supercluster visit-order scratch (one f32 + one i32 per super)."""
+    s_rows, cols = tables.S.shape
+    p_rows = tables.P.shape[0]
+    n_sup = tables.supers.shape[1]
+    return 4 * ((s_rows + p_rows) * cols + tables.clusters.size
+                + tables.supers.size + 2 * n_sup)
+
+
+def fits_megakernel(n_active: int, has_vattrs: bool,
+                    tables: "SceneTables | None" = None) -> bool:
+    """Conservative pre-check (96% of the measured ceiling) that a scene's
+    packed tables fit the resident megakernel's SMEM.  Used by
+    accel='auto'/'pallas' routing so an oversized scene goes straight to
+    the streamed layout instead of paying a failed (minutes-long, over a
+    tunneled link) Mosaic compile; the reactive try/except fallback in
+    viewer/app.py stays as backstop.
+
+    With ``tables`` (the packed SceneTables) the check is BYTE-accurate:
+    feature flags add P rows (motion +3, images +2..) and kind-segregated
+    Morton clusters pad columns well past n_active (book2_final: 5,809
+    prims -> 8,400 cols), so only the packed shapes know the footprint.
+    The two bisected probe layouts keep their measured prim ceilings;
+    everything else is held to SMEM_TABLE_BUDGET.  Without ``tables``
+    (legacy callers/tests) the prim-count rule applies unchanged."""
+    if tables is not None:
+        p_rows = tables.P.shape[0]
+        if p_rows == P_ROWS and not has_vattrs:
+            # the plain probe layout: measured to 10,144 prims directly
+            return n_active <= int(SMEM_PRIM_CEILING["plain"] * 0.96)
+        return table_smem_bytes(tables) <= int(SMEM_TABLE_BUDGET * 0.96)
     ceiling = SMEM_PRIM_CEILING["vattr" if has_vattrs else "plain"]
     return n_active <= int(ceiling * 0.96)
 # Per-vertex mesh attributes (BEYOND-REFERENCE, scene.has_vertex_attrs)

@@ -196,22 +196,6 @@ class RenderLayer(Layer):
             if self.cfg.accel == "bvh":
                 self._bvh = build_bvh(self.scene)
             if self.cfg.accel == "pallas":
-                from ..ops.pallas.render_kernel import fits_megakernel
-
-                if not fits_megakernel(self.scene.num_active,
-                                       self.scene.has_vertex_attrs):
-                    # beyond the measured SMEM table ceiling: the pipeline
-                    # switches to the HBM-STREAMED table layout (block
-                    # tiles DMA'd through double-buffered SMEM scratch,
-                    # measured bit-identical at ~1.2x the resident cost on
-                    # fits-SMEM scenes; BASELINE.md "Streamed megakernel")
-                    rtlog.rt_info(
-                        "Scene (%d prims%s) exceeds the resident SMEM "
-                        "ceiling; megakernel will stream block tiles "
-                        "from HBM",
-                        self.scene.num_active,
-                        ", vattr" if self.scene.has_vertex_attrs else "")
-            if self.cfg.accel == "pallas":
                 try:
                     # a _pallas_step cache miss here means the pipeline just
                     # created a FRESH jitted step (new shape/flag combo) —
@@ -851,7 +835,21 @@ class _PallasPipeline:
                                                 pack_stream_tiles)
 
         self.stream_b = 0
-        if not fits_megakernel(scene.num_active, t.vattrs):
+        if not fits_megakernel(scene.num_active, t.vattrs, tables=t):
+            # beyond the measured SMEM table budget (byte-accurate: feature
+            # flags add P rows and kind-segregated clusters pad columns —
+            # book2_final's 5,809 prims pack to a 951.6 KB table that
+            # Mosaic-rejects resident): switch to the HBM-STREAMED layout
+            # (block tiles DMA'd through double-buffered SMEM scratch,
+            # bit-identical radiance at ~1.2x the resident cost;
+            # BASELINE.md "Streamed megakernel")
+            from ..ops.pallas.render_kernel import table_smem_bytes
+
+            rtlog.rt_info(
+                "Scene (%d prims -> %.0f KB packed tables%s) exceeds the "
+                "resident SMEM budget; megakernel streams block tiles "
+                "from HBM", scene.num_active, table_smem_bytes(t) / 1024,
+                ", vattr" if t.vattrs else "")
             st = pack_stream_tiles(t)
             self.stream_b = st.block_b
             n_super = st.n_blocks  # the traced count is BLOCKS here

@@ -58,20 +58,18 @@ def main():
         scene = make_scene()
         cam = make_cam()
         sd = scene.device()
-        # beyond the megakernel SMEM ceiling (terrain_big, 20k tris): the
-        # BVH path renders it on either backend, but it is gather-bound
-        # on TPU and O(minutes) on CPU at gallery spp — 1 spp only
+        # beyond the megakernel SMEM budget (terrain_big 20k tris,
+        # book2_final's all-flags table): TPU streams block tiles from
+        # HBM at full spp; CPU would take O(tens of minutes) — skip
         oversized = not fits_megakernel(scene.num_active,
                                         scene.has_vertex_attrs)
         if oversized and not on_tpu:
-            # O(tens of minutes) on the CPU wavefront at 20k tris — the
-            # checked-in terrain_big.png is the TPU BVH-path render
             print(f"{name}: skipped on cpu (beyond-SMEM scene; "
                   f"render with --tpu)")
             continue
-        spp = 1 if oversized else args.spp
+        spp = args.spp
         t0 = time.perf_counter()
-        if on_tpu and not oversized:
+        if on_tpu:
             # the fast path: Pallas megakernel, all spp in one launch
             from cudaraytracer_tpu.ops.pallas.render_kernel import (
                 pack_camera, pack_scene_tables, pallas_render_sample)
@@ -95,7 +93,19 @@ def main():
                 (scene.edge2[_idx0][scene.prim_type[_idx0] == 5, 0]
                  != 0).any())
             t = pack_scene_tables(scene, with_uv=has_images)
-            tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+            # beyond-SMEM scenes render on the HBM-streamed layout —
+            # bit-identical radiance, full gallery spp (this is how the
+            # checked-in terrain_big.png and book2_final.png are made)
+            from cudaraytracer_tpu.ops.pallas.render_kernel import (
+                pack_stream_tiles)
+
+            stream_b, n_sup, tile_w = 0, t.n_super, 256
+            raw = (t.S, t.P, t.clusters, t.supers)
+            if not fits_megakernel(scene.num_active, t.vattrs, tables=t):
+                st = pack_stream_tiles(t)
+                stream_b, n_sup, tile_w = st.block_b, st.n_blocks, 128
+                raw = (st.tiles, st.block_boxes, st.clusters, st.supers)
+            tabs = tuple(jnp.asarray(x) for x in raw)
             cam_vec = pack_camera(cam, sd, args.width, args.height, 1e-3)
             if args.nee:
                 from cudaraytracer_tpu.ops.sampling import pack_lights_np
@@ -112,7 +122,6 @@ def main():
 
                 atlas = jnp.asarray(scene.atlas)
                 tex_hw = jnp.asarray(scene.tex_hw)
-                n_sup = t.n_super
 
                 # device arrays enter jit as arguments, never closures (a
                 # captured device array is fetched device->host at lowering)
@@ -122,6 +131,7 @@ def main():
                         *tabs, n_sup, cam_vec, seed, args.depth,
                         width=args.width, height=args.height,
                         camera_model=cam_model, spp=1, rr_start=2,
+                        tile_w=tile_w, stream_b=stream_b,
                         atlas=atlas, tex_hw=tex_hw, has_tris=has_tris,
                         has_vattrs=t.vattrs, has_noise=has_noise,
                         has_media=has_media, has_motion=has_motion,
@@ -141,9 +151,10 @@ def main():
                        * args.spp)[: args.height, : args.width]
             else:
                 rad = pallas_render_sample(
-                    *tabs, t.n_super, cam_vec, 7, args.depth,
+                    *tabs, n_sup, cam_vec, 7, args.depth,
                     width=args.width, height=args.height,
                     camera_model=cam_model, spp=args.spp, rr_start=2,
+                    tile_w=tile_w, stream_b=stream_b,
                     has_tris=has_tris, has_vattrs=t.vattrs,
                     has_noise=has_noise, has_media=has_media,
                     has_motion=has_motion, has_boxm=has_boxm,

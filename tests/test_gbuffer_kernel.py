@@ -172,7 +172,8 @@ def test_viewer_gbuffer_routes_through_megakernel(monkeypatch):
 
     monkeypatch.setattr(gb_mod, "gbuffer_step", spy)
     # force the streamed layout so this covers the 20k-prim-class routing
-    monkeypatch.setattr(rk, "fits_megakernel", lambda n, v: False)
+    monkeypatch.setattr(rk, "fits_megakernel",
+                        lambda n, v, tables=None: False)
     cfg = small_cfg(accel="pallas", width=128, height=16, denoise=True)
     app = Application(cfg)
     with pltpu.force_tpu_interpret_mode():

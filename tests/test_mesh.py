@@ -584,3 +584,40 @@ def test_oversized_scene_streams_on_megakernel():
     # test_stream.py::test_renderlayer_streams_beyond_ceiling — running
     # a 5.8k-prim streamed kernel in interpret mode here would cost
     # minutes for no extra coverage)
+
+
+def test_fits_megakernel_is_byte_accurate_with_tables():
+    """The resident/streamed routing must be BYTE-accurate when the packed
+    tables are available: feature flags add P rows (images +2, motion +3)
+    and kind-segregated Morton clusters pad columns well past num_active,
+    so a prim-count rule under-estimates SMEM.  The measured round-5
+    failure: book2_final (5,809 prims, all flags) packs to a 951,600 B
+    table that Mosaic REJECTS on v5e while the prim-count rule said
+    'resident' — it must route streamed."""
+    from cudaraytracer_tpu.models import scenes as scn
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        SMEM_PRIM_CEILING, SMEM_TABLE_BUDGET, fits_megakernel,
+        pack_scene_tables, table_smem_bytes)
+
+    sc = scn.book2_final_scene()
+    t = pack_scene_tables(sc, with_uv=True)
+    # the measured hardware-failure shape: 28 rows x 8,400 cols = 951.6 KB
+    assert t.S.shape[1] > sc.num_active  # cluster padding is real
+    assert table_smem_bytes(t) > SMEM_TABLE_BUDGET
+    assert fits_megakernel(sc.num_active, t.vattrs)  # the old rule lied
+    assert not fits_megakernel(sc.num_active, t.vattrs, tables=t)
+
+    # a small all-flags scene still fits resident
+    sm = scn.book2_final_scene(boxes_per_side=3, cluster_spheres=8,
+                               capacity=256)
+    ts = pack_scene_tables(sm, with_uv=True)
+    assert fits_megakernel(sm.num_active, ts.vattrs, tables=ts)
+
+    # the plain probe layout (P_ROWS, no vattrs) keeps its measured
+    # 10,144-prim ceiling rather than the conservative byte budget
+    sp = scn.rtow_final_scene()
+    tp = pack_scene_tables(sp, with_uv=False)
+    assert tp.P.shape[0] == 7
+    assert fits_megakernel(sp.num_active, tp.vattrs, tables=tp)
+    assert not fits_megakernel(SMEM_PRIM_CEILING["plain"] + 1, False,
+                               tables=tp)

@@ -127,7 +127,8 @@ def test_renderlayer_streams_beyond_ceiling(monkeypatch, tmp_path):
     from cudaraytracer_tpu.viewer.app import Application
     from tests.test_app import small_cfg
 
-    monkeypatch.setattr(rk, "fits_megakernel", lambda n, v: False)
+    monkeypatch.setattr(rk, "fits_megakernel",
+                        lambda n, v, tables=None: False)
     app = Application(small_cfg(accel="pallas", width=128, height=16))
     with pltpu.force_tpu_interpret_mode():
         rl = app.setup_default_layers()
@@ -193,7 +194,8 @@ def test_stream_adaptive_app_e2e(monkeypatch):
     from cudaraytracer_tpu.viewer.app import Application
     from tests.test_app import small_cfg
 
-    monkeypatch.setattr(rk, "fits_megakernel", lambda n, v: False)
+    monkeypatch.setattr(rk, "fits_megakernel",
+                        lambda n, v, tables=None: False)
     frames, amin = 5, 3
     cfg = small_cfg(accel="pallas", width=128, height=16,
                     adaptive=True, adaptive_min=amin, adaptive_tau=0.05,
