@@ -56,4 +56,10 @@ run env CRT_TPU_TESTS=1 python -m pytest -q -p no:cacheprovider \
     tests/test_qmc.py::test_kernel_qmc_matches_xla_qmc_tpu
 run python tools/qmc_probe.py
 
+# book2_final capstone (all static flags in ONE kernel; its 951.6 KB
+# table overflows resident SMEM and routes to the HBM-streamed layout —
+# BASELINE.md "SMEM primitive ceiling" round-5 addendum)
+run python examples/render_gallery.py --tpu --only book2_final --spp 256
+run python bench.py --scene book2_final
+
 echo "results in $OUT"
