@@ -18,7 +18,7 @@ from cudaraytracer_tpu.models import scenes
 
 
 def _render_both(scene, cam_obj, camera_model, with_uv=False, depth=3,
-                 spp=1, W=128, H=16):
+                 spp=1, W=128, H=16, nee=False, **extra_kw):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
 
@@ -31,11 +31,16 @@ def _render_both(scene, cam_obj, camera_model, with_uv=False, depth=3,
     st = pack_stream_tiles(t)
     cam = pack_camera_np(cam_obj, scene.background_start,
                          scene.background_end, W, H, 1e-3)
+    if nee:
+        from cudaraytracer_tpu.ops.sampling import pack_lights_np
+
+        cam = np.concatenate([cam, pack_lights_np(scene)])
     has_tris = bool((np.asarray(scene.prim_type) == 4).any())
     kw = dict(width=W, height=H, camera_model=camera_model, tile_h=16,
               tile_w=128, has_rects=True, cluster=t.cluster,
-              super_=t.super_, interpret=True, spp=spp,
+              super_=t.super_, interpret=True, spp=spp, has_nee=nee,
               has_tris=has_tris, has_vattrs=has_vattrs and t.vattrs)
+    kw.update(extra_kw)
     if with_uv:
         kw.update(atlas=jnp.asarray(scene.atlas),
                   tex_hw=jnp.asarray(scene.tex_hw))
@@ -114,6 +119,36 @@ def test_stream_bit_identical_vattr_images():
     a, b, st = _render_both(scene, cam, "look_at", with_uv=True, depth=2,
                             W=64, H=16)
     assert a.mean() > 0.01
+    assert np.abs(a - b).max() == 0.0
+
+
+@pytest.mark.slow
+def test_stream_bit_identical_all_feature_flags():
+    """Every round-4/5 static branch (nee + noise + media + motion +
+    rotated box media) compiled into ONE streamed kernel must reproduce
+    the resident all-flags kernel bit-for-bit — the book2_final class
+    (round-5 measured: all-flags tables overflow resident SMEM and route
+    streamed, so this combination IS the production streamed kernel).
+    Single-chip on purpose: sharded x streamed x all-flags in interpret
+    mode is a measured >17x interpret-only slowdown."""
+    from cudaraytracer_tpu.models.scene import Scene
+
+    sc = Scene(capacity=64, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    sc.add_xz_rect((0.0, 4.0, -3.0), 2.5, 2.5, mat_type=3, light=5.0)
+    sc.add_xz_rect((0.0, 0.0, 0.0), 20.0, 20.0, albedo=(0.6, 0.6, 0.6))
+    sc.add_sphere((-1.5, 1.0, -3.0), 1.0, albedo=(0.7, 0.4, 0.3),
+                  tex_type=3, tex_id=2)  # marble noise
+    sc.add_moving_sphere((1.5, 1.0, -3.0), (1.8, 1.0, -3.0), 0.8,
+                         albedo=(0.3, 0.5, 0.8))
+    sc.add_medium_box((0.0, 1.0, -5.0), (2.0, 2.0, 2.0), density=1.0,
+                      yaw=0.3, albedo=(0.2, 0.2, 0.2))
+    a, b, st = _render_both(
+        sc, scenes.cornell_like_camera(), "two_plane", nee=True,
+        has_noise=True, has_media=True, has_motion=True,
+        has_boxm=True, has_rotm=True)
+    assert np.isfinite(a).all()
+    assert a.mean() > 1e-4  # lit through the NEE table
     assert np.abs(a - b).max() == 0.0
 
 
