@@ -650,8 +650,10 @@ def book2_final_scene(seed: int = 1984, capacity: int = 8192,
       * the earth (procedural globe IMAGE texture) and a marble NOISE
         sphere
       * a cluster of ~1000 small white spheres (the book's rotated box
-        of spheres, placed axis-aligned — documented simplification,
-        like cornell_smoke's boxes)
+        of spheres, placed axis-aligned — a documented simplification;
+        individual spheres are rotation-invariant so only the cluster
+        FOOTPRINT differs.  cornell_smoke's medium boxes, by contrast,
+        carry the book's true yaw rotations since round 5)
 
     Exercises has_tris + has_images + has_noise + has_media + has_motion
     compiled together in the megakernel (the full static-flag matrix;
