@@ -446,6 +446,7 @@ def main():
                 has_noise=has_noise, has_media=has_media,
                 has_motion=has_motion, has_boxm=has_boxm,
                 has_rotm=has_rotm, has_nee=has_nee,
+                has_qmc=bool(getattr(args, "qmc", False)),
             )[-1]
 
         @jax.jit

@@ -731,6 +731,37 @@ def book2_final_camera(**kw):
                               fov_deg=40.0, **kw)
 
 
+def all_feature_probe_scene(capacity: int = 64) -> Scene:
+    """The canonical all-static-flags probe: one tiny scene whose packed
+    tables compile every beyond-reference kernel branch together —
+    has_nee (emissive rect -> light table) + has_noise (marble sphere) +
+    has_motion (mover) + has_media (medium sphere) + has_boxm/has_rotm
+    (yaw-rotated medium box).  SHARED by the driver's multichip signal
+    (__graft_entry__.dryrun_multichip feature shard), the 8-device
+    sharding test (tests/test_parallel.py) and the streamed-layout
+    bit-identity test (tests/test_stream.py) so adding the next static
+    flag means extending ONE scene, not three hand-synced copies
+    (round-5 review finding).  Unregistered on purpose: it is a probe,
+    not a gallery scene.  View with cornell_like_camera()/two_plane."""
+    sc = Scene(capacity=capacity, background_start=(0, 0, 0),
+               background_end=(0, 0, 0))
+    sc.add_xz_rect((0, 6, 0), 2.0, 2.0, mat_type=3, light=5.0)  # light
+    sc.add_xz_rect((0, 0, 0), 20.0, 20.0, albedo=(0.6, 0.6, 0.6))
+    sc.add_sphere((-1.5, 1.0, -2.0), 1.0, albedo=(0.7, 0.4, 0.3),
+                  tex_type=3, tex_id=2)  # marble noise
+    sc.add_moving_sphere((1.5, 1.0, -2.0), (1.8, 1.0, -2.0), 0.8,
+                         albedo=(0.3, 0.5, 0.8))
+    sc.add_medium_sphere((0.0, 1.0, 0.5), 0.9, density=0.8,
+                         albedo=(0.9, 0.9, 0.9))
+    sc.add_medium_box((0.0, 1.0, -4.0), (2.0, 2.0, 2.0), density=1.0,
+                      yaw=0.3, albedo=(0.2, 0.2, 0.2))
+    return sc
+
+
+ALL_FEATURE_FLAGS = dict(has_noise=True, has_media=True, has_motion=True,
+                         has_boxm=True, has_rotm=True, has_nee=True)
+
+
 SCENES = {
     "default": (default_scene, default_scene_camera),
     "rtow_final": (rtow_final_scene, rtow_final_camera),

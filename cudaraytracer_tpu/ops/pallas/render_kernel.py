@@ -147,8 +147,10 @@ def fits_megakernel(n_active: int, has_vattrs: bool,
     feature flags add P rows (motion +3, images +2..) and kind-segregated
     Morton clusters pad columns well past n_active (book2_final: 5,809
     prims -> 8,400 cols), so only the packed shapes know the footprint.
-    The two bisected probe layouts keep their measured prim ceilings;
-    everything else is held to SMEM_TABLE_BUDGET.  Without ``tables``
+    The plain bisected probe layout keeps its measured prim ceiling;
+    everything else (including the vattr probe layout, whose byte-budget
+    cutoff lands within a few prims of its measured ceiling) is held to
+    SMEM_TABLE_BUDGET.  Without ``tables``
     (legacy callers/tests) the prim-count rule applies unchanged."""
     if tables is not None:
         p_rows = tables.P.shape[0]
@@ -1402,7 +1404,9 @@ def _acos(x):
 
 
 def _render_kernel(
-    cnt_ref,  # SMEM i32[6]: n_super, max_depth, y0, seed, stream, spp
+    cnt_ref,  # SMEM i32[7]: n_super, max_depth, y0, seed, stream, spp,
+    #           sample_base (QMC global sample index — read at [6] even
+    #           when has_qmc=False; append new scalars at [7]+)
     cam_ref,  # SMEM f32[38]
     s_ref,  # SMEM f32[16, NP]   (SMEM: dynamic per-prim scalar loads)
     p_ref,  # SMEM f32[P_ROWS(_UV), NP] payload table

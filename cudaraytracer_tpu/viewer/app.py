@@ -142,13 +142,7 @@ class RenderLayer(Layer):
         model = scene_lib.camera_model_for(name)
         if model != self.cfg.camera_model:
             self.cfg.camera_model = model
-            self.renderer = Renderer(
-                self.cfg.width, self.cfg.height, camera_model=model,
-                t_min=self.cfg.t_min, block=self.cfg.block,
-                nee=getattr(self.cfg, "nee", False),
-                nee_p=getattr(self.cfg, "nee_p", 0.5),
-                qmc=getattr(self.cfg, "qmc", False),
-            )
+            self.renderer = self._make_renderer()
             self._pallas = None
             self._wavefront = None
         self._scene_version = -1  # force a full device re-sync
@@ -172,12 +166,7 @@ class RenderLayer(Layer):
                           "estimator")
         rtlog.rt_info("RenderLayer: %dx%d scene=%s accel=%s camera=%s",
                       cfg.width, cfg.height, cfg.scene, cfg.accel, cfg.camera_model)
-        self.renderer = Renderer(
-            cfg.width, cfg.height, camera_model=cfg.camera_model,
-            t_min=cfg.t_min, block=cfg.block,
-            nee=getattr(cfg, "nee", False), nee_p=getattr(cfg, "nee_p", 0.5),
-            qmc=getattr(cfg, "qmc", False),
-        )
+        self.renderer = self._make_renderer()
         import jax
 
         self.metrics.build_mode = "debug" if cfg.debug_nans else "release"
@@ -190,6 +179,30 @@ class RenderLayer(Layer):
         rtlog.rt_info("RenderLayer detached after %d frames", self._frame_index)
 
     # -------------------------------------------------------- state sync
+    def _make_renderer(self) -> Renderer:
+        """The one place a Renderer is constructed from cfg — on_attach,
+        set_scene, resize, and the static-flag toggles all route here so
+        no site can drop a flag the others carry."""
+        cfg = self.cfg
+        return Renderer(
+            cfg.width, cfg.height, camera_model=cfg.camera_model,
+            t_min=cfg.t_min, block=cfg.block,
+            nee=getattr(cfg, "nee", False),
+            nee_p=getattr(cfg, "nee_p", 0.5),
+            qmc=getattr(cfg, "qmc", False),
+        )
+
+    def rebuild_renderer(self):
+        """Rebuild every render path after a STATIC cfg flag flips (the
+        viewer's NEE/QMC toggles).  The XLA Renderer captures nee/qmc at
+        construction, so the scene-resync lever alone rebuilds only the
+        pallas pipeline — bvh/brute frames would silently keep the old
+        estimator while /state reports the new flag."""
+        self.renderer = self._make_renderer()
+        # next fence sits behind the retrace of a new static graph
+        self._fence_graced = False
+        self._scene_version = -1  # _PallasPipeline re-reads cfg on resync
+
     def _sync_scene(self):
         if self.scene.version != self._scene_version:
             self._sd = self.scene.device()
@@ -268,13 +281,7 @@ class RenderLayer(Layer):
                       self.cfg.width, self.cfg.height, width, height)
         self.cfg.width, self.cfg.height = width, height
         self.metrics.width, self.metrics.height = width, height
-        self.renderer = Renderer(
-            width, height, camera_model=self.cfg.camera_model,
-            t_min=self.cfg.t_min, block=self.cfg.block,
-            nee=getattr(self.cfg, "nee", False),
-            nee_p=getattr(self.cfg, "nee_p", 0.5),
-            qmc=getattr(self.cfg, "qmc", False),
-        )
+        self.renderer = self._make_renderer()
         # a new shape always means a new executable on every accel path
         self._fence_graced = False
         if self._pallas is not None:

@@ -552,11 +552,12 @@ class ViewerServer:
             if want != bool(getattr(rl.cfg, "nee", False)):
                 # the estimator switch is STATIC (has_nee compiles a
                 # different transport into the kernel/XLA path): rebuild
-                # the pipeline via the scene-resync lever, like adaptive.
-                # The wavefront cross-check path keeps the parity
-                # estimator regardless (ops/sampling.py module docstring).
+                # BOTH the XLA Renderer (captures nee at construction)
+                # and, via the scene resync it forces, the pallas
+                # pipeline.  The wavefront cross-check path keeps the
+                # parity estimator regardless (ops/sampling.py docstring).
                 rl.cfg.nee = want
-                rl._scene_version = -1
+                rl.rebuild_renderer()
                 rtlog.rt_info(
                     "Importance sampling (NEE) %s — pipeline recompiles "
                     "once (estimator is a static graph switch)",
@@ -569,10 +570,10 @@ class ViewerServer:
             want = bool(data["qmc"])
             if want != bool(getattr(rl.cfg, "qmc", False)):
                 # the pixel sampler is STATIC (has_qmc compiles the R2
-                # jitter into the kernel/XLA raygen): rebuild via the
-                # scene-resync lever, same as the NEE estimator toggle.
+                # jitter into the kernel/XLA raygen): rebuild both paths,
+                # same as the NEE estimator toggle.
                 rl.cfg.qmc = want
-                rl._scene_version = -1
+                rl.rebuild_renderer()
                 rtlog.rt_info(
                     "Low-discrepancy pixel sampling (QMC) %s — pipeline "
                     "recompiles once (sampler is a static graph switch)",

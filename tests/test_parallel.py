@@ -238,24 +238,14 @@ def test_sharded_pallas_feature_branches():
     from jax.experimental.pallas import tpu as pltpu
 
     from cudaraytracer_tpu.models import scenes as scn
-    from cudaraytracer_tpu.models.scene import Scene
     from cudaraytracer_tpu.ops.pallas.render_kernel import (
         pack_camera_np, pack_scene_tables)
     from cudaraytracer_tpu.ops.sampling import pack_lights_np
     from cudaraytracer_tpu.parallel import render_sharded_pallas
 
-    sc = Scene(capacity=64, background_start=(0, 0, 0),
-               background_end=(0, 0, 0))
-    sc.add_xz_rect((0, 6, 0), 2.0, 2.0, mat_type=3, light=5.0)
-    sc.add_xz_rect((0, 0, 0), 20.0, 20.0, albedo=(0.6, 0.6, 0.6))
-    sc.add_sphere((-1.5, 1.0, -2.0), 1.0, albedo=(0.7, 0.4, 0.3),
-                  tex_type=3, tex_id=2)  # marble noise
-    sc.add_moving_sphere((1.5, 1.0, -2.0), (1.8, 1.0, -2.0), 0.8,
-                         albedo=(0.3, 0.5, 0.8))
-    sc.add_medium_sphere((0.0, 1.0, 0.5), 0.9, density=0.8,
-                         albedo=(0.9, 0.9, 0.9))
-    sc.add_medium_box((0.0, 1.0, -4.0), (2.0, 2.0, 2.0), density=1.0,
-                      yaw=0.3, albedo=(0.2, 0.2, 0.2))
+    # the SHARED all-static-flags probe (also the driver's feature shard
+    # and the streamed bit-identity scene) — one scene to extend, not 3
+    sc = scn.all_feature_probe_scene()
     t = pack_scene_tables(sc)
     mesh = make_mesh(n_rows=4, n_samples=2)
     W, H = 128, 64
@@ -269,8 +259,7 @@ def test_sharded_pallas_feature_branches():
             tables, t.n_super, jnp.asarray(cam_np), 7, 4,
             width=W, height=H, mesh=mesh, camera_model="two_plane",
             tile_h=16, tile_w=128, cluster=t.cluster, super_=t.super_,
-            has_noise=True, has_media=True, has_motion=True,
-            has_boxm=True, has_rotm=True, has_nee=True,
+            **scn.ALL_FEATURE_FLAGS,
         )
         out = np.asarray(out) / 2
     assert out.shape == (H, W, 3)

@@ -130,23 +130,14 @@ def test_stream_bit_identical_all_feature_flags():
     (round-5 measured: all-flags tables overflow resident SMEM and route
     streamed, so this combination IS the production streamed kernel).
     Single-chip on purpose: sharded x streamed x all-flags in interpret
-    mode is a measured >17x interpret-only slowdown."""
-    from cudaraytracer_tpu.models.scene import Scene
-
-    sc = Scene(capacity=64, background_start=(0, 0, 0),
-               background_end=(0, 0, 0))
-    sc.add_xz_rect((0.0, 4.0, -3.0), 2.5, 2.5, mat_type=3, light=5.0)
-    sc.add_xz_rect((0.0, 0.0, 0.0), 20.0, 20.0, albedo=(0.6, 0.6, 0.6))
-    sc.add_sphere((-1.5, 1.0, -3.0), 1.0, albedo=(0.7, 0.4, 0.3),
-                  tex_type=3, tex_id=2)  # marble noise
-    sc.add_moving_sphere((1.5, 1.0, -3.0), (1.8, 1.0, -3.0), 0.8,
-                         albedo=(0.3, 0.5, 0.8))
-    sc.add_medium_box((0.0, 1.0, -5.0), (2.0, 2.0, 2.0), density=1.0,
-                      yaw=0.3, albedo=(0.2, 0.2, 0.2))
+    mode is a measured >17x interpret-only slowdown.  The scene is the
+    SHARED probe (scenes.all_feature_probe_scene, also the driver's
+    multichip feature shard) so the flag matrix extends in ONE place."""
+    sc = scenes.all_feature_probe_scene()
+    flags = {k: v for k, v in scenes.ALL_FEATURE_FLAGS.items()
+             if k != "has_nee"}  # nee= packs the light table too
     a, b, st = _render_both(
-        sc, scenes.cornell_like_camera(), "two_plane", nee=True,
-        has_noise=True, has_media=True, has_motion=True,
-        has_boxm=True, has_rotm=True)
+        sc, scenes.cornell_like_camera(), "two_plane", nee=True, **flags)
     assert np.isfinite(a).all()
     assert a.mean() > 1e-4  # lit through the NEE table
     assert np.abs(a - b).max() == 0.0

@@ -623,3 +623,27 @@ def test_medium_box_add_edit_guard(served):
                              "value": "metal"})
     assert int(scene.mat_type[i]) == ISOTROPIC
     assert json.loads(get(port, "/state"))["metrics"]["frames"] >= 1
+
+
+def test_nee_qmc_toggles_rebuild_xla_renderer(served):
+    """REGRESSION (round-5 review): on the XLA accel paths (bvh/brute —
+    the CPU default) the NEE/QMC checkboxes must rebuild the Renderer,
+    which captures both flags at construction.  Before the fix the
+    handlers only forced a scene resync (a pallas-pipeline lever), so
+    /state reported the new flag while frames kept the old estimator."""
+    app, server, port = served
+    rl = app.render_layer
+    assert rl.cfg.accel in ("bvh", "brute")  # auto resolves to bvh on CPU
+    assert rl.renderer.nee is False and rl.renderer.qmc is False
+
+    post(port, "/options", {"nee": True, "qmc": True})
+    assert rl.renderer.nee is True and rl.renderer.qmc is True
+    s = json.loads(get(port, "/state"))
+    assert s["options"]["nee"] is True and s["options"]["qmc"] is True
+    app.run(max_frames=2)  # the rebuilt graph renders finite, lit frames
+    img = rl.framebuffer_rgba8()
+    assert np.isfinite(img[..., :3]).all() and img[..., :3].sum() > 0
+
+    post(port, "/options", {"nee": False, "qmc": False})
+    assert rl.renderer.nee is False and rl.renderer.qmc is False
+    app.run(max_frames=1)
