@@ -737,3 +737,105 @@ def test_pallas_attrless_tri_image_exact():
     # could only produce ONE flat color here
     lit = pal[pal.max(-1) > 0.2]
     assert len({tuple(np.round(c, 2)) for c in lit}) >= 3
+
+
+@pytest.mark.slow
+def test_pallas_third_image_hit_is_exactly_quantized_atlas_mean():
+    """PIN THE DOCUMENTED APPROXIMATION (PARITY.md "Known gaps"): the
+    megakernel defers at most TWO image-texture factors per lane; a
+    THIRD image hit on the same path shades with the atlas slot's mean
+    color instead of the texel (reference samples the image at EVERY
+    hit, Texture.cuh:83-105).  This test turns that prose into a tested
+    contract with an adversarial deterministic 3-image-hit chain —
+    floor mirror A -> ceiling mirror B -> floor image LIGHT C (each
+    bounce flips only dy, so the ray advances in -z and the whole frame
+    completes the chain):
+
+      kernel(orig) == XLA(twin)  to float tolerance, where twin is the
+      SAME scene with C's texture replaced by round(mean*255)/255 — the
+      u8 quantization the payload's 8:8:8 albedo rows (P_PACKA) apply.
+
+    It also measures the approximation's true cost vs the exact render
+    (mean |err| ~0.76 here), which only an adversarial all-mirror chain
+    reaches — rtow_image-class scenes never stack 3 image factors."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from scipy.ndimage import maximum_filter, minimum_filter
+
+    from cudaraytracer_tpu.models.camera import make_camera_params
+    from cudaraytracer_tpu.models.scene import (
+        DIFFUSE_LIGHT, IMAGE, METAL, Scene)
+    from cudaraytracer_tpu.ops.pallas.render_kernel import (
+        pack_camera, pack_scene_tables, pallas_render_sample)
+
+    def build(third_constant_mean):
+        scene = Scene(capacity=8, background_start=(0, 0, 0),
+                      background_end=(0, 0, 0))
+        texa = np.zeros((16, 32, 3), np.uint8)
+        texa[:, :16] = (255, 128, 0)
+        texa[:, 16:] = (0, 128, 255)
+        sa = scene.load_image_texture(texa)
+        texb = np.zeros((16, 32, 3), np.uint8)
+        texb[:8] = (255, 0, 255)
+        texb[8:] = (0, 255, 0)
+        sb = scene.load_image_texture(texb)
+        texc = np.zeros((16, 32, 3), np.uint8)
+        texc[:, :16] = (255, 255, 0)
+        texc[:, 16:] = (0, 64, 255)
+        slot_c = scene.load_image_texture(texc)
+        scene.add_xz_rect((0, 0, -4.5), 60, 4.0, mat_type=METAL, fuzz=0.0,
+                          tex_type=IMAGE, tex_id=sa)
+        scene.add_xz_rect((0, 4, -13.75), 60, 11.0, mat_type=METAL,
+                          fuzz=0.0, tex_type=IMAGE, tex_id=sb)
+        kw = dict(mat_type=DIFFUSE_LIGHT, light=2.0)
+        if third_constant_mean:
+            meanc = (texc.astype(np.float32) / 255.0).mean((0, 1))
+            meanq = np.round(meanc * 255.0) / 255.0  # P_PACKA quantization
+            scene.add_xz_rect((0, 0, -23.0), 60, 17.5,
+                              albedo=tuple(meanq), **kw)
+        else:
+            scene.add_xz_rect((0, 0, -23.0), 60, 17.5,
+                              tex_type=IMAGE, tex_id=slot_c, **kw)
+        return scene
+
+    f = np.array([0.0, -1.0, -2.0])
+    f /= np.linalg.norm(f)
+    cam = make_camera_params(origin=(0.0, 2.0, 0.0), forward=tuple(f),
+                             fov_deg=20.0)
+    W, H, D = 64, 32, 5
+    orig, twin = build(False), build(True)
+    x_orig = np.asarray(render_radiance(
+        orig.device(), cam, rngu.base_key(), 1, D,
+        width=W, height=H, camera_model="look_at"))
+    x_twin = np.asarray(render_radiance(
+        twin.device(), cam, rngu.base_key(), 1, D,
+        width=W, height=H, camera_model="look_at"))
+    sd = orig.device()
+    t = pack_scene_tables(orig, with_uv=True)
+    tabs = tuple(jnp.asarray(x) for x in (t.S, t.P, t.clusters, t.supers))
+    cam_vec = pack_camera(cam, sd, W, H, 1e-3)
+    with pltpu.force_tpu_interpret_mode():
+        img, counts = pallas_render_sample(
+            *tabs, t.n_super, cam_vec, t.n_super, D,
+            width=W, height=H, camera_model="look_at",
+            tile_h=16, tile_w=128, atlas=sd.atlas, tex_hw=sd.tex_hw,
+        )
+    pal = np.asarray(img)[:H, :W] / np.maximum(
+        np.asarray(counts)[:H, :W], 1.0)[..., None]
+    assert np.isfinite(pal).all()
+    # the chain lights the bulk of the frame (geometry sanity)
+    assert (x_orig.max(-1) > 0.01).mean() > 0.8
+    # subpixel jitter differs between the two RNGs: compare away from
+    # the twin render's discontinuities (texel/geometry edges)
+    spread = (maximum_filter(x_twin, size=(3, 3, 1))
+              - minimum_filter(x_twin, size=(3, 3, 1))).max(-1)
+    smooth = spread < 1e-2
+    assert smooth.mean() > 0.5
+    err = np.abs(pal - x_twin).max(-1)
+    assert err[smooth].max() < 1e-4, (
+        f"third-hit contract broken: max err {err[smooth].max()}")
+    # and the approximation is REAL: vs the exact reference-semantics
+    # render this adversarial scene pays a large error (banked ~0.76
+    # mean), i.e. the mean-color branch actually engaged above
+    err_exact = np.abs(pal - x_orig).max(-1)
+    assert err_exact[smooth].max() > 0.5
