@@ -540,6 +540,16 @@ class ViewerServer:
                 rl._scene_version = -1
                 rtlog.rt_info("Adaptive sampling %s",
                               "enabled" if want else "disabled")
+                if want and rl.cfg.accel != "pallas":
+                    # per-tile sample masks drive the megakernel's tile
+                    # grid; the XLA paths have no tile granularity to
+                    # mask, so the flag is inert there — say so instead
+                    # of silently logging "enabled" (same pattern as the
+                    # wavefront-NEE caveat)
+                    rtlog.rt_warn(
+                        "adaptive sampling drives the pallas megakernel; "
+                        "accel=%s renders every pixel each frame",
+                        rl.cfg.accel)
         if "denoise" in data:
             # DISPLAY-time toggle: the accumulator is untouched, so no
             # accumulation restart and no pipeline rebuild — the next
