@@ -439,6 +439,11 @@ class RenderLayer(Layer):
             frame_index=self._frame_index,
             position=np.asarray(self.fly.position),
             yaw=self.fly.yaw, pitch=self.fly.pitch, fov=self.fly.fov_deg,
+            # the estimator/sampler the accumulator was rendered under —
+            # resume must continue with the SAME transport (NEE is a
+            # different lambertian transport than the parity default)
+            nee=bool(getattr(self.cfg, "nee", False)),
+            qmc=bool(getattr(self.cfg, "qmc", False)),
             **extra,
         )
         rtlog.rt_info("Checkpoint saved to %s (%d spp)", path, self._spp_done)
@@ -457,6 +462,21 @@ class RenderLayer(Layer):
         self.fly.pitch = float(blob["pitch"])
         self.fly.fov_deg = float(blob["fov"])
         self.fly._update_orientation()
+        # the estimator flags are part of the accumulated ESTIMATE: a
+        # checkpoint rendered under NEE (a different transport) must not
+        # be continued with the parity estimator, so resume adopts the
+        # saved flags (older checkpoints lack them: keep process config)
+        want_nee = bool(blob["nee"]) if "nee" in blob \
+            else bool(getattr(self.cfg, "nee", False))
+        want_qmc = bool(blob["qmc"]) if "qmc" in blob \
+            else bool(getattr(self.cfg, "qmc", False))
+        if (want_nee != bool(getattr(self.cfg, "nee", False))
+                or want_qmc != bool(getattr(self.cfg, "qmc", False))):
+            self.cfg.nee, self.cfg.qmc = want_nee, want_qmc
+            self.renderer = self._make_renderer()
+            self._fence_graced = False
+            rtlog.rt_info("Resume adopts checkpoint estimator flags: "
+                          "nee=%s qmc=%s", want_nee, want_qmc)
         # sync versions BEFORE restoring the accumulator so the next
         # _sync_scene doesn't wipe it
         self._scene_version = self.scene.version

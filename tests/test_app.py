@@ -464,3 +464,47 @@ def test_checkpoint_without_counts_resumes_image_scene(tmp_path):
         assert rl2.framebuffer_rgba8()[..., :3].sum() > 0
     app.close()
     app2.close()
+
+
+def test_checkpoint_records_estimator_flags(tmp_path):
+    """A checkpoint rendered under NEE (a DIFFERENT transport than the
+    parity estimator) must resume under NEE even in a process started
+    without it — otherwise the accumulator silently mixes estimators.
+    Round-5: save_state records nee/qmc; load_state adopts them."""
+    app = Application(small_cfg(nee=True))
+    rl = app.setup_default_layers()
+    app.run(max_frames=2)
+    p = str(tmp_path / "ckpt")
+    rl.save_state(p)
+    app.close()
+
+    app2 = Application(small_cfg())  # process config: nee OFF
+    rl2 = app2.setup_default_layers()
+    assert rl2.renderer.nee is False
+    rl2.load_state(p)
+    assert rl2.cfg.nee is True and rl2.renderer.nee is True
+    assert rl2._spp_done == 2
+    app2.run(max_frames=1)  # continues the SAME transport
+    assert rl2._spp_done == 3
+    app2.close()
+
+
+def test_checkpoint_without_flags_keeps_process_config(tmp_path):
+    """BACK-COMPAT: a pre-round-5 checkpoint (no nee/qmc keys) resumes
+    under whatever the process was started with."""
+    app = Application(small_cfg())
+    rl = app.setup_default_layers()
+    app.run(max_frames=2)
+    p = str(tmp_path / "ckpt")
+    rl.save_state(p)
+    app.close()
+    # strip the new keys to simulate an old checkpoint
+    blob = dict(np.load(p + ".npz"))
+    blob.pop("nee"), blob.pop("qmc")
+    np.savez_compressed(p + ".npz", **blob)
+
+    app2 = Application(small_cfg(nee=True))
+    rl2 = app2.setup_default_layers()
+    rl2.load_state(p)
+    assert rl2.cfg.nee is True and rl2.renderer.nee is True
+    app2.close()
