@@ -746,6 +746,14 @@ def all_feature_probe_scene(capacity: int = 64) -> Scene:
     sc = Scene(capacity=capacity, background_start=(0, 0, 0),
                background_end=(0, 0, 0))
     sc.add_xz_rect((0, 6, 0), 2.0, 2.0, mat_type=3, light=5.0)  # light
+    # a small emitter IN DIRECT VIEW of cornell_like_camera ((0,2.5,9)
+    # looking -z), placed clear of both media volumes: interpret-mode
+    # PRNG is wave-state-dependent and degenerate draws can absorb every
+    # scattered path in the media, rendering an all-scatter scene BLACK
+    # in-suite while a fresh process renders it lit (observed round 5).
+    # First-hit emission needs no PRNG draw, so "the frame is lit"
+    # assertions on this probe hold in any process state.
+    sc.add_xy_rect((3.0, 2.5, -3.0), 1.0, 1.0, mat_type=3, light=3.0)
     sc.add_xz_rect((0, 0, 0), 20.0, 20.0, albedo=(0.6, 0.6, 0.6))
     sc.add_sphere((-1.5, 1.0, -2.0), 1.0, albedo=(0.7, 0.4, 0.3),
                   tex_type=3, tex_id=2)  # marble noise
